@@ -1,0 +1,270 @@
+"""Spark-side munge operator: the whole correction cascade as ONE
+Arrow-batched ``mapInPandas`` pass.
+
+Independent implementation of SPEC.md (the oracle in ``oracle/munge.py``
+is the executable spec; pytest asserts span-sequence equality between the
+two). Regex-based where the oracle is loop-based, so agreement between
+them is evidence of correctness rather than shared code.
+
+Why ``mapInPandas`` and not a scalar pandas UDF: one document row must
+yield BOTH rewritten spans and a metrics struct; mapInPandas emits all
+output columns in one JVM<->Python crossing per Arrow batch, and lets us
+emit per-partition lineage without a second pass. The batch size is
+capped by ``spark.sql.execution.arrow.maxRecordsPerBatch`` (session.py)
+so skewed monster documents cannot blow executor memory.
+
+At cluster scale: this node is the only Python stage in the plan; the
+scan, resume anti-join, repartition, and writes around it stay JVM-side
+(see pipeline.py and its .explain notes).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import types as T
+
+from ..rulesets.loader import PUNCT, Rulesets
+
+SPAN_STRUCT = T.StructType(
+    [
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("offset", T.IntegerType(), False),
+    ]
+)
+SPANS_TYPE = T.ArrayType(SPAN_STRUCT)
+
+INPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("spans", SPANS_TYPE, False),
+    ]
+)
+
+METRIC_FIELDS = [
+    "pages",
+    "tokens_total",
+    "tokens_in_dict",
+    "tokens_corrected",
+    "header_lines_removed",
+    "pagenum_lines_removed",
+]
+
+OUTPUT_SCHEMA = T.StructType(
+    list(INPUT_SCHEMA.fields)
+    + [T.StructField(f, T.LongType(), False) for f in METRIC_FIELDS]
+)
+
+_PUNCT_RE = re.escape(PUNCT)
+_TOKEN_SPLIT_RE = re.compile(rf"^([{_PUNCT_RE}]*)(.*?)([{_PUNCT_RE}]*)$", re.DOTALL)
+_NON_ALNUM_RE = re.compile(r"[^0-9a-z]+")
+_DIGIT_RE = re.compile(r"[0-9]+")
+_ALNUM_ONLY_RE = re.compile(r"[^0-9A-Za-z]+")
+
+
+def _split_token(tok: str) -> tuple[str, str, str]:
+    m = _TOKEN_SPLIT_RE.match(tok)
+    return m.group(1), m.group(2), m.group(3)
+
+
+def _case_like(orig: str, repl: str) -> str:
+    if not orig or not repl:
+        return repl
+    if len(orig) > 1 and orig.isupper():
+        return repl.upper()
+    if orig[0].isupper():
+        return repl[0].upper() + repl[1:]
+    return repl
+
+
+class _Munger:
+    """Per-executor compiled view of the broadcast rulesets."""
+
+    def __init__(self, rs: Rulesets):
+        self.rs = rs
+        # header-normalization: lowercase → kill digits → non-alnum → space
+        self._roman = rs.roman_numerals
+        self._dict = rs.main_dictionary
+
+    # ---- R3 -------------------------------------------------------------
+    def _header_key(self, line: str) -> frozenset[str]:
+        s = _DIGIT_RE.sub("", line.lower())
+        toks = _NON_ALNUM_RE.sub(" ", s).split()
+        return frozenset(t for t in toks if t not in self._roman)
+
+    @staticmethod
+    def _match(a: frozenset, b: frozenset) -> bool:
+        return bool(a) and bool(b) and len(a & b) / max(len(a), len(b)) >= 0.6
+
+    def strip_headers(self, pages: list[list[str]]) -> tuple[list[list[str]], int]:
+        n = len(pages)
+        zones = []
+        for lines in pages:
+            head = range(min(2, len(lines)))
+            tail = [i for i in range(max(len(lines) - 2, 0), len(lines)) if i >= 2]
+            keys = {i: self._header_key(lines[i]) for i in [*head, *tail]}
+            zones.append((list(head), tail, keys))
+        removed = 0
+        out = []
+        for p in range(n):
+            head, tail, keys = zones[p]
+            kill = set()
+            for zi, mine_zone in ((0, head), (1, tail)):
+                for i in mine_zone:
+                    k = keys[i]
+                    for q in (p - 2, p - 1, p + 1, p + 2):
+                        if 0 <= q < n and any(
+                            self._match(k, zones[q][2][j]) for j in zones[q][zi]
+                        ):
+                            kill.add(i)
+                            break
+            removed += len(kill)
+            out.append([ln for i, ln in enumerate(pages[p]) if i not in kill])
+        return out, removed
+
+    # ---- R4 -------------------------------------------------------------
+    def is_pagenum(self, line: str) -> bool:
+        r = _ALNUM_ONLY_RE.sub("", line)
+        return bool(r) and (r.isdigit() or r.lower() in self._roman)
+
+    # ---- R6 -------------------------------------------------------------
+    def rejoin(self, lines: list[str]) -> list[str]:
+        for i in range(len(lines) - 1):
+            cur = lines[i].rstrip()
+            if not cur.endswith("-"):
+                continue
+            head, _, last = cur[:-1].rpartition(" ") if " " in cur[:-1] else ("", "", cur[:-1])
+            pre, c1, _ = _split_token(last)
+            nxt = lines[i + 1].split()
+            if not nxt:
+                continue
+            _, c2, suf = _split_token(nxt[0])
+            if c1 and c2 and c1.isalpha() and c2.isalpha() and (c1 + c2).lower() in self._dict:
+                fused = pre + c1 + c2 + suf
+                lines[i] = (" ".join(cur[:-1].split()[:-1] + [fused]))
+                lines[i + 1] = " ".join(nxt[1:])
+        return lines
+
+    # ---- R7-R14 ---------------------------------------------------------
+    def correct_line(self, line: str, m: dict) -> str:
+        rs = self.rs
+        toks = line.split()
+        out: list[str] = []
+        for i, tok in enumerate(toks):
+            pre, core, suf = _split_token(tok)
+            if not core:
+                out.append(tok)
+                continue
+            orig = core
+            low = core.lower()
+            syn = rs.syncope_rules.get((pre + core).lower())
+            if syn is not None:
+                core = _case_like(core, syn)
+                pre = ""
+                low = core.lower()
+            else:
+                syn = rs.syncope_rules.get(low)
+                if syn is not None:
+                    core = _case_like(core, syn)
+                    low = core.lower()
+            for table in (rs.correction_rules, rs.variant_spellings):
+                hit = table.get(low)
+                if hit is not None:
+                    core = _case_like(core, hit)
+                    low = core.lower()
+            ctx = rs.context_rules.get(low)
+            if ctx:
+                prev_low = _split_token(out[-1].split()[-1])[1].lower() if out else None
+                next_low = (
+                    _split_token(toks[i + 1])[1].lower() if i + 1 < len(toks) else None
+                )
+                res = next(
+                    (r for nb, r in ctx if prev_low is not None and prev_low == nb),
+                    None,
+                ) or next(
+                    (r for nb, r in ctx if next_low is not None and next_low == nb),
+                    None,
+                )
+                if res is not None:
+                    core = _case_like(core, res)
+                    low = core.lower()
+            if low not in self._dict and "f" in low and core.isalpha():
+                fpos = [j for j, c in enumerate(core) if c in "fF"]
+                cands = [
+                    core[:j] + ("s" if core[j] == "f" else "S") + core[j + 1 :]
+                    for j in fpos
+                ]
+                if len(fpos) > 1:
+                    cands.append(core.replace("f", "s").replace("F", "S"))
+                for cand in cands:
+                    if cand.lower() in self._dict:
+                        core = cand
+                        low = core.lower()
+                        break
+            m["tokens_total"] += 1
+            if low in self._dict:
+                m["tokens_in_dict"] += 1
+            if core != orig:
+                m["tokens_corrected"] += 1
+            out.append(pre + core + suf)
+        return " ".join(out)
+
+    # ---- whole document -------------------------------------------------
+    def munge_doc(self, spans: list[dict]) -> tuple[list[dict], dict]:
+        m = {f: 0 for f in METRIC_FIELDS}
+        page_idx = [k for k, s in enumerate(spans) if s["kind"] == "page"]
+        m["pages"] = len(page_idx)
+        pages = [self.rs.translate(spans[k]["text"]).split("\n") for k in page_idx]
+        pages, m["header_lines_removed"] = self.strip_headers(pages)
+        kept_pages = []
+        for lines in pages:
+            kept = []
+            for ln in lines:
+                if self.is_pagenum(ln):
+                    m["pagenum_lines_removed"] += 1
+                else:
+                    kept.append(ln)
+            kept_pages.append(kept)
+        pages = [self.rejoin(lines) for lines in kept_pages]
+        pages = [[self.correct_line(ln, m) for ln in lines] for lines in pages]
+        out = [dict(s) for s in spans]
+        for pi, k in enumerate(page_idx):
+            out[k]["text"] = "\n".join(pages[pi])
+        return out, m
+
+
+def make_munge_map(rulesets_bc):
+    """Returns the mapInPandas function (doc_id, spans) -> OUTPUT_SCHEMA."""
+
+    def munge_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        munger = _Munger(rulesets_bc.value)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            new_spans = []
+            metric_cols: dict[str, list[int]] = {f: [] for f in METRIC_FIELDS}
+            for spans in pdf["spans"]:
+                # Arrow hands struct arrays as list[dict]
+                out, m = munger.munge_doc(list(spans))
+                new_spans.append(out)
+                for f in METRIC_FIELDS:
+                    metric_cols[f].append(m[f])
+            res = pd.DataFrame({"doc_id": pdf["doc_id"].values, "spans": new_spans})
+            for f in METRIC_FIELDS:
+                res[f] = pd.Series(metric_cols[f], dtype="int64")
+            yield res
+
+    return munge_map
+
+
+def munge(df, spark, rulesets_bc=None):
+    """DataFrame (doc_id, spans) -> (doc_id, spans', metrics...)."""
+    from ..rulesets.loader import broadcast_rulesets
+
+    bc = rulesets_bc or broadcast_rulesets(spark)
+    return df.mapInPandas(make_munge_map(bc), schema=OUTPUT_SCHEMA)
