@@ -21,6 +21,7 @@ scan, resume anti-join, repartition, and writes around it stay JVM-side
 from __future__ import annotations
 
 import re
+import time
 from typing import Iterator
 
 import pandas as pd
@@ -58,6 +59,9 @@ METRIC_FIELDS = [
 OUTPUT_SCHEMA = T.StructType(
     list(INPUT_SCHEMA.fields)
     + [T.StructField(f, T.LongType(), False) for f in METRIC_FIELDS]
+    # wall-clock microseconds spent munging this doc (lineage/skew telemetry;
+    # not part of the oracle metric contract)
+    + [T.StructField("munge_us", T.LongType(), False)]
 )
 
 _PUNCT_RE = re.escape(PUNCT)
@@ -248,15 +252,19 @@ def make_munge_map(rulesets_bc):
                 continue
             new_spans = []
             metric_cols: dict[str, list[int]] = {f: [] for f in METRIC_FIELDS}
+            timings: list[int] = []
             for spans in pdf["spans"]:
                 # Arrow hands struct arrays as list[dict]
+                t0 = time.monotonic()
                 out, m = munger.munge_doc(list(spans))
+                timings.append(int((time.monotonic() - t0) * 1e6))
                 new_spans.append(out)
                 for f in METRIC_FIELDS:
                     metric_cols[f].append(m[f])
             res = pd.DataFrame({"doc_id": pdf["doc_id"].values, "spans": new_spans})
             for f in METRIC_FIELDS:
                 res[f] = pd.Series(metric_cols[f], dtype="int64")
+            res["munge_us"] = pd.Series(timings, dtype="int64")
             yield res
 
     return munge_map
