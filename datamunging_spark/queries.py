@@ -1,0 +1,862 @@
+"""Relational operator surface: named DataFrame queries + ANSI-SQL oracles.
+
+One entry per operator category of SURVEY.md §2.2, exercised over the
+driver's deterministic testdata (TESTDATA.md). Each Spark query is written
+declaratively (DataFrame API / SQL) so Catalyst does pushdown, pruning,
+broadcast selection and AQE — see ``tests/test_plans.py`` for the plan
+assertions (PushedFilters, broadcast, partial agg).
+
+Conventions for oracle agreement (the driver hashes values after sorting
+columns by name):
+- every computed column is aliased identically on both sides;
+- double aggregates are ``round(x, 4)`` on both sides;
+- DuckDB ``sum(INTEGER)`` returns HUGEINT → always cast to BIGINT;
+- timestamps are never emitted raw: formatted to 'yyyy-MM-dd' strings;
+- every ORDER BY carries a unique tiebreaker so LIMIT cuts are stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql.window import Window as W
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# Aggregation: TPC-H Q1 shape — filter + groupBy + 8 aggregates + sort.
+# Catalyst gives partial (map-side) aggregation; the shipdate filter is
+# pushed into the parquet scan.
+# --------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                4,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4)                                            AS sum_qty,
+       round(sum(l_extendedprice), 4)                                       AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4)                    AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)      AS sum_charge,
+       round(avg(l_quantity), 4)                                            AS avg_qty,
+       round(avg(l_extendedprice), 4)                                       AS avg_price,
+       round(avg(l_discount), 4)                                            AS avg_disc,
+       count(*)                                                             AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# Multi-join + agg + top-k: TPC-H Q3 shape. customer is the small side;
+# Catalyst broadcast-joins it under the default threshold.
+# --------------------------------------------------------------------------
+
+
+def q3_shipping_priority(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1999-01-01")
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1999-01-01")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.date_format(F.first("o_orderdate"), "yyyy-MM-dd").alias("o_date"),
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       strftime(min(o_orderdate), '%Y-%m-%d')            AS o_date
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1999-01-01'
+  AND l_shipdate  > TIMESTAMP '1999-01-01'
+GROUP BY l_orderkey, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# 6-way star join: TPC-H Q5 shape. region/nation/supplier broadcast;
+# orders⋈lineitem is the one shuffle join.
+# --------------------------------------------------------------------------
+
+
+def q5_region_revenue(spark, sf_dir):
+    region = t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = t(spark, sf_dir, "nation")
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .where(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+Q5_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Explicit broadcast-hash join of a small dimension (R8's relational form:
+# the reference's dict lookup == broadcast hash join).
+# --------------------------------------------------------------------------
+
+
+def q_broadcast_part_revenue(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), "p_brand", "p_type")
+        .limit(20)
+    )
+
+
+Q_BROADCAST_SQL = """
+SELECT p_brand, p_type,
+       round(sum(l_extendedprice), 4) AS revenue,
+       count(*)                       AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand, p_type
+ORDER BY revenue DESC, p_brand, p_type
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# Semi / anti joins (R17's resume-skip is exactly a left-anti join).
+# --------------------------------------------------------------------------
+
+
+def q_semi_customers_with_urgent(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q_SEMI_SQL = """
+SELECT c_mktsegment, count(*) AS n_customers, round(avg(c_acctbal), 4) AS avg_bal
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def q_anti_customers_without_orders(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+Q_ANTI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Window functions: top-k per group, running totals, lag deltas
+# (the relational forms of R3's ±2-page window and R11's token context).
+# --------------------------------------------------------------------------
+
+
+def q_window_topk_orders(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .where(F.col("o_custkey") < 200)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("price"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+        .orderBy("o_custkey", "rn", "o_orderkey")
+    )
+
+
+Q_WINDOW_TOPK_SQL = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS price, CAST(rn AS INT) AS rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3 AND o_custkey < 200
+ORDER BY o_custkey, rn, o_orderkey
+"""
+
+
+def q_window_running_revenue(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders").where(F.col("o_custkey") < 50)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 4).alias("running_total"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+Q_WINDOW_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+         AS running_total
+FROM orders WHERE o_custkey < 50
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+def q_window_event_gaps(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.withColumn(
+        "gap_us",
+        F.unix_micros(F.col("ts").cast("timestamp")) - F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w),
+    )
+    return (
+        gaps.where(F.col("gap_us").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("gap_us") / F.lit(1000000.0), 4).alias("avg_gap_s"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_WINDOW_GAPS_SQL = """
+SELECT event_type, round(avg(gap_us) / 1000000.0, 4) AS avg_gap_s, count(*) AS n
+FROM (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+) WHERE gap_us IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Rollup / cube (grouping sets).
+# --------------------------------------------------------------------------
+
+
+def q_rollup_lineitem(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 4).alias("qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+Q_ROLLUP_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n, round(sum(l_quantity), 4) AS qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""
+
+
+def q_cube_orders(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+Q_CUBE_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL')  AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n, round(sum(o_totalprice), 4) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+"""
+
+
+# --------------------------------------------------------------------------
+# Set operations.
+# --------------------------------------------------------------------------
+
+
+def q_set_ops_segments(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    big_spenders = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("s"))
+        .where(F.col("s") > 50000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    building = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    machinery = cust.where(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    spender_non_building = big_spenders.intersect(
+        cust.select("c_custkey")
+    ).exceptAll(building)
+    return (
+        spender_non_building.union(machinery)
+        .distinct()
+        .orderBy("c_custkey")
+        .select("c_custkey")
+    )
+
+
+Q_SET_OPS_SQL = """
+SELECT DISTINCT c_custkey FROM (
+  (SELECT c_custkey FROM (
+     SELECT o_custkey AS c_custkey FROM orders GROUP BY o_custkey
+     HAVING sum(o_totalprice) > 50000
+   ) INTERSECT SELECT c_custkey FROM customer)
+  EXCEPT ALL
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  UNION ALL
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+) ORDER BY c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Sort / limit (TakeOrdered), distinct aggregates.
+# --------------------------------------------------------------------------
+
+
+def q_topk_parts(spark, sf_dir):
+    part = t(spark, sf_dir, "part")
+    return (
+        part.orderBy(F.desc("p_retailprice"), "p_partkey")
+        .limit(15)
+        .select("p_partkey", "p_name", F.round("p_retailprice", 4).alias("price"))
+    )
+
+
+Q_TOPK_SQL = """
+SELECT p_partkey, p_name, round(p_retailprice, 4) AS price
+FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 15
+"""
+
+
+def q_distinct_agg(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q_DISTINCT_SQL = """
+SELECT l_returnflag,
+       count(DISTINCT l_suppkey) AS n_suppliers,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# String / date / JSON / array function surfaces.
+# --------------------------------------------------------------------------
+
+
+def q_string_funcs(spark, sf_dir):
+    part = t(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.upper("p_name").alias("uname"),
+            F.substring("p_name", 1, 4).alias("prefix"),
+            F.regexp_extract("p_name", "(red|blue|hot|small|large)", 1).alias("color"),
+            F.levenshtein("p_brand", F.lit("Brand#10")).alias("lev"),
+            F.length("p_name").alias("len"),
+        )
+        .where(F.col("p_partkey") < 100)
+        .orderBy("p_partkey")
+    )
+
+
+Q_STRING_SQL = """
+SELECT p_partkey, upper(p_name) AS uname, substring(p_name, 1, 4) AS prefix,
+       regexp_extract(p_name, '(red|blue|hot|small|large)', 1) AS color,
+       levenshtein(p_brand, 'Brand#10') AS lev,
+       length(p_name) AS len
+FROM part WHERE p_partkey < 100 ORDER BY p_partkey
+"""
+
+
+def q_date_funcs(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.month("o_orderdate").cast("int").alias("mo"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+        .where(F.col("yr") < 1997)
+        .orderBy("yr", "mo")
+    )
+
+
+Q_DATE_SQL = """
+SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
+       count(*) AS n, round(sum(o_totalprice), 4) AS total
+FROM orders GROUP BY 1, 2 HAVING yr < 1997 ORDER BY yr, mo
+"""
+
+
+def q_json_extract(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_JSON_SQL = """
+SELECT event_type,
+       round(avg(k), 4) AS avg_k,
+       CAST(max(k) AS INT) AS max_k,
+       count(*) AS n
+FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_array_funcs(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast(T.ArrayType(T.DoubleType()))
+    return (
+        emb.select(
+            "vec_id",
+            F.size("embedding").alias("dim"),
+            F.round(F.element_at(vec, 1), 4).alias("first"),
+            F.round(
+                F.aggregate(
+                    F.slice(vec, 1, 8), F.lit(0.0), lambda acc, x: acc + x
+                ),
+                4,
+            ).alias("head_sum"),
+        )
+        .where(F.col("vec_id") < 100)
+        .orderBy("vec_id")
+    )
+
+
+Q_ARRAY_SQL = """
+SELECT vec_id,
+       CAST(len(embedding) AS INT) AS dim,
+       round((embedding::DOUBLE[])[1], 4) AS first,
+       round(list_sum((embedding::DOUBLE[])[1:8]), 4) AS head_sum
+FROM embeddings WHERE vec_id < 100 ORDER BY vec_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Range join (Catalyst handles BETWEEN join predicates; DuckDB likewise).
+# --------------------------------------------------------------------------
+
+
+def _qty_bins(spark):
+    rows = [(i, float(i * 10), float((i + 1) * 10)) for i in range(5)]
+    return spark.createDataFrame(rows, "bin_id int, lo double, hi double")
+
+
+def q_range_join_bins(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    bins = _qty_bins(spark)
+    return (
+        li.join(
+            F.broadcast(bins),
+            (li.l_quantity >= bins.lo) & (li.l_quantity < bins.hi),
+        )
+        .groupBy("bin_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_extendedprice"), 4).alias("value"),
+        )
+        .orderBy("bin_id")
+    )
+
+
+Q_RANGE_SQL = """
+SELECT bin_id, count(*) AS n, round(sum(l_extendedprice), 4) AS value
+FROM lineitem
+JOIN (SELECT i AS bin_id, i*10.0 AS lo, (i+1)*10.0 AS hi
+      FROM range(5) r(i)) bins
+  ON l_quantity >= lo AND l_quantity < hi
+GROUP BY bin_id ORDER BY bin_id
+"""
+
+
+# --------------------------------------------------------------------------
+# As-of join — Spark lacks a native one (SURVEY.md §2.2): composed from a
+# tagged union + running last_value window, which is shuffle-optimal (one
+# exchange on user_id vs. two for the naive join+re-aggregate form).
+# Oracle: DuckDB's native ASOF JOIN.
+# --------------------------------------------------------------------------
+
+
+def q_asof_join(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id"),
+        F.col("value").alias("p_value"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("value").alias("c_value")
+    )
+    # tag and union: clicks carry their own value; purchases pick up the
+    # last non-null click value at or before their ts.
+    tagged = purchases.select(
+        "user_id",
+        F.col("p_ts").alias("ts"),
+        F.lit(1).alias("is_p"),
+        F.col("p_id"),
+        F.col("p_value"),
+        F.lit(None).cast("double").alias("c_value"),
+        F.lit(None).cast("timestamp").alias("c_ts"),
+    ).unionByName(
+        clicks.select(
+            "user_id",
+            F.col("c_ts").alias("ts"),
+            F.lit(0).alias("is_p"),
+            F.lit(None).cast("long").alias("p_id"),
+            F.lit(None).cast("double").alias("p_value"),
+            "c_value",
+            "c_ts",
+        )
+    )
+    # clicks sort before purchases at equal ts (is_p asc) => ties match,
+    # mirroring ASOF JOIN's >= semantics.
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_p")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    joined = (
+        tagged.withColumn("last_c_value", F.last("c_value", ignorenulls=True).over(w))
+        .withColumn("last_c_ts", F.last("c_ts", ignorenulls=True).over(w))
+        .where((F.col("is_p") == 1) & F.col("last_c_value").isNotNull())
+    )
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_matched"),
+            F.round(F.avg(F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(F.col("last_c_ts").cast("timestamp"))) / F.lit(1000000.0), 4)
+            .alias("avg_lag_s"),
+            F.round(F.sum("last_c_value"), 4).alias("sum_click_value"),
+        )
+        .where(F.col("user_id") < 40)
+        .orderBy("user_id")
+    )
+
+
+Q_ASOF_SQL = """
+SELECT user_id, count(*) AS n_matched,
+       round(avg(epoch_us(p_ts) - epoch_us(c_ts)) / 1000000.0, 4) AS avg_lag_s,
+       round(sum(c_value), 4) AS sum_click_value
+FROM (
+  SELECT p.user_id, p.ts AS p_ts, c.ts AS c_ts, c.value AS c_value
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON p.user_id = c.user_id AND p.ts >= c.ts
+)
+WHERE user_id < 40
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Pivot.
+# --------------------------------------------------------------------------
+
+
+def q_pivot_status(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 4))
+        .select(
+            "c_mktsegment",
+            F.coalesce("F", F.lit(0.0)).alias("total_f"),
+            F.coalesce("O", F.lit(0.0)).alias("total_o"),
+            F.coalesce("P", F.lit(0.0)).alias("total_p"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q_PIVOT_SQL = """
+SELECT c_mktsegment,
+       coalesce(round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4), 0.0) AS total_f,
+       coalesce(round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4), 0.0) AS total_o,
+       coalesce(round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 4), 0.0) AS total_p
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# Sessionization: gap > 30 min starts a new session (lag + running sum —
+# the classic pattern; same SQL shape runs on both engines).
+# --------------------------------------------------------------------------
+
+
+def q_sessionize_events(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.withColumn(
+        "new_session",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.coalesce(
+                F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w),
+                F.lit(-(10**18)),
+            )
+            > 1800000000
+        ).cast("int"),
+    )
+    sess = gaps.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("events_in_session"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.round(F.avg("events_in_session"), 4).alias("avg_events"),
+            F.max("events_in_session").alias("max_events"),
+        )
+        .where(F.col("user_id") < 40)
+        .orderBy("user_id")
+    )
+
+
+Q_SESSIONIZE_SQL = """
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts)
+                   - coalesce(lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                     -1000000000000000000) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sess AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM gaps
+), per AS (
+  SELECT user_id, session_id, count(*) AS events_in_session
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id, count(*) AS n_sessions,
+       round(avg(events_in_session), 4) AS avg_events,
+       max(events_in_session) AS max_events
+FROM per WHERE user_id < 40
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Tumbling time window (batch form of the streaming windowed agg; the
+# streaming variant with watermark lives in streaming/jobs.py).
+# --------------------------------------------------------------------------
+
+
+def q_tumbling_window_events(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 day").alias("w"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n",
+            "total",
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+Q_TUMBLING_SQL = """
+SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS day,
+       event_type, count(*) AS n, round(sum(value), 4) AS total
+FROM events GROUP BY 1, 2 ORDER BY day, event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Catalog
+# --------------------------------------------------------------------------
+
+RELATIONAL_QUERIES: dict[str, tuple] = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "q5_region_revenue": (q5_region_revenue, Q5_SQL),
+    "broadcast_part_revenue": (q_broadcast_part_revenue, Q_BROADCAST_SQL),
+    "semi_customers_with_urgent": (q_semi_customers_with_urgent, Q_SEMI_SQL),
+    "anti_customers_without_orders": (q_anti_customers_without_orders, Q_ANTI_SQL),
+    "window_topk_orders": (q_window_topk_orders, Q_WINDOW_TOPK_SQL),
+    "window_running_revenue": (q_window_running_revenue, Q_WINDOW_RUNNING_SQL),
+    "window_event_gaps": (q_window_event_gaps, Q_WINDOW_GAPS_SQL),
+    "rollup_lineitem": (q_rollup_lineitem, Q_ROLLUP_SQL),
+    "cube_orders": (q_cube_orders, Q_CUBE_SQL),
+    "set_ops_segments": (q_set_ops_segments, Q_SET_OPS_SQL),
+    "topk_parts": (q_topk_parts, Q_TOPK_SQL),
+    "distinct_agg": (q_distinct_agg, Q_DISTINCT_SQL),
+    "string_funcs": (q_string_funcs, Q_STRING_SQL),
+    "date_funcs": (q_date_funcs, Q_DATE_SQL),
+    "json_extract": (q_json_extract, Q_JSON_SQL),
+    "array_funcs": (q_array_funcs, Q_ARRAY_SQL),
+    "range_join_bins": (q_range_join_bins, Q_RANGE_SQL),
+    "asof_join": (q_asof_join, Q_ASOF_SQL),
+    "pivot_status": (q_pivot_status, Q_PIVOT_SQL),
+    "sessionize_events": (q_sessionize_events, Q_SESSIONIZE_SQL),
+    "tumbling_window_events": (q_tumbling_window_events, Q_TUMBLING_SQL),
+}
