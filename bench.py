@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS], plus the extraction pipeline's
+pages/sec. Prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced to full materialization with the ``noop`` sink (so
+column pruning can't skip computed outputs, and no driver collect cost
+pollutes the number). Scaling evidence across two parallelism levels
+lives in scaling_bench.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from datamunging_spark.generator import corpus_to_rows, generate_corpus  # noqa: E402
+from datamunging_spark.ml_ops import ML_QUERIES  # noqa: E402
+from datamunging_spark.operators.munge import INPUT_SCHEMA, munge  # noqa: E402
+from datamunging_spark.queries import RELATIONAL_QUERIES  # noqa: E402
+from datamunging_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    # relational core
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "broadcast_part_revenue",
+    "window_topk_orders",
+    "rollup_lineitem",
+    "asof_join",
+    "sessionize_events",
+    "tumbling_window_events",
+    "range_join_bins",
+    # training-data ops
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "lang_id_stopword",
+    "token_stats",
+    "ann_cosine_topk",
+    "knn_join_topk",
+    "extract_munge",
+]
+
+ALL = {**RELATIONAL_QUERIES, **ML_QUERIES}
+
+
+def _force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    spark = get_spark(app_name="datamunging-bench")
+    sf = float(SF_DIR.rstrip("/").split("sf")[-1])
+
+    # warm the JVM once and the Python UDF workers once (worker spawn is
+    # ~200ms/core and would otherwise be billed to the first Python query)
+    _force(spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(1000))
+    warm = generate_corpus(seed=1, n_docs=64, monster_frac=0.0)
+    warm_df = spark.createDataFrame(corpus_to_rows(warm), schema=INPUT_SCHEMA)
+    _force(munge(warm_df.repartition(spark.sparkContext.defaultParallelism), spark))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = ALL[name][0]
+        t0 = time.perf_counter()
+        _force(fn(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # extraction throughput: deterministic synthetic corpus, pages/sec
+    docs = generate_corpus(seed=42, n_docs=300, monster_frac=0.05)
+    n_pages = sum(1 for _, spans in docs for s in spans if s.kind == "page")
+    vols = spark.createDataFrame(corpus_to_rows(docs), schema=INPUT_SCHEMA)
+    vols = vols.repartition(spark.sparkContext.defaultParallelism * 4, "doc_id")
+    vols.persist().count()  # materialize input so we time the munge alone
+    t0 = time.perf_counter()
+    _force(munge(vols, spark))
+    munge_s = time.perf_counter() - t0
+    timings["extraction_munge_300docs"] = round(munge_s, 3)
+    vols.unpersist()
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extraction_pages": n_pages,
+                "extraction_pages_per_sec": round(n_pages / munge_s, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

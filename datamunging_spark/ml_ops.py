@@ -1,0 +1,723 @@
+"""Training-data pipeline operators: deduplication, similarity search,
+text analytics, multimodal plumbing.
+
+These are the operations a 100 TB pretraining-data pipeline needs beyond
+the reference's OCR cascade (task brief). Everything SQL-expressible has
+a DuckDB oracle; MinHash/SimHash use Spark's xxhash64 (not reproducible
+in DuckDB) and are verified by dedicated pytest invariants instead.
+
+Scale notes (the point of each design):
+- exact dedup: one hash-shuffle on the text hash — never on raw text.
+- MinHash LSH: banding turns O(n²) similarity into an equi-join on
+  (band_id, band_hash); candidate verification happens only inside
+  buckets. All built-in exprs — no Python in the hot path.
+- brute-force ANN is the correctness baseline (broadcast the query set);
+  the LSH-bucketed variant is the scale path (prune to matching buckets).
+- multimodal: media stay opaque binary columns + typed metadata; decode
+  is an Arrow-batched mapInPandas whose real codec is stubbed (container
+  has no image libs) behind ``DECODE_AVAILABLE``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql.window import Window as W
+
+from .queries import t
+
+STOPWORDS_EN = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "value"]
+STOPWORDS_DE = ["der", "die", "das", "und", "ist", "von", "mit", "ein", "zu"]
+STOPWORDS_FR = ["le", "la", "les", "et", "de", "un", "une", "est", "pour"]
+
+
+def _tokens(col):
+    return F.array_distinct(F.split(F.lower(col), " "))
+
+
+# --------------------------------------------------------------------------
+# Exact deduplication. Input synthesizes duplicates (the testdata has
+# none): every doc with doc_id % 10 == 0 reappears under doc_id+100000.
+# Group on the text itself (Catalyst hashes it for the shuffle — at scale
+# substitute sha2(text, 256) to shrink shuffle payload; semantics equal).
+# --------------------------------------------------------------------------
+
+
+def dedup_exact(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    dupes = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return (
+        docs.unionByName(dupes)
+        .groupBy("text")
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.count("*").alias("n_copies"),
+        )
+        .where(F.col("n_copies") > 1)
+        .select("keeper", "n_copies")
+        .orderBy("keeper")
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT keeper, n_copies FROM (
+  SELECT min(doc_id) AS keeper, count(*) AS n_copies
+  FROM (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+  )
+  GROUP BY text
+) WHERE n_copies > 1 ORDER BY keeper
+"""
+
+
+# --------------------------------------------------------------------------
+# Near-dup: token-set Jaccard over same-source candidate pairs.
+# The blocking key (source) stands in for LSH bands in the SQL-checkable
+# variant; dedup_minhash_lsh below is the real scale path.
+# --------------------------------------------------------------------------
+
+
+def dedup_token_jaccard(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", _tokens(F.col("text")).alias("tk")
+    )
+    a = docs.alias("a")
+    b = docs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    jac = F.size(F.array_intersect("a.tk", "b.tk")) / F.size(
+        F.array_union("a.tk", "b.tk")
+    )
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.8)
+        .orderBy("d1", "d2")
+    )
+
+
+DEDUP_JACCARD_SQL = """
+WITH toks AS (
+  SELECT doc_id, source, list_distinct(string_split(lower(text), ' ')) AS tk
+  FROM documents
+)
+SELECT d1, d2, jaccard FROM (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         round(len(list_intersect(a.tk, b.tk))::DOUBLE
+               / len(list_distinct(list_concat(a.tk, b.tk))), 4) AS jaccard
+  FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
+) WHERE jaccard >= 0.8 ORDER BY d1, d2
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH banding (rows-only: Spark xxhash64 has no DuckDB twin;
+# correctness is pytest-verified: LSH candidates ⊇ high-Jaccard pairs,
+# and verified pairs match exact Jaccard ≥ threshold).
+# Plan shape at scale: explode shingles → ONE groupBy(doc) computing all
+# 32 min-hashes → explode 8 bands → groupBy band bucket → pairs inside
+# buckets only → exact verify on the candidates.
+# --------------------------------------------------------------------------
+
+N_HASHES = 32
+N_BANDS = 8
+ROWS_PER_BAND = N_HASHES // N_BANDS
+
+
+def _minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, m_0..m_31) — min of seeded xxhash64 over 3-word shingles.
+
+    Shuffle-free by construction: each signature is
+    ``array_min(transform(shingles, s -> xxhash64(s, k)))`` computed
+    inside the row — a pure projection, so at 10^12 docs this stage is
+    an embarrassingly parallel scan (vs. the naive explode → groupBy
+    formulation, which shuffles |docs|·|shingles| rows).
+    """
+    words = F.split(F.lower(F.col("text")), " ")
+    n = F.size(words)
+    shingles = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(0), n - 3),
+            lambda i: F.concat_ws(" ", words[i], words[i + 1], words[i + 2]),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", F.col("text"))))
+    # The repartition is a deliberate barrier with two jobs: (1) spread the
+    # hash work — a single small parquet file otherwise scans as ONE
+    # partition and the whole signature pass runs on one core; (2) stop
+    # CollapseProject from ever inlining the shingle build into all 32
+    # minhash projections.
+    par = docs.sparkSession.sparkContext.defaultParallelism * 2
+    with_sh = docs.select("doc_id", F.array_distinct(shingles).alias("sh")).repartition(par)
+    return with_sh.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform(F.col("sh"), lambda s: F.xxhash64(s, F.lit(k)))
+            ).alias(f"m_{k}")
+            for k in range(N_HASHES)
+        ],
+    )
+
+
+def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding on minhash signatures."""
+    sig = _minhash_signatures(docs)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    *[F.col(f"m_{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                ).alias("band_hash"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    exploded = sig.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", "b.band_id", "b.band_hash"
+    )
+    # One shuffle: group each LSH bucket, expand pairs inside the row
+    # (array expr, no self-join — the naive self-join computes the whole
+    # signature scan twice and O(n²) join probes; this is the standard
+    # bucket-local expansion).
+    buckets = exploded.groupBy("band_id", "band_hash").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
+    pairs = buckets.where(F.size("ids") > 1).select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size("ids")),
+                        lambda y: F.struct(x.alias("d1"), y.alias("d2")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.d1", "p.d2").distinct()
+
+
+def dedup_minhash_lsh(spark, sf_dir, threshold: float = 0.6):
+    """LSH candidates verified by exact shingle Jaccard >= threshold."""
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism * 2)
+    )
+    cands = lsh_candidate_pairs(docs)
+    words = F.split(F.lower(F.col("text")), " ")
+    n = F.size(words)
+    shingles = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(0), n - 3),
+            lambda i: F.concat_ws(" ", words[i], words[i + 1], words[i + 2]),
+        ),
+    ).otherwise(F.array(F.col("text")))
+    sh = docs.select("doc_id", F.array_distinct(shingles).alias("sh"))
+    jac = F.size(F.array_intersect("a.sh", "b.sh")) / F.size(
+        F.array_union("a.sh", "b.sh")
+    )
+    return (
+        cands.join(sh.alias("a"), cands.d1 == F.col("a.doc_id"))
+        .join(sh.alias("b"), cands.d2 == F.col("b.doc_id"))
+        .select("d1", "d2", F.round(jac, 4).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+        .orderBy("d1", "d2")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash (rows-only): 16-bit signature from signed bit-votes of token
+# hashes — all built-in exprs via explode + conditional sums.
+# --------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def simhash_docs(spark, sf_dir):
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism * 2)
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"v_{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    sig = toks.groupBy("doc_id").agg(*votes)
+    bits = sum(
+        (F.when(F.col(f"v_{b}") > 0, F.lit(2**b)).otherwise(F.lit(0)))
+        for b in range(SIMHASH_BITS)
+    )
+    return sig.select("doc_id", bits.cast("int").alias("simhash")).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Language ID: stopword-hit scoring (deterministic heuristic; the point is
+# the distributed shape — broadcast literal lists, one scan, no shuffle
+# until the final count).
+# --------------------------------------------------------------------------
+
+
+def lang_id_stopword(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    tk = _tokens(F.col("text"))
+    s_en = F.size(F.array_intersect(tk, F.array(*[F.lit(w) for w in STOPWORDS_EN])))
+    s_de = F.size(F.array_intersect(tk, F.array(*[F.lit(w) for w in STOPWORDS_DE])))
+    s_fr = F.size(F.array_intersect(tk, F.array(*[F.lit(w) for w in STOPWORDS_FR])))
+    pred = (
+        F.when((s_en >= s_de) & (s_en >= s_fr) & (s_en > 0), "en")
+        .when((s_de >= s_fr) & (s_de > 0), "de")
+        .when(s_fr > 0, "fr")
+        .otherwise("unknown")
+    )
+    return (
+        docs.select(pred.alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang_pred")
+    )
+
+
+LANG_ID_SQL = f"""
+WITH scored AS (
+  SELECT len(list_intersect(tk, {STOPWORDS_EN!r})) AS s_en,
+         len(list_intersect(tk, {STOPWORDS_DE!r})) AS s_de,
+         len(list_intersect(tk, {STOPWORDS_FR!r})) AS s_fr
+  FROM (SELECT list_distinct(string_split(lower(text), ' ')) AS tk FROM documents)
+)
+SELECT lang_pred, count(*) AS n FROM (
+  SELECT CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+              WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+              WHEN s_fr > 0 THEN 'fr'
+              ELSE 'unknown' END AS lang_pred
+  FROM scored
+) GROUP BY lang_pred ORDER BY lang_pred
+"""
+
+
+# --------------------------------------------------------------------------
+# Text quality scoring: pure column arithmetic, SQL-mirrored.
+# --------------------------------------------------------------------------
+
+
+def text_quality(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_toks = F.size(toks)
+    n_chars = F.length("text")
+    alpha_chars = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+    stop_hits = F.size(
+        F.array_intersect(
+            _tokens(F.col("text")), F.array(*[F.lit(w) for w in STOPWORDS_EN])
+        )
+    )
+    n_distinct = F.size(_tokens(F.col("text")))
+    return (
+        docs.where(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            n_toks.alias("n_tokens"),
+            F.round(alpha_chars / n_chars, 4).alias("alpha_ratio"),
+            F.round(n_distinct / n_toks, 4).alias("distinct_ratio"),
+            F.round(stop_hits / n_distinct, 4).alias("stop_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_QUALITY_SQL = f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+             / length(text), 4) AS alpha_ratio,
+       round(len(list_distinct(string_split(lower(text), ' ')))::DOUBLE
+             / len(string_split(text, ' ')), 4) AS distinct_ratio,
+       round(len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+                                {STOPWORDS_EN!r}))::DOUBLE
+             / len(list_distinct(string_split(lower(text), ' '))), 4) AS stop_ratio
+FROM documents WHERE doc_id < 200 ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Token counting (BPE-ish regex) + corpus stats.
+# --------------------------------------------------------------------------
+
+
+def token_stats(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+    per_doc = docs.select("lang", toks.alias("tk"))
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.sum(F.size("tk")).alias("total_tokens"),
+            F.round(F.avg(F.size("tk")), 4).alias("avg_tokens"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+TOKEN_STATS_SQL = """
+SELECT lang,
+       CAST(sum(len(tk)) AS BIGINT) AS total_tokens,
+       round(avg(len(tk)), 4) AS avg_tokens,
+       count(*) AS n_docs
+FROM (SELECT lang, regexp_extract_all(lower(text), '[a-z]+') AS tk FROM documents)
+GROUP BY lang ORDER BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting: md5 over whitespace-normalized lowercase text.
+# --------------------------------------------------------------------------
+
+
+def doc_fingerprint(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower("text"), "\\s+", " ")
+    return (
+        docs.where(F.col("doc_id") < 100)
+        .select("doc_id", F.md5(norm).alias("fingerprint"))
+        .orderBy("doc_id")
+    )
+
+
+DOC_FINGERPRINT_SQL = """
+SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents WHERE doc_id < 100 ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Similarity search. Deterministic 64-dim query vector (exact decimal
+# literals so Spark and DuckDB parse identical doubles).
+# --------------------------------------------------------------------------
+
+QUERY_VEC = [((i % 13) - 6) / 10.0 for i in range(64)]
+
+
+def _cosine(vec_col, qvec: list[float]):
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    v = vec_col.cast(T.ArrayType(T.DoubleType()))
+    dot = F.aggregate(
+        F.zip_with(v, q, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    nv = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    nq = F.sqrt(F.lit(float(sum(x * x for x in qvec))))
+    return dot / (nv * nq)
+
+
+def ann_cosine_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "vec_id",
+            "label",
+            F.round(_cosine(F.col("embedding"), QUERY_VEC), 4).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), "vec_id")
+        .limit(20)
+    )
+
+
+ANN_TOPK_SQL = f"""
+SELECT vec_id, label,
+       round(list_dot_product(embedding::DOUBLE[], {QUERY_VEC!r})
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt({sum(x * x for x in QUERY_VEC)!r})), 4) AS cos
+FROM embeddings
+ORDER BY cos DESC, vec_id LIMIT 20
+"""
+
+# 4 deterministic hyperplanes for the LSH-bucketed scale path.
+HYPERPLANES = [[(((i * (j + 2) + 3) % 7) - 3) / 5.0 for i in range(64)] for j in range(4)]
+
+
+def ann_lsh_buckets(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast(T.ArrayType(T.DoubleType()))
+    bucket = sum(
+        (
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        v,
+                        F.array(*[F.lit(float(x)) for x in HYPERPLANES[j]]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                > 0,
+                F.lit(2**j),
+            ).otherwise(F.lit(0))
+        )
+        for j in range(4)
+    )
+    return (
+        emb.select(bucket.cast("int").alias("bucket"), "label")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), F.round(F.avg("label"), 4).alias("avg_label"))
+        .orderBy("bucket")
+    )
+
+
+ANN_LSH_SQL = f"""
+SELECT bucket, count(*) AS n, round(avg(label), 4) AS avg_label
+FROM (
+  SELECT CAST(
+      (CASE WHEN list_dot_product(embedding::DOUBLE[], {HYPERPLANES[0]!r}) > 0 THEN 1 ELSE 0 END)
+    + (CASE WHEN list_dot_product(embedding::DOUBLE[], {HYPERPLANES[1]!r}) > 0 THEN 2 ELSE 0 END)
+    + (CASE WHEN list_dot_product(embedding::DOUBLE[], {HYPERPLANES[2]!r}) > 0 THEN 4 ELSE 0 END)
+    + (CASE WHEN list_dot_product(embedding::DOUBLE[], {HYPERPLANES[3]!r}) > 0 THEN 8 ELSE 0 END)
+    AS INT) AS bucket, label
+  FROM embeddings
+) GROUP BY bucket ORDER BY bucket
+"""
+
+
+def knn_join_topk(spark, sf_dir):
+    """For each query vector (vec_id < 5), its 3 nearest others by cosine.
+
+    Broadcast the tiny query side; at scale this is the standard
+    brute-force kNN join shape (block the big side, broadcast queries).
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast(T.ArrayType(T.DoubleType())).alias("q_vec"),
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").cast(T.ArrayType(T.DoubleType())).alias("c_vec"),
+    )
+    dot = F.aggregate(
+        F.zip_with("q_vec", "c_vec", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    nq = F.sqrt(F.aggregate("q_vec", F.lit(0.0), lambda a, x: a + x * x))
+    nc = F.sqrt(F.aggregate("c_vec", F.lit(0.0), lambda a, x: a + x * x))
+    scored = (
+        cand.join(F.broadcast(qs), F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", (dot / (nq * nc)).alias("cos_raw"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_raw"), "c_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "q_id",
+            "c_id",
+            F.round("cos_raw", 4).alias("cos"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+        .orderBy("q_id", "rk")
+    )
+
+
+KNN_JOIN_SQL = """
+SELECT q_id, c_id, round(cos_raw, 4) AS cos, CAST(rk AS INT) AS rk
+FROM (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS cos_raw,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                                     / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                                        * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) DESC,
+                            c.vec_id) AS rk
+  FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id != q.vec_id
+)
+WHERE rk <= 3 ORDER BY q_id, rk
+"""
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing (rows-only): opaque binary media + typed metadata;
+# decode/feature-extract as an Arrow-batched mapInPandas. The real codec
+# is unavailable in this container — DECODE_AVAILABLE gates it and the
+# deterministic fallback keeps schema/partitioning/batch shape real.
+# --------------------------------------------------------------------------
+
+try:  # pragma: no cover - not present in this container
+    import PIL.Image  # noqa: F401
+
+    DECODE_AVAILABLE = True
+except Exception:
+    DECODE_AVAILABLE = False
+
+MEDIA_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media_kind", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("checksum", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def _decode_real(payload: bytes):  # pragma: no cover
+    raise NotImplementedError(
+        "real image decode needs PIL/cv2 (absent in this container); "
+        "the deterministic fake below keeps the Spark plumbing honest"
+    )
+
+
+def _media_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        payloads = pdf["payload"]
+        n_bytes = payloads.map(len)
+        checksum = payloads.map(lambda b: sum(b[:64]) % 65536)
+        if DECODE_AVAILABLE:  # pragma: no cover
+            decoded = payloads.map(_decode_real)
+            width = decoded.map(lambda d: d[0])
+            height = decoded.map(lambda d: d[1])
+        else:
+            # deterministic fake dims derived from content
+            width = (checksum % 640 + 1).astype("int32")
+            height = (n_bytes % 480 + 1).astype("int32")
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "media_kind": pdf["media_kind"],
+                "n_bytes": n_bytes.astype("int64"),
+                "checksum": checksum.astype("int64"),
+                "width": width.astype("int32"),
+                "height": height.astype("int32"),
+            }
+        )
+
+
+def multimodal_features(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    media = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_kind"),
+        F.encode("text", "utf-8").alias("payload"),  # opaque binary stand-in
+    )
+    return (
+        media.repartition(8, "doc_id")
+        .mapInPandas(_media_features, schema=MEDIA_FEATURES_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Flagship extraction query: documents → interleaved spans table → the
+# full munge cascade. rows-only for the driver (the cascade is not SQL);
+# correctness is pytest's oracle equality.
+# --------------------------------------------------------------------------
+
+
+def extract_munge(spark, sf_dir):
+    from .operators.munge import munge
+
+    # Repartition the RAW docs (thin rows: just text) so the span
+    # construction and the Python munge fuse into one parallel stage;
+    # repartitioning after construction would ship the fat span arrays
+    # through the shuffle and leave construction single-core (a small
+    # parquet file scans as one partition).
+    docs = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism * 2
+    )
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    # deterministic pagination: 3 pages of ~n/3 words, newline every 8 words
+    third = (n / 3).cast("int") + 1
+
+    def page(i):
+        seg = F.slice(words, i * third + 1, third)
+        lines = F.transform(
+            F.sequence(F.lit(0), ((F.size(seg) - 1) / 8).cast("int")),
+            lambda j: F.concat_ws(" ", F.slice(seg, j * 8 + 1, 8)),
+        )
+        return F.concat_ws("\n", lines)
+
+    spans = F.array(
+        F.struct(
+            F.lit("page").alias("kind"),
+            page(0).alias("text"),
+            F.lit("").alias("media_ref"),
+            F.lit(0).cast("int").alias("offset"),
+        ),
+        F.struct(
+            F.lit("image").alias("kind"),
+            F.lit("").alias("text"),
+            F.concat(F.lit("media/"), F.col("doc_id").cast("string")).alias(
+                "media_ref"
+            ),
+            F.lit(1).cast("int").alias("offset"),
+        ),
+        F.struct(
+            F.lit("page").alias("kind"),
+            page(1).alias("text"),
+            F.lit("").alias("media_ref"),
+            F.lit(2).cast("int").alias("offset"),
+        ),
+        F.struct(
+            F.lit("page").alias("kind"),
+            page(2).alias("text"),
+            F.lit("").alias("media_ref"),
+            F.lit(3).cast("int").alias("offset"),
+        ),
+    )
+    vols = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"), spans.alias("spans")
+    )
+    out = munge(vols, spark)
+    return out.select(
+        "doc_id", "pages", "tokens_total", "tokens_in_dict", "tokens_corrected"
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Catalog
+# --------------------------------------------------------------------------
+
+ML_QUERIES: dict[str, tuple] = {
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_token_jaccard": (dedup_token_jaccard, DEDUP_JACCARD_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, None),
+    "dedup_simhash": (simhash_docs, None),
+    "lang_id_stopword": (lang_id_stopword, LANG_ID_SQL),
+    "text_quality": (text_quality, TEXT_QUALITY_SQL),
+    "token_stats": (token_stats, TOKEN_STATS_SQL),
+    "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
+    "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
+    "ann_lsh_buckets": (ann_lsh_buckets, ANN_LSH_SQL),
+    "knn_join_topk": (knn_join_topk, KNN_JOIN_SQL),
+    "multimodal_features": (multimodal_features, None),
+    "extract_munge": (extract_munge, None),
+}
