@@ -96,7 +96,13 @@ def _body_line(rng: random.Random) -> str:
     return " ".join(words)
 
 
-def _page_text(rng: random.Random, title: str, page_no: int, with_header: bool) -> str:
+def _page_text(
+    rng: random.Random,
+    title: str,
+    page_no: int,
+    with_header: bool,
+    body_lines: tuple[int, int] = (30, 45),
+) -> str:
     lines: list[str] = []
     if with_header:
         # fuzzily perturbed running header: page number, case jitter
@@ -106,7 +112,9 @@ def _page_text(rng: random.Random, title: str, page_no: int, with_header: bool) 
         if rng.random() < 0.2:
             hdr = hdr.lower()
         lines.append(hdr)
-    n_body = rng.randint(4, 9)
+    # realistic printed-page density (~30-45 lines/page like the
+    # reference's HathiTrust OCR pages), overridable for small fixtures
+    n_body = rng.randint(*body_lines)
     for _ in range(n_body):
         lines.append(_body_line(rng))
     # hyphen split across two adjacent lines
@@ -124,7 +132,12 @@ def _page_text(rng: random.Random, title: str, page_no: int, with_header: bool) 
     return "\n".join(lines)
 
 
-def make_volume(rng: random.Random, doc_idx: int, monster: bool) -> tuple[str, list[Span]]:
+def make_volume(
+    rng: random.Random,
+    doc_idx: int,
+    monster: bool,
+    body_lines: tuple[int, int] = (30, 45),
+) -> tuple[str, list[Span]]:
     doc_id = f"mdp.3901{doc_idx:010d}"
     n_spans = rng.randint(50, 200) if monster else rng.randint(3, 10)
     title = rng.choice(HEADER_TITLES)
@@ -137,17 +150,24 @@ def make_volume(rng: random.Random, doc_idx: int, monster: bool) -> tuple[str, l
             spans.append(Span(kind, "", f"{doc_id}/media/{off:05d}.bin", off))
         else:
             page_no += 1
-            spans.append(Span("page", _page_text(rng, title, page_no, headered), "", off))
+            spans.append(
+                Span("page", _page_text(rng, title, page_no, headered, body_lines), "", off)
+            )
     return doc_id, spans
 
 
-def generate_corpus(seed: int = 42, n_docs: int = 30, monster_frac: float = 0.1):
+def generate_corpus(
+    seed: int = 42,
+    n_docs: int = 30,
+    monster_frac: float = 0.1,
+    body_lines: tuple[int, int] = (30, 45),
+):
     """Returns list[(doc_id, list[Span])], deterministic in (seed, n_docs)."""
     rng = random.Random(seed)
     docs = []
     n_monsters = max(1, int(n_docs * monster_frac))
     for i in range(n_docs):
-        docs.append(make_volume(rng, i, monster=(i < n_monsters)))
+        docs.append(make_volume(rng, i, monster=(i < n_monsters), body_lines=body_lines))
     return docs
 
 

@@ -32,18 +32,18 @@ from ..rulesets.loader import PUNCT, Rulesets
 
 SPAN_STRUCT = T.StructType(
     [
-        T.StructField("kind", T.StringType(), False),
-        T.StructField("text", T.StringType(), False),
-        T.StructField("media_ref", T.StringType(), False),
-        T.StructField("offset", T.IntegerType(), False),
+        T.StructField("kind", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("media_ref", T.StringType(), True),
+        T.StructField("offset", T.IntegerType(), True),
     ]
 )
 SPANS_TYPE = T.ArrayType(SPAN_STRUCT)
 
 INPUT_SCHEMA = T.StructType(
     [
-        T.StructField("doc_id", T.StringType(), False),
-        T.StructField("spans", SPANS_TYPE, False),
+        T.StructField("doc_id", T.StringType(), True),
+        T.StructField("spans", SPANS_TYPE, True),
     ]
 )
 
@@ -58,10 +58,10 @@ METRIC_FIELDS = [
 
 OUTPUT_SCHEMA = T.StructType(
     list(INPUT_SCHEMA.fields)
-    + [T.StructField(f, T.LongType(), False) for f in METRIC_FIELDS]
+    + [T.StructField(f, T.LongType(), True) for f in METRIC_FIELDS]
     # wall-clock microseconds spent munging this doc (lineage/skew telemetry;
     # not part of the oracle metric contract)
-    + [T.StructField("munge_us", T.LongType(), False)]
+    + [T.StructField("munge_us", T.LongType(), True)]
 )
 
 _PUNCT_RE = re.escape(PUNCT)
@@ -242,32 +242,81 @@ class _Munger:
         return out, m
 
 
-def make_munge_map(rulesets_bc):
-    """Returns the mapInPandas function (doc_id, spans) -> OUTPUT_SCHEMA."""
+def make_munge_arrow(rulesets_bc):
+    """Returns the mapInArrow function (doc_id, spans) -> OUTPUT_SCHEMA.
 
-    def munge_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    mapInArrow instead of mapInPandas: pandas conversion of a
+    ``list<struct>`` column materializes one Python dict PER SPAN on both
+    directions, which is memory-bandwidth-bound and anti-scales past ~8
+    cores. Reading the flat Arrow child arrays (kind/text/media_ref/
+    offset) and rebuilding the ListArray directly skips all of that; the
+    only Python objects created are the strings the cascade needs anyway.
+    """
+    import pyarrow as pa
+
+    def munge_arrow(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         munger = _Munger(rulesets_bc.value)
-        for pdf in batches:
-            if len(pdf) == 0:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            new_spans = []
+            doc_ids = batch.column(0)
+            spans_col = batch.column(1)
+            if isinstance(spans_col, pa.ChunkedArray):  # pragma: no cover
+                spans_col = spans_col.combine_chunks()
+            offsets = spans_col.offsets.to_pylist()
+            flat = spans_col.values
+            kinds = flat.field("kind").to_pylist()
+            texts = flat.field("text").to_pylist()
+            refs = flat.field("media_ref").to_pylist()
+            offs = flat.field("offset").to_pylist()
+
+            # offsets are ABSOLUTE positions into the full child array
+            # (a sliced ListArray keeps them absolute), so index flat
+            # lists directly and rebuild the list with the same offsets.
+            new_texts: list[str] = list(texts)
             metric_cols: dict[str, list[int]] = {f: [] for f in METRIC_FIELDS}
             timings: list[int] = []
-            for spans in pdf["spans"]:
-                # Arrow hands struct arrays as list[dict]
+            for r in range(batch.num_rows):
+                lo, hi = offsets[r], offsets[r + 1]
+                spans = [
+                    {
+                        "kind": kinds[i],
+                        "text": texts[i],
+                        "media_ref": refs[i],
+                        "offset": offs[i],
+                    }
+                    for i in range(lo, hi)
+                ]
                 t0 = time.monotonic()
-                out, m = munger.munge_doc(list(spans))
+                out, m = munger.munge_doc(spans)
                 timings.append(int((time.monotonic() - t0) * 1e6))
-                new_spans.append(out)
+                for i, s in zip(range(lo, hi), out):
+                    new_texts[i] = s["text"]
                 for f in METRIC_FIELDS:
                     metric_cols[f].append(m[f])
-            res = pd.DataFrame({"doc_id": pdf["doc_id"].values, "spans": new_spans})
-            for f in METRIC_FIELDS:
-                res[f] = pd.Series(metric_cols[f], dtype="int64")
-            res["munge_us"] = pd.Series(timings, dtype="int64")
-            yield res
 
-    return munge_map
+            struct_arr = pa.StructArray.from_arrays(
+                [
+                    flat.field("kind"),
+                    pa.array(new_texts, type=pa.string()),
+                    flat.field("media_ref"),
+                    flat.field("offset"),
+                ],
+                names=["kind", "text", "media_ref", "offset"],
+            )
+            spans_out = pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()), struct_arr
+            )
+            arrays = [doc_ids, spans_out]
+            names = ["doc_id", "spans"]
+            for f in METRIC_FIELDS:
+                arrays.append(pa.array(metric_cols[f], type=pa.int64()))
+                names.append(f)
+            arrays.append(pa.array(timings, type=pa.int64()))
+            names.append("munge_us")
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return munge_arrow
 
 
 def munge(df, spark, rulesets_bc=None):
@@ -275,4 +324,4 @@ def munge(df, spark, rulesets_bc=None):
     from ..rulesets.loader import broadcast_rulesets
 
     bc = rulesets_bc or broadcast_rulesets(spark)
-    return df.mapInPandas(make_munge_map(bc), schema=OUTPUT_SCHEMA)
+    return df.mapInArrow(make_munge_arrow(bc), schema=OUTPUT_SCHEMA)

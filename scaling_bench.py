@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence (BASELINE.json:14: ">=0.8 from N to 4N
+executors"). No real cluster exists in this sandbox, so per the driver
+instruction we run the IDENTICAL munge job at two parallelism levels —
+local[8] and local[32] (N and 4N cores) — on the same input, and report
+throughput at both plus efficiency = (T_4N/T_N)/4.
+
+Protocol:
+- the input corpus (realistic ~35-line OCR pages, seed=42) is written to
+  parquet ONCE; both levels read the same files — exactly how the
+  production pipeline consumes its spans table (a columnar scan; feeding
+  the Python stage from cached row objects serializes on JVM row→Arrow
+  conversion and was the original scaling bug);
+- each level runs in a fresh subprocess (own JVM), does a full-width
+  Python-worker warmup, then times the munge pass; best of REPEATS.
+
+Results are appended to BENCH/BASELINE.md and printed as one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+N_DOCS = int(os.environ.get("SCALING_N_DOCS", "3000"))
+REPEATS = int(os.environ.get("SCALING_REPEATS", "2"))
+DATA = Path(os.environ.get("SCALING_DATA_DIR", f"/tmp/scaling_vols_{N_DOCS}"))
+
+GEN = r"""
+import json, sys
+sys.path.insert(0, {repo!r})
+from datamunging_spark.session import get_spark
+from datamunging_spark.generator import corpus_to_rows, generate_corpus
+from datamunging_spark.operators.munge import INPUT_SCHEMA
+n_docs = int(sys.argv[1]); out = sys.argv[2]
+spark = get_spark(app_name="scaling-gen", master="local[32]")
+docs = generate_corpus(seed=42, n_docs=n_docs, monster_frac=0.05)
+n_pages = sum(1 for _, spans in docs for s in spans if s.kind == "page")
+vols = spark.createDataFrame(corpus_to_rows(docs), schema=INPUT_SCHEMA)
+vols.repartition(128, "doc_id").write.mode("overwrite").parquet(out)
+print(json.dumps({{"pages": n_pages}}))
+spark.stop()
+"""
+
+CHILD = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from datamunging_spark.session import get_spark
+from datamunging_spark.operators.munge import munge
+cores = int(sys.argv[1]); data = sys.argv[2]
+spark = get_spark(app_name=f"scaling-{{cores}}", master=f"local[{{cores}}]",
+                  shuffle_partitions=cores)
+vols = spark.read.parquet(data)
+# full-width warmup: spawn every Python worker once
+munge(vols, spark).write.mode("overwrite").format("noop").save()
+t0 = time.perf_counter()
+munge(vols, spark).write.mode("overwrite").format("noop").save()
+print(json.dumps({{"cores": cores, "wall_s": time.perf_counter() - t0}}))
+spark.stop()
+"""
+
+
+def _run(code: str, *args: str, cores: int | None = None) -> dict:
+    cmd = [sys.executable, "-c", code.format(repo=str(REPO)), *args]
+    if cores is not None:
+        # Pin the whole process tree (JVM + Python workers) to exactly
+        # `cores` CPUs: an honest N-core executor, not "N task threads
+        # free-riding on a 32-core host for GC/Arrow/Python work".
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, check=True, cwd=str(REPO)
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def run_level(cores: int) -> dict:
+    best = None
+    for _ in range(REPEATS):
+        res = _run(CHILD, str(cores), str(DATA), cores=cores)
+        if best is None or res["wall_s"] < best["wall_s"]:
+            best = res
+    return best
+
+
+def main() -> None:
+    if not (DATA / "_SUCCESS").exists():
+        meta = _run(GEN, str(N_DOCS), str(DATA))
+        (DATA / "_meta.json").write_text(json.dumps(meta))
+    pages = json.loads((DATA / "_meta.json").read_text())["pages"]
+
+    r8 = run_level(8)
+    r32 = run_level(32)
+    t8, t32 = pages / r8["wall_s"], pages / r32["wall_s"]
+    speedup = t32 / t8
+    eff = speedup / 4.0
+    result = {
+        "n_docs": N_DOCS,
+        "pages": pages,
+        "local8_wall_s": round(r8["wall_s"], 3),
+        "local8_pages_per_sec": round(t8, 1),
+        "local32_wall_s": round(r32["wall_s"], 3),
+        "local32_pages_per_sec": round(t32, 1),
+        "speedup_8_to_32": round(speedup, 3),
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "meets_target": eff >= 0.8,
+    }
+    md = REPO / "BENCH" / "BASELINE.md"
+    md.parent.mkdir(exist_ok=True)
+    lines = [
+        "",
+        f"## Scaling run ({N_DOCS} docs, {pages} pages, seed=42, parquet input)",
+        "",
+        "| cores | wall (s) | pages/sec |",
+        "|---|---|---|",
+        f"| local[8]  (N)  | {result['local8_wall_s']} | {result['local8_pages_per_sec']} |",
+        f"| local[32] (4N) | {result['local32_wall_s']} | {result['local32_pages_per_sec']} |",
+        "",
+        f"Speedup 8→32: **{result['speedup_8_to_32']}×**, scaling efficiency "
+        f"(speedup/4): **{result['scaling_efficiency']}** "
+        f"(target ≥ 0.8 → {'MET' if result['meets_target'] else 'NOT MET'})",
+        "",
+    ]
+    with open(md, "a") as f:
+        f.write("\n".join(lines))
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
