@@ -1,0 +1,171 @@
+"""Structured Streaming surface.
+
+The north rule is batch-with-checkpointing (the reference is batch
+scripts — SURVEY.md §2.2), but the engine exposes the streaming shapes a
+continuous ingest of the same data would need:
+
+- windowed aggregation with a watermark (late-data tolerant counts over
+  the events stream);
+- stateful sessionization via ``applyInPandasWithState`` (the custom
+  stateful operator path);
+- streaming munge ingest: ``foreachBatch`` feeding the SAME batch munge
+  operator + append sink, so a continuously-arriving spans table is
+  processed incrementally with exactly-once per micro-batch (checkpoint
+  = Spark's streaming offsets + our output-table dedupe).
+
+All jobs are testable offline: file source + ``availableNow`` trigger
+drains the input deterministically.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over a directory of events parquet files."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+
+
+def windowed_event_counts(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour windows per event_type, 2-hour watermark for late
+    rows; append-mode compatible (window closes when watermark passes)."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            F.round("total", 4).alias("total"),
+        )
+    )
+
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+SESSION_GAP_S = 1800
+
+
+def _sessionize(key, pdfs, state):
+    """applyInPandasWithState fn: emit a session row when the 30-min gap
+    timeout fires; otherwise fold the batch into state."""
+    import datetime
+
+    (user_id,) = key
+    if state.hasTimedOut:
+        start_us, last_us, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start": [datetime.datetime.utcfromtimestamp(start_us / 1e6)],
+                "session_end": [datetime.datetime.utcfromtimestamp(last_us / 1e6)],
+                "n_events": [n],
+            }
+        )
+        return
+    rows = pd.concat(list(pdfs))
+    ts_us = (rows["ts"].astype("int64") // 1000).sort_values()
+    if state.exists:
+        start_us, last_us, n = state.get
+    else:
+        start_us, last_us, n = int(ts_us.iloc[0]), int(ts_us.iloc[0]), 0
+    for t_us in ts_us:
+        if t_us - last_us > SESSION_GAP_S * 1_000_000:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [
+                        datetime.datetime.utcfromtimestamp(start_us / 1e6)
+                    ],
+                    "session_end": [datetime.datetime.utcfromtimestamp(last_us / 1e6)],
+                    "n_events": [n],
+                }
+            )
+            start_us, n = int(t_us), 0
+        last_us = int(t_us)
+        n += 1
+    state.update((start_us, last_us, n))
+    state.setTimeoutTimestamp(last_us // 1000 + SESSION_GAP_S * 1000)
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: gap-based sessions per user."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
+    )
+
+
+def run_streaming_munge(
+    spark: SparkSession,
+    spans_dir: str,
+    output_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Incremental munge ingest: each micro-batch of newly-arrived span
+    documents goes through the SAME batch operator and is appended to the
+    same output table the batch pipeline uses. Spark's streaming
+    checkpoint gives at-least-once per file; the output table's
+    dedupe-on-read (pipeline.read_output) upgrades it to effectively
+    exactly-once."""
+    from ..operators.munge import INPUT_SCHEMA, munge
+
+    stream = (
+        spark.readStream.schema(INPUT_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(spans_dir)
+    )
+
+    def process_batch(df: DataFrame, epoch_id: int) -> None:
+        out = munge(df, spark).withColumn("run_id", F.lit(f"stream-{epoch_id}"))
+        out = out.withColumn("partition_id", F.spark_partition_id())
+        out.write.mode("append").parquet(output_path)
+
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

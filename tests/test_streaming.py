@@ -1,0 +1,136 @@
+"""Structured Streaming: windowed agg with watermark, stateful
+sessionization, and the incremental munge ingest — all driven offline
+with file sources + availableNow."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from datamunging_spark.generator import corpus_to_rows, generate_corpus
+from datamunging_spark.operators.munge import INPUT_SCHEMA
+from datamunging_spark.pipeline import read_output, run_pipeline
+from datamunging_spark.streaming.jobs import (
+    read_events_stream,
+    run_streaming_munge,
+    sessionize_stream,
+    windowed_event_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Split the events table into several files so the file source has
+    multiple micro-batches to trigger on."""
+    out = str(tmp_path_factory.mktemp("stream") / "events")
+    # chronological ARRIVAL: the file source orders micro-batches by file
+    # modification time, so write each time-quartile sequentially and
+    # force increasing mtimes — otherwise the watermark may advance past
+    # windows whose rows haven't arrived (correct streaming semantics,
+    # wrong fixture).
+    import glob
+    import os
+    import time as _time
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = ev.withColumn("_us", F.unix_micros(F.col("ts").cast("timestamp")))
+    bounds_us = ev.approxQuantile("_us", [0.25, 0.5, 0.75], 0.0)
+    bounds = [int(b) for b in bounds_us]
+    base = _time.time() - 1000
+    lo = None
+    seen: set[str] = set()
+    for i, hi in enumerate([*bounds, None]):
+        part = ev
+        if lo is not None:
+            part = part.where(F.col("_us") > lo)
+        if hi is not None:
+            part = part.where(F.col("_us") <= hi)
+        part.drop("_us").coalesce(1).write.mode("append").parquet(out)
+        new = set(glob.glob(f"{out}/part-*.parquet")) - seen
+        for f in new:
+            os.utime(f, (base + i * 10, base + i * 10))
+        seen |= new
+        lo = hi
+    return out
+
+
+def _drain(df, name, mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def test_windowed_counts_match_batch(spark, sf_dir, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    _drain(windowed_event_counts(stream), "win_counts")
+    got = spark.sql("SELECT * FROM win_counts")
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = (
+        batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            F.round("total", 4).alias("total"),
+        )
+    )
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    # availableNow + watermark: every window the stream emitted must be
+    # correct, and all but the trailing (still-open) windows must appear.
+    assert g <= w
+    assert len(g) >= len(w) - 8 * len(
+        batch.select("event_type").distinct().collect()
+    )
+
+
+def test_sessionize_stream_emits_valid_sessions(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    _drain(sessionize_stream(stream), "sessions")
+    rows = spark.sql("SELECT * FROM sessions").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.session_end >= r.session_start
+        assert r.n_events >= 1
+
+
+def test_streaming_munge_matches_batch_pipeline(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("smunge")
+    spans_dir = str(base / "spans")
+    out_stream = str(base / "out_stream")
+    out_batch = str(base / "out_batch")
+    ckpt = str(base / "ckpt")
+
+    docs = generate_corpus(seed=11, n_docs=12, body_lines=(6, 10))
+    df = spark.createDataFrame(corpus_to_rows(docs), schema=INPUT_SCHEMA)
+    df.repartition(6).write.parquet(spans_dir)
+
+    run_streaming_munge(spark, spans_dir, out_stream, ckpt)
+    run_pipeline(spark, df, out_batch, run_id="b", partitions=6)
+
+    got = {
+        r.doc_id: [tuple(s) for s in r.spans]
+        for r in read_output(spark, out_stream).collect()
+    }
+    want = {
+        r.doc_id: [tuple(s) for s in r.spans]
+        for r in read_output(spark, out_batch).collect()
+    }
+    assert got == want
+
+    # restart with same checkpoint: no new files -> no duplicates
+    run_streaming_munge(spark, spans_dir, out_stream, ckpt)
+    raw = spark.read.parquet(out_stream)
+    assert raw.count() == raw.select("doc_id").distinct().count()
+    shutil.rmtree(ckpt, ignore_errors=True)
