@@ -1,0 +1,99 @@
+"""Physical-plan quality gates: at 100 TB these properties are the
+difference between a working job and a dead one, so they are asserted,
+not hoped for. Each test pins a plan property the corresponding query
+relies on (filter pushdown into parquet, column pruning, map-side
+partial aggregation, broadcast of small dims, exactly-one-Python-stage
+in the munge pipeline, no Exchange in per-row scoring ops)."""
+
+from __future__ import annotations
+
+import pytest
+
+from datamunging_spark.generator import corpus_to_rows, generate_corpus
+from datamunging_spark.ml_ops import (
+    _minhash_signatures,
+    ann_cosine_topk,
+    text_quality,
+)
+from datamunging_spark.operators.munge import INPUT_SCHEMA, munge
+from datamunging_spark.queries import (
+    RELATIONAL_QUERIES,
+    q1_pricing_summary,
+    q5_region_revenue,
+    t,
+)
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_pushdown_pruning_partial_agg(spark, sf_dir):
+    plan = plan_of(q1_pricing_summary(spark, sf_dir))
+    # filter reaches the parquet scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: unneeded columns are absent from the scan schema
+    assert "l_orderkey" not in plan.split("ReadSchema")[1]
+    # map-side combine before the shuffle
+    assert "partial_sum" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q5_broadcasts_small_dims(spark, sf_dir):
+    plan = plan_of(q5_region_revenue(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastExchange" in plan
+    # region filter pushed to its scan
+    assert "EqualTo(r_name,ASIA)" in plan
+
+
+def test_semi_anti_join_strategies(spark, sf_dir):
+    semi = plan_of(RELATIONAL_QUERIES["semi_customers_with_urgent"][0](spark, sf_dir))
+    anti = plan_of(
+        RELATIONAL_QUERIES["anti_customers_without_orders"][0](spark, sf_dir)
+    )
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    plan = plan_of(RELATIONAL_QUERIES["topk_parts"][0](spark, sf_dir))
+    # ORDER BY + LIMIT must compile to TakeOrdered, not global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_scoring_ops_have_no_exchange(spark, sf_dir):
+    """Per-row scoring (text quality, cosine top-k before the final
+    take) must be shuffle-free scans."""
+    tq = plan_of(text_quality(spark, sf_dir))
+    # sort for deterministic output is fine; no hash/range exchange
+    # before the projection happens — the scan feeds the project directly
+    assert "FileScan parquet" in tq
+    ann = plan_of(ann_cosine_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in ann  # top-k, not global sort
+
+
+def test_minhash_signature_stage_is_projection(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = plan_of(_minhash_signatures(docs))
+    # exactly the one deliberate repartition exchange; no aggregate
+    assert plan.count("Exchange") == 1
+    assert "HashAggregate" not in plan
+
+
+def test_munge_pipeline_single_python_stage(spark):
+    rows = corpus_to_rows(generate_corpus(seed=5, n_docs=5, body_lines=(4, 6)))
+    df = spark.createDataFrame(rows, schema=INPUT_SCHEMA)
+    plan = plan_of(munge(df.repartition(4, "doc_id"), spark))
+    # ONE JVM<->Python crossing for the whole cascade
+    assert plan.count("MapInArrow") == 1
+    assert "EvalPython" not in plan  # no row-at-a-time Python
+
+
+def test_json_and_window_plans(spark, sf_dir):
+    js = plan_of(RELATIONAL_QUERIES["json_extract"][0](spark, sf_dir))
+    assert "partial_" in js  # partial agg before shuffle
+    win = plan_of(RELATIONAL_QUERIES["window_topk_orders"][0](spark, sf_dir))
+    assert "Window" in win
+    # rank filter evaluated right after the window, no extra shuffle after
+    assert win.count("Exchange") <= 2
