@@ -72,8 +72,12 @@ _ALNUM_ONLY_RE = re.compile(r"[^0-9A-Za-z]+")
 
 
 def _split_token(tok: str) -> tuple[str, str, str]:
-    m = _TOKEN_SPLIT_RE.match(tok)
-    return m.group(1), m.group(2), m.group(3)
+    # lstrip/rstrip with a char-set == maximal punctuation runs (C-speed;
+    # ~4x the regex this replaced — see git history)
+    body = tok.lstrip(PUNCT)
+    pre = tok[: len(tok) - len(body)]
+    core = body.rstrip(PUNCT)
+    return pre, core, body[len(core) :]
 
 
 def _case_like(orig: str, repl: str) -> str:
@@ -94,6 +98,15 @@ class _Munger:
         # header-normalization: lowercase → kill digits → non-alnum → space
         self._roman = rs.roman_numerals
         self._dict = rs.main_dictionary
+        # fast path: dictionary words that no rule table can touch — the
+        # overwhelming majority of tokens in real text skip the cascade
+        self._hot_skip = frozenset(
+            rs.main_dictionary
+            - set(rs.syncope_rules)
+            - set(rs.correction_rules)
+            - set(rs.variant_spellings)
+            - set(rs.context_rules)
+        )
 
     # ---- R3 -------------------------------------------------------------
     def _header_key(self, line: str) -> frozenset[str]:
@@ -159,7 +172,13 @@ class _Munger:
         rs = self.rs
         toks = line.split()
         out: list[str] = []
+        hot = self._hot_skip
         for i, tok in enumerate(toks):
+            if tok.isalpha() and tok.lower() in hot:
+                m["tokens_total"] += 1
+                m["tokens_in_dict"] += 1
+                out.append(tok)
+                continue
             pre, core, suf = _split_token(tok)
             if not core:
                 out.append(tok)
