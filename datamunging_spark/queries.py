@@ -860,3 +860,246 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "sessionize_events": (q_sessionize_events, Q_SESSIONIZE_SQL),
     "tumbling_window_events": (q_tumbling_window_events, Q_TUMBLING_SQL),
 }
+
+
+# --------------------------------------------------------------------------
+# Second wave: subqueries, explode/lateral, statistical aggregates,
+# percentiles, listagg, conditional aggregation, null-safe semantics.
+# --------------------------------------------------------------------------
+
+
+def q_scalar_subquery(spark, sf_dir):
+    """Customers with above-average account balance (scalar subquery)."""
+    cust = t(spark, sf_dir, "customer")
+    avg_bal = cust.agg(F.avg("c_acctbal").alias("a"))
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("a"))
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"), F.round(F.min("c_acctbal"), 4).alias("min_bal"))
+        .orderBy("c_mktsegment")
+    )
+
+
+Q_SCALAR_SUBQ_SQL = """
+SELECT c_mktsegment, count(*) AS n, round(min(c_acctbal), 4) AS min_bal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def q_correlated_subquery(spark, sf_dir):
+    """Orders above their customer's average order value (correlated
+    subquery == window-average comparison, the shuffle-optimal form)."""
+    orders = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey")
+    return (
+        orders.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        .where(F.col("o_totalprice") > F.col("cust_avg") * 1.5)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("price"))
+        .orderBy("o_orderkey")
+    )
+
+
+Q_CORRELATED_SQL = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS price
+FROM (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+  FROM orders
+) WHERE o_totalprice > cust_avg * 1.5
+ORDER BY o_orderkey
+"""
+
+
+def q_explode_word_counts(spark, sf_dir):
+    """Lateral explode: global top-25 words over documents."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(25)
+    )
+
+
+Q_EXPLODE_SQL = """
+SELECT word, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+GROUP BY word ORDER BY n DESC, word LIMIT 25
+"""
+
+
+def q_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per order status."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+Q_PERCENTILES_SQL = """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4)  AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def q_stats_aggregates(spark, sf_dir):
+    """Statistical aggregate surface: stddev/variance/corr/covar."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qp"),
+            F.round(F.covar_samp("l_discount", "l_tax"), 4).alias("cov_dt"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+Q_STATS_SQL = """
+SELECT l_linestatus,
+       round(stddev_samp(l_extendedprice), 4) AS sd_price,
+       round(var_samp(l_quantity), 4)         AS var_qty,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+       round(covar_samp(l_discount, l_tax), 4)     AS cov_dt
+FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+def q_listagg(spark, sf_dir):
+    """Ordered string aggregation (listagg/string_agg)."""
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations")
+        )
+        .orderBy("r_name")
+    )
+
+
+Q_LISTAGG_SQL = """
+SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+def q_conditional_agg(spark, sf_dir):
+    """FILTER / count_if / bool aggregates."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.when(F.col("o_totalprice") > 200000, 1)).alias("n_big"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_f"),
+            F.max((F.col("o_totalprice") > 400000).cast("boolean")).alias("any_huge"),
+            F.min((F.col("o_totalprice") > 0).cast("boolean")).alias("all_positive"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q_CONDITIONAL_SQL = """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+       count(*) FILTER (WHERE o_orderstatus = 'F')   AS n_f,
+       bool_or(o_totalprice > 400000)                AS any_huge,
+       bool_and(o_totalprice > 0)                    AS all_positive
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_null_semantics(spark, sf_dir):
+    """NULL-generating outer join + null-safe handling + coalesce."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 450000)
+    joined = cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("rows_total"),
+            F.count("o_orderkey").alias("rows_matched"),
+            F.sum(
+                F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)
+            ).alias("rows_null"),
+            F.round(F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))), 4).alias(
+                "total_coalesced"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q_NULL_SQL = """
+SELECT c_mktsegment,
+       count(*) AS rows_total,
+       count(o_orderkey) AS rows_matched,
+       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS rows_null,
+       round(sum(coalesce(o_totalprice, 0.0)), 4) AS total_coalesced
+FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 450000) o
+  ON c_custkey = o.o_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def q_union_by_name(spark, sf_dir):
+    """unionByName across differently-shaped projections."""
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    a = cust.select(
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+        F.lit("customer").alias("side"),
+    )
+    b = supp.select(
+        F.lit("supplier").alias("side"),
+        F.col("s_acctbal").alias("bal"),
+        F.col("s_name").alias("name"),
+    )
+    return (
+        a.unionByName(b)
+        .groupBy("side")
+        .agg(F.count("*").alias("n"), F.round(F.avg("bal"), 4).alias("avg_bal"))
+        .orderBy("side")
+    )
+
+
+Q_UNION_BY_NAME_SQL = """
+SELECT side, count(*) AS n, round(avg(bal), 4) AS avg_bal FROM (
+  SELECT c_name AS name, c_acctbal AS bal, 'customer' AS side FROM customer
+  UNION ALL
+  SELECT s_name, s_acctbal, 'supplier' FROM supplier
+) GROUP BY side ORDER BY side
+"""
+
+
+RELATIONAL_QUERIES.update(
+    {
+        "scalar_subquery": (q_scalar_subquery, Q_SCALAR_SUBQ_SQL),
+        "correlated_subquery": (q_correlated_subquery, Q_CORRELATED_SQL),
+        "explode_word_counts": (q_explode_word_counts, Q_EXPLODE_SQL),
+        "percentiles": (q_percentiles, Q_PERCENTILES_SQL),
+        "stats_aggregates": (q_stats_aggregates, Q_STATS_SQL),
+        "listagg": (q_listagg, Q_LISTAGG_SQL),
+        "conditional_agg": (q_conditional_agg, Q_CONDITIONAL_SQL),
+        "null_semantics": (q_null_semantics, Q_NULL_SQL),
+        "union_by_name": (q_union_by_name, Q_UNION_BY_NAME_SQL),
+    }
+)
