@@ -118,7 +118,10 @@ class _Munger:
     def _match(a: frozenset, b: frozenset) -> bool:
         return bool(a) and bool(b) and len(a & b) / max(len(a), len(b)) >= 0.6
 
-    def strip_headers(self, pages: list[list[str]]) -> tuple[list[list[str]], int]:
+    def strip_headers(
+        self, pages: list[list[str]]
+    ) -> tuple[list[list[str]], list[int]]:
+        """Returns (stripped pages, per-page removed-line counts)."""
         n = len(pages)
         zones = []
         for lines in pages:
@@ -126,7 +129,7 @@ class _Munger:
             tail = [i for i in range(max(len(lines) - 2, 0), len(lines)) if i >= 2]
             keys = {i: self._header_key(lines[i]) for i in [*head, *tail]}
             zones.append((list(head), tail, keys))
-        removed = 0
+        removed = [0] * n
         out = []
         for p in range(n):
             head, tail, keys = zones[p]
@@ -140,7 +143,7 @@ class _Munger:
                         ):
                             kill.add(i)
                             break
-            removed += len(kill)
+            removed[p] = len(kill)
             out.append([ln for i, ln in enumerate(pages[p]) if i not in kill])
         return out, removed
 
@@ -237,27 +240,56 @@ class _Munger:
             out.append(pre + core + suf)
         return " ".join(out)
 
+    # ---- page sequences ---------------------------------------------------
+    def munge_pages(
+        self, page_texts: list[str], owned: list[bool] | None = None
+    ) -> tuple[list[str], list[dict]]:
+        """Run the cascade over a contiguous page sequence.
+
+        ``owned[i] = False`` marks halo pages: they participate in the
+        ±2-page header/footer comparison (R3 is the ONLY cross-page
+        stage; everything later is page-local) but produce no output —
+        this is what makes monster-doc chunking (operators/chunked.py)
+        byte-exact vs whole-document processing.
+
+        Returns (corrected texts, per-page metric dicts) for owned pages
+        only, in order.
+        """
+        n = len(page_texts)
+        if owned is None:
+            owned = [True] * n
+        pages = [self.rs.translate(t).split("\n") for t in page_texts]
+        pages, removed = self.strip_headers(pages)
+        out_texts: list[str] = []
+        out_metrics: list[dict] = []
+        for i in range(n):
+            if not owned[i]:
+                continue
+            pm = {f: 0 for f in METRIC_FIELDS}
+            pm["pages"] = 1
+            pm["header_lines_removed"] = removed[i]
+            kept = []
+            for ln in pages[i]:
+                if self.is_pagenum(ln):
+                    pm["pagenum_lines_removed"] += 1
+                else:
+                    kept.append(ln)
+            lines = self.rejoin(kept)
+            out_texts.append("\n".join(self.correct_line(ln, pm) for ln in lines))
+            out_metrics.append(pm)
+        return out_texts, out_metrics
+
     # ---- whole document -------------------------------------------------
     def munge_doc(self, spans: list[dict]) -> tuple[list[dict], dict]:
         m = {f: 0 for f in METRIC_FIELDS}
         page_idx = [k for k, s in enumerate(spans) if s["kind"] == "page"]
-        m["pages"] = len(page_idx)
-        pages = [self.rs.translate(spans[k]["text"]).split("\n") for k in page_idx]
-        pages, m["header_lines_removed"] = self.strip_headers(pages)
-        kept_pages = []
-        for lines in pages:
-            kept = []
-            for ln in lines:
-                if self.is_pagenum(ln):
-                    m["pagenum_lines_removed"] += 1
-                else:
-                    kept.append(ln)
-            kept_pages.append(kept)
-        pages = [self.rejoin(lines) for lines in kept_pages]
-        pages = [[self.correct_line(ln, m) for ln in lines] for lines in pages]
+        texts, per_page = self.munge_pages([spans[k]["text"] for k in page_idx])
+        for pm in per_page:
+            for f in METRIC_FIELDS:
+                m[f] += pm[f]
         out = [dict(s) for s in spans]
         for pi, k in enumerate(page_idx):
-            out[k]["text"] = "\n".join(pages[pi])
+            out[k]["text"] = texts[pi]
         return out, m
 
 

@@ -43,7 +43,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .catalog import ParquetTableIO, default_io
-from .operators.munge import munge
+from .operators.chunked import munge_auto
 
 STATE_SUFFIX = "_state"
 
@@ -70,6 +70,7 @@ def run_pipeline(
     partitions: int | None = None,
     salt: int = 0,
     io: ParquetTableIO | None = None,
+    monster_threshold: int = 512,
 ) -> RunResult:
     """Process all not-yet-done docs from ``input_df`` into ``output_path``.
 
@@ -91,8 +92,11 @@ def run_pipeline(
     # per deployment to dodge pathological co-location of hot doc_ids.
     todo = todo.repartition(partitions, F.xxhash64(F.col("doc_id"), F.lit(salt)))
 
+    # normal docs: single mapInArrow pass; monsters (> monster_threshold
+    # spans): bounded chunks with halo pages (operators/chunked.py) so no
+    # single task carries a 10^4-span row
     munged = (
-        munge(todo, spark)
+        munge_auto(todo, spark, monster_threshold=monster_threshold)
         .withColumn("run_id", F.lit(run_id))
         .withColumn("partition_id", F.spark_partition_id())
     )
