@@ -27,15 +27,22 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from pyspark.sql.window import Window as W
 
+from .functions import (
+    cosine_to_literal,
+    dot,
+    hyperplane_bucket,
+    l2_norm,
+    normalized_fingerprint,
+    regex_tokens,
+    stopword_hits,
+    tokens_distinct,
+    word_shingles,
+)
 from .queries import t
 
 STOPWORDS_EN = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "value"]
 STOPWORDS_DE = ["der", "die", "das", "und", "ist", "von", "mit", "ein", "zu"]
 STOPWORDS_FR = ["le", "la", "les", "et", "de", "un", "une", "est", "pour"]
-
-
-def _tokens(col):
-    return F.array_distinct(F.split(F.lower(col), " "))
 
 
 # --------------------------------------------------------------------------
@@ -86,7 +93,7 @@ SELECT keeper, n_copies FROM (
 
 def dedup_token_jaccard(spark, sf_dir):
     docs = t(spark, sf_dir, "documents").select(
-        "doc_id", "source", _tokens(F.col("text")).alias("tk")
+        "doc_id", "source", tokens_distinct(F.col("text")).alias("tk")
     )
     a = docs.alias("a")
     b = docs.alias("b")
@@ -137,20 +144,6 @@ N_BANDS = 8
 ROWS_PER_BAND = N_HASHES // N_BANDS
 
 
-def _shingle_expr():
-    words = F.split(F.lower(F.col("text")), " ")
-    n = F.size(words)
-    return F.array_distinct(
-        F.when(
-            n >= 3,
-            F.transform(
-                F.sequence(F.lit(0), n - 3),
-                lambda i: F.concat_ws(" ", words[i], words[i + 1], words[i + 2]),
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", F.col("text"))))
-    )
-
-
 def _with_shingles(docs: DataFrame) -> DataFrame:
     """(doc_id, sh). The repartition is a deliberate barrier with three
     jobs: (1) spread the hash work — a single small parquet file scans as
@@ -159,7 +152,7 @@ def _with_shingles(docs: DataFrame) -> DataFrame:
     so candidate generation and pair verification share one shingle
     computation (ReusedExchange) instead of recomputing it per branch."""
     par = docs.sparkSession.sparkContext.defaultParallelism * 2
-    return docs.select("doc_id", _shingle_expr().alias("sh")).repartition(par)
+    return docs.select("doc_id", word_shingles(F.col("text"), 3).alias("sh")).repartition(par)
 
 
 def _minhash_signatures(docs: DataFrame) -> DataFrame:
@@ -282,10 +275,9 @@ def simhash_docs(spark, sf_dir):
 
 def lang_id_stopword(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
-    tk = _tokens(F.col("text"))
-    s_en = F.size(F.array_intersect(tk, F.array(*[F.lit(w) for w in STOPWORDS_EN])))
-    s_de = F.size(F.array_intersect(tk, F.array(*[F.lit(w) for w in STOPWORDS_DE])))
-    s_fr = F.size(F.array_intersect(tk, F.array(*[F.lit(w) for w in STOPWORDS_FR])))
+    s_en = stopword_hits(F.col("text"), STOPWORDS_EN)
+    s_de = stopword_hits(F.col("text"), STOPWORDS_DE)
+    s_fr = stopword_hits(F.col("text"), STOPWORDS_FR)
     pred = (
         F.when((s_en >= s_de) & (s_en >= s_fr) & (s_en > 0), "en")
         .when((s_de >= s_fr) & (s_de > 0), "de")
@@ -328,12 +320,8 @@ def text_quality(spark, sf_dir):
     n_toks = F.size(toks)
     n_chars = F.length("text")
     alpha_chars = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
-    stop_hits = F.size(
-        F.array_intersect(
-            _tokens(F.col("text")), F.array(*[F.lit(w) for w in STOPWORDS_EN])
-        )
-    )
-    n_distinct = F.size(_tokens(F.col("text")))
+    stop_hits = stopword_hits(F.col("text"), STOPWORDS_EN)
+    n_distinct = F.size(tokens_distinct(F.col("text")))
     return (
         docs.where(F.col("doc_id") < 200)
         .select(
@@ -368,7 +356,7 @@ FROM documents WHERE doc_id < 200 ORDER BY doc_id
 
 def token_stats(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
-    toks = F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+    toks = regex_tokens(F.col("text"))
     per_doc = docs.select("lang", toks.alias("tk"))
     return (
         per_doc.groupBy("lang")
@@ -398,10 +386,11 @@ GROUP BY lang ORDER BY lang
 
 def doc_fingerprint(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.lower("text"), "\\s+", " ")
     return (
         docs.where(F.col("doc_id") < 100)
-        .select("doc_id", F.md5(norm).alias("fingerprint"))
+        .select(
+            "doc_id", normalized_fingerprint(F.col("text")).alias("fingerprint")
+        )
         .orderBy("doc_id")
     )
 
@@ -420,24 +409,13 @@ FROM documents WHERE doc_id < 100 ORDER BY doc_id
 QUERY_VEC = [((i % 13) - 6) / 10.0 for i in range(64)]
 
 
-def _cosine(vec_col, qvec: list[float]):
-    q = F.array(*[F.lit(float(x)) for x in qvec])
-    v = vec_col.cast(T.ArrayType(T.DoubleType()))
-    dot = F.aggregate(
-        F.zip_with(v, q, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-    )
-    nv = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
-    nq = F.sqrt(F.lit(float(sum(x * x for x in qvec))))
-    return dot / (nv * nq)
-
-
 def ann_cosine_topk(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     return (
         emb.select(
             "vec_id",
             "label",
-            F.round(_cosine(F.col("embedding"), QUERY_VEC), 4).alias("cos"),
+            F.round(cosine_to_literal(F.col("embedding"), QUERY_VEC), 4).alias("cos"),
         )
         .orderBy(F.desc("cos"), "vec_id")
         .limit(20)
@@ -459,27 +437,9 @@ HYPERPLANES = [[(((i * (j + 2) + 3) % 7) - 3) / 5.0 for i in range(64)] for j in
 
 def ann_lsh_buckets(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
-    v = F.col("embedding").cast(T.ArrayType(T.DoubleType()))
-    bucket = sum(
-        (
-            F.when(
-                F.aggregate(
-                    F.zip_with(
-                        v,
-                        F.array(*[F.lit(float(x)) for x in HYPERPLANES[j]]),
-                        lambda x, y: x * y,
-                    ),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
-                )
-                > 0,
-                F.lit(2**j),
-            ).otherwise(F.lit(0))
-        )
-        for j in range(4)
-    )
+    bucket = hyperplane_bucket(F.col("embedding"), HYPERPLANES)
     return (
-        emb.select(bucket.cast("int").alias("bucket"), "label")
+        emb.select(bucket.alias("bucket"), "label")
         .groupBy("bucket")
         .agg(F.count("*").alias("n"), F.round(F.avg("label"), 4).alias("avg_label"))
         .orderBy("bucket")
@@ -515,14 +475,11 @@ def knn_join_topk(spark, sf_dir):
         F.col("vec_id").alias("c_id"),
         F.col("embedding").cast(T.ArrayType(T.DoubleType())).alias("c_vec"),
     )
-    dot = F.aggregate(
-        F.zip_with("q_vec", "c_vec", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    cos = dot(F.col("q_vec"), F.col("c_vec")) / (
+        l2_norm(F.col("q_vec")) * l2_norm(F.col("c_vec"))
     )
-    nq = F.sqrt(F.aggregate("q_vec", F.lit(0.0), lambda a, x: a + x * x))
-    nc = F.sqrt(F.aggregate("c_vec", F.lit(0.0), lambda a, x: a + x * x))
-    scored = (
-        cand.join(F.broadcast(qs), F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id", (dot / (nq * nc)).alias("cos_raw"))
+    scored = cand.join(F.broadcast(qs), F.col("q_id") != F.col("c_id")).select(
+        "q_id", "c_id", cos.alias("cos_raw")
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cos_raw"), "c_id")
     return (
