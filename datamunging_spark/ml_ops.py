@@ -217,16 +217,27 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
 def dedup_minhash_lsh(spark, sf_dir, threshold: float = 0.6):
     """LSH candidates verified by exact shingle Jaccard >= threshold."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    cands = lsh_candidate_pairs(docs)
-    # identical subplan to the one inside lsh_candidate_pairs → Spark's
-    # exchange reuse computes the shingles once for all three consumers
-    sh = _with_shingles(docs)
+    # Candidates are consumed three times (pairs join + two id sides);
+    # localCheckpoint materializes the (small) pair set exactly once
+    # instead of re-running the full LSH per consumer.
+    cands = lsh_candidate_pairs(docs).localCheckpoint()
+    # Verify ONLY candidate documents: at 10^12 docs the candidate set is
+    # orders of magnitude smaller than the corpus, so shingles for
+    # verification are recomputed for a broadcast-semi-joined subset
+    # instead of a second full-corpus pass.
+    cand_ids = (
+        cands.select(F.explode(F.array("d1", "d2")).alias("doc_id")).distinct()
+    )
+    cand_docs = docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    sh = cand_docs.select(
+        "doc_id", word_shingles(F.col("text"), 3).alias("sh")
+    )
     jac = F.size(F.array_intersect("a.sh", "b.sh")) / F.size(
         F.array_union("a.sh", "b.sh")
     )
     return (
-        cands.join(sh.alias("a"), cands.d1 == F.col("a.doc_id"))
-        .join(sh.alias("b"), cands.d2 == F.col("b.doc_id"))
+        cands.join(F.broadcast(sh.alias("a")), cands.d1 == F.col("a.doc_id"))
+        .join(F.broadcast(sh.alias("b")), cands.d2 == F.col("b.doc_id"))
         .select("d1", "d2", F.round(jac, 4).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
         .orderBy("d1", "d2")
