@@ -686,3 +686,53 @@ ML_QUERIES: dict[str, tuple] = {
     "multimodal_features": (multimodal_features, None),
     "extract_munge": (extract_munge, None),
 }
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup detection (task brief). The testdata's random
+# vectors have no near-dups (max pairwise cosine ~0.6), so the query
+# synthesizes them: every 20th vector reappears (id+100000) deterministically
+# perturbed (x*1.01 + 0.001), then the detector finds each copy's source by
+# cosine >= 0.99 against the original corpus. Scale shape: the small probe
+# side broadcasts; the corpus side is a scan.
+# --------------------------------------------------------------------------
+
+
+def dedup_embedding_cosine(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast(T.ArrayType(T.DoubleType()))
+    orig = emb.select(F.col("vec_id").alias("orig_id"), vec.alias("o_vec"))
+    probes = (
+        emb.where(F.col("vec_id") % 20 == 0)
+        .select(
+            (F.col("vec_id") + 100000).alias("probe_id"),
+            F.transform(vec, lambda x: x * 1.01 + 0.001).alias("p_vec"),
+        )
+    )
+    cos = dot(F.col("o_vec"), F.col("p_vec")) / (
+        l2_norm(F.col("o_vec")) * l2_norm(F.col("p_vec"))
+    )
+    return (
+        orig.join(F.broadcast(probes))
+        .select("orig_id", "probe_id", F.round(cos, 4).alias("cos"))
+        .where(F.col("cos") >= 0.99)
+        .orderBy("orig_id", "probe_id")
+    )
+
+
+DEDUP_EMBEDDING_SQL = """
+SELECT orig_id, probe_id, cos FROM (
+  SELECT o.vec_id AS orig_id, p.probe_id,
+         round(list_dot_product(o.embedding::DOUBLE[], p.p_vec)
+               / (sqrt(list_dot_product(o.embedding::DOUBLE[], o.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(p.p_vec, p.p_vec))), 4) AS cos
+  FROM embeddings o
+  CROSS JOIN (
+    SELECT vec_id + 100000 AS probe_id,
+           list_transform(embedding::DOUBLE[], x -> x * 1.01 + 0.001) AS p_vec
+    FROM embeddings WHERE vec_id % 20 = 0
+  ) p
+) WHERE cos >= 0.99 ORDER BY orig_id, probe_id
+"""
+
+ML_QUERIES["dedup_embedding_cosine"] = (dedup_embedding_cosine, DEDUP_EMBEDDING_SQL)

@@ -86,3 +86,29 @@ def test_media_pass_through_property(spans):
             assert after == before
         assert after.offset == before.offset
         assert after.kind == before.kind
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(page_st, min_size=1, max_size=14), st.integers(2, 5))
+def test_halo_chunking_invariant(pages, chunk_pages):
+    """The chunking theorem operators/chunked.py relies on: processing
+    pages in chunks of `chunk_pages` with a ±2-page halo yields exactly
+    the whole-document result, for ANY page content and chunk size ≥ 2
+    (the halo must be ≥ the R3 window, and chunk boundaries are where
+    bugs would live)."""
+    whole_texts, whole_metrics = MUNGER.munge_pages(pages)
+
+    got_texts, got_metrics = [], []
+    n = len(pages)
+    for start in range(0, n, chunk_pages):
+        end = min(start + chunk_pages, n)
+        lo = max(0, start - 2)
+        hi = min(n, end + 2)
+        window = pages[lo:hi]
+        owned = [lo + i >= start and lo + i < end for i in range(hi - lo)]
+        texts, metrics = MUNGER.munge_pages(window, owned=owned)
+        got_texts.extend(texts)
+        got_metrics.extend(metrics)
+
+    assert got_texts == whole_texts
+    assert got_metrics == whole_metrics
