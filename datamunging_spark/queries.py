@@ -1103,3 +1103,235 @@ RELATIONAL_QUERIES.update(
         "union_by_name": (q_union_by_name, Q_UNION_BY_NAME_SQL),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Third wave: grouping sets, full-outer join, cross join, higher-order
+# array functions, time-series gap-fill, salted two-phase aggregation.
+# --------------------------------------------------------------------------
+
+
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS: per-status, per-priority, and grand total in
+    one pass (Spark expands to a single shuffle, not three scans)."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+Q_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n, round(sum(o_totalprice), 4) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+def q_full_outer_balance(spark, sf_dir):
+    """FULL OUTER join of two pre-aggregated sides (customer vs supplier
+    balance per nation); pre-aggregating before the join keeps the shuffled
+    payload to one row per nation on each side."""
+    cust = (
+        t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 4).alias("cust_bal"),
+        )
+    )
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_supp"),
+            F.round(F.sum("s_acctbal"), 4).alias("supp_bal"),
+        )
+    )
+    return (
+        cust.join(supp, cust.c_nationkey == supp.s_nationkey, "full_outer")
+        .select(
+            F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("cust_bal", F.lit(0.0)).alias("cust_bal"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+            F.coalesce("supp_bal", F.lit(0.0)).alias("supp_bal"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+Q_FULL_OUTER_SQL = """
+SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
+       CAST(coalesce(c.n_cust, 0) AS BIGINT)  AS n_cust,
+       coalesce(c.cust_bal, 0.0)              AS cust_bal,
+       CAST(coalesce(s.n_supp, 0) AS BIGINT)  AS n_supp,
+       coalesce(s.supp_bal, 0.0)              AS supp_bal
+FROM (SELECT c_nationkey, count(*) AS n_cust, round(sum(c_acctbal), 4) AS cust_bal
+      FROM customer GROUP BY c_nationkey) c
+FULL OUTER JOIN
+     (SELECT s_nationkey, count(*) AS n_supp, round(sum(s_acctbal), 4) AS supp_bal
+      FROM supplier GROUP BY s_nationkey) s
+  ON c.c_nationkey = s.s_nationkey
+ORDER BY nationkey
+"""
+
+
+def q_cross_join_pairs(spark, sf_dir):
+    """Explicit cross join of two small dims (region x supplier). Spark
+    plans BroadcastNestedLoopJoin; only sane when one side is tiny."""
+    region = t(spark, sf_dir, "region")
+    supp = t(spark, sf_dir, "supplier")
+    return (
+        region.crossJoin(F.broadcast(supp))
+        .select("r_name", "s_name", F.round("s_acctbal", 4).alias("bal"))
+        .orderBy("r_name", "s_name")
+    )
+
+
+Q_CROSS_JOIN_SQL = """
+SELECT r_name, s_name, round(s_acctbal, 4) AS bal
+FROM region CROSS JOIN supplier
+ORDER BY r_name, s_name
+"""
+
+
+def q_hof_embeddings(spark, sf_dir):
+    """Higher-order array functions over the embedding column: transform /
+    filter / aggregate run inside codegen — no explode, no shuffle, no UDF."""
+    emb = t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.round(
+            F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x * x), 4
+        ).alias("sq_norm"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_pos"),
+        F.round(
+            F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x)
+            / F.size("embedding"),
+            4,
+        ).alias("mean_val"),
+    ).orderBy("vec_id")
+
+
+Q_HOF_SQL = """
+SELECT vec_id,
+       round(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS sq_norm,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INT)   AS n_pos,
+       round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+             / len(embedding), 4)                             AS mean_val
+FROM embeddings WHERE vec_id < 100 ORDER BY vec_id
+"""
+
+
+def q_gapfill_events(spark, sf_dir):
+    """Time-series gap fill: dense hourly grid (sequence + explode) per
+    event type, left-joined against observed hourly counts, missing hours
+    filled with 0. The grid is tiny → broadcast; only the count aggregation
+    shuffles."""
+    ev = t(spark, sf_dir, "events")
+    hours = (
+        ev.agg(
+            F.date_trunc("hour", F.min("ts")).alias("lo"),
+            F.date_trunc("hour", F.max("ts")).alias("hi"),
+        )
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 hour"))
+            ).alias("hour_ts")
+        )
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(hours))
+    counts = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(F.count("*").alias("n"))
+    return (
+        grid.join(counts, ["event_type", "hour_ts"], "left")
+        .select(
+            "event_type",
+            F.date_format("hour_ts", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+Q_GAPFILL_SQL = """
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events
+),
+hours AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_ts FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+counts AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT t.event_type,
+       strftime(h.hour_ts, '%Y-%m-%d %H:%M:%S') AS hour,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n
+FROM types t
+CROSS JOIN hours h
+LEFT JOIN counts c ON c.event_type = t.event_type AND c.hour_ts = h.hour_ts
+ORDER BY t.event_type, hour
+"""
+
+
+def q_salted_heavy_hitters(spark, sf_dir):
+    """Skew-safe two-phase aggregation: partial agg on (user_id, salt)
+    spreads a hot key over 16 reducers, final agg merges the partials.
+    Result is identical to the plain groupBy (the oracle) — sums use
+    DECIMAL so re-association cannot change the value."""
+    ev = t(spark, sf_dir, "events")
+    partial = (
+        ev.withColumn("_salt", F.pmod(F.col("event_id"), F.lit(16)))
+        .groupBy("user_id", "_salt")
+        .agg(
+            F.count("*").alias("pn"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("pv"),
+        )
+    )
+    return (
+        partial.groupBy("user_id")
+        .agg(
+            F.sum("pn").alias("n_events"),
+            F.round(F.sum("pv").cast("double"), 4).alias("total_value"),
+        )
+        .orderBy(F.desc("n_events"), "user_id")
+        .limit(20)
+    )
+
+
+Q_SALTED_SQL = """
+SELECT user_id, count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value
+FROM events GROUP BY user_id
+ORDER BY n_events DESC, user_id LIMIT 20
+"""
+
+
+RELATIONAL_QUERIES.update(
+    {
+        "grouping_sets": (q_grouping_sets, Q_GROUPING_SETS_SQL),
+        "full_outer_balance": (q_full_outer_balance, Q_FULL_OUTER_SQL),
+        "cross_join_pairs": (q_cross_join_pairs, Q_CROSS_JOIN_SQL),
+        "hof_embeddings": (q_hof_embeddings, Q_HOF_SQL),
+        "gapfill_events": (q_gapfill_events, Q_GAPFILL_SQL),
+        "salted_heavy_hitters": (q_salted_heavy_hitters, Q_SALTED_SQL),
+    }
+)
