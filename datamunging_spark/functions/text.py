@@ -12,17 +12,27 @@ def tokens_distinct(col: Column) -> Column:
 
 
 def word_shingles(col: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles; whole text if fewer than k words."""
+    """Distinct k-word shingles; whole text if fewer than k words.
+
+    Built as arrays_zip of k shifted slices rather than a transform that
+    indexes words[i+j]: any outer expression referenced inside a lambda
+    body is re-evaluated per element, so the indexing form re-splits the
+    whole text k times for EVERY shingle (O(words^2) per doc). The zip
+    form evaluates the split k+1 times per ROW and the lambda only
+    touches pre-materialized struct fields.
+    """
     words = F.split(F.lower(col), " ")
     n = F.size(words)
+    m = n - k + 1  # number of shingles
+    zipped = F.arrays_zip(
+        *[F.slice(words, j + 1, m).alias(f"w{j}") for j in range(k)]
+    )
     return F.array_distinct(
         F.when(
             n >= k,
             F.transform(
-                F.sequence(F.lit(0), n - k),
-                lambda i: F.concat_ws(
-                    " ", *[words[i + j] for j in range(k)]
-                ),
+                zipped,
+                lambda s: F.concat_ws(" ", *[s[f"w{j}"] for j in range(k)]),
             ),
         ).otherwise(F.array(F.concat_ws(" ", col)))
     )

@@ -97,3 +97,54 @@ def test_json_and_window_plans(spark, sf_dir):
     assert "Window" in win
     # rank filter evaluated right after the window, no extra shuffle after
     assert win.count("Exchange") <= 2
+
+
+def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing both join sides on the key at write time pre-shuffles the
+    data once; every later join on that key is exchange-free. At 100 TB
+    this converts the nightly fact-fact join from a full-cluster shuffle
+    into a local merge per bucket."""
+    from pyspark.sql import functions as F
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_cust")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        (
+            t(spark, sf_dir, "orders")
+            .write.bucketBy(8, "o_custkey")
+            .sortBy("o_custkey")
+            .option("path", str(tmp_path / "b_orders"))
+            .mode("overwrite")
+            .saveAsTable("b_orders")
+        )
+        (
+            t(spark, sf_dir, "customer")
+            .write.bucketBy(8, "c_custkey")
+            .sortBy("c_custkey")
+            .option("path", str(tmp_path / "b_cust"))
+            .mode("overwrite")
+            .saveAsTable("b_cust")
+        )
+        joined = (
+            spark.table("b_orders")
+            .join(
+                spark.table("b_cust"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        # the join itself needs no exchange: both sides arrive bucketed.
+        # (the groupBy after it still shuffles — count exchanges and
+        # confirm the only one is for the aggregation, not the join)
+        join_part = plan.split("SortMergeJoin")[-1]
+        assert "Exchange hashpartitioning" not in join_part
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_cust")
