@@ -48,6 +48,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "knn_join_topk",
     "extract_munge",
+    "extract_main_content",
 ]
 
 ALL = {**RELATIONAL_QUERIES, **ML_QUERIES}

@@ -442,6 +442,82 @@ FROM documents WHERE doc_id < 100 ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer et al., SIGMOD 2003): rolling k-gram
+# hashes, keep the minimum of each w-window — the standard
+# containment/plagiarism fingerprint, robust to insertions unlike the
+# whole-doc md5 above. Hash = first 15 hex chars of md5(k-gram) as int64,
+# computed identically in Spark (conv base16) and DuckDB (0x cast) so the
+# query is fully oracle-checked. This relational form (posexplode +
+# running window min) is the executable spec; at 100 TB the same math
+# runs per-doc inside the extraction cascade's Arrow pass instead of
+# exploding one row per character offset.
+# --------------------------------------------------------------------------
+
+WINNOW_K = 8  # k-gram length (chars)
+WINNOW_W = 4  # winnow window (hashes)
+
+
+def winnow_fingerprint(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 200) & (F.length("text") >= WINNOW_K)
+    )
+    txt = F.lower(F.col("text"))
+    m = F.length("text") - WINNOW_K + 1  # number of k-grams
+    gram_hash = lambda i: F.conv(  # noqa: E731
+        F.substring(F.md5(txt.substr(i, F.lit(WINNOW_K))), 1, 15), 16, 10
+    ).cast("long")
+    grams = docs.select(
+        "doc_id",
+        m.alias("m"),
+        F.posexplode(
+            F.transform(F.sequence(F.lit(1), m), gram_hash)
+        ).alias("pos0", "h"),
+    )
+    win = W.partitionBy("doc_id").orderBy("pos0").rowsBetween(0, WINNOW_W - 1)
+    fps = grams.select(
+        "doc_id",
+        "pos0",
+        "m",
+        F.min("h").over(win).alias("fp"),
+    ).where(F.col("pos0") <= F.col("m") - WINNOW_W)  # full windows only
+    return (
+        fps.groupBy("doc_id")
+        .agg(
+            F.countDistinct("fp").alias("n_fp"),
+            F.min("fp").alias("min_fp"),
+            F.max("fp").alias("max_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+WINNOW_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lower(text) AS txt, length(text) - {WINNOW_K} + 1 AS m
+  FROM documents WHERE doc_id < 200 AND length(text) >= {WINNOW_K}
+),
+g AS (
+  SELECT doc_id, m, unnest(generate_series(1, m)) AS pos FROM base
+),
+h AS (
+  SELECT g.doc_id, g.m, g.pos,
+         CAST(concat('0x', substr(md5(substr(b.txt, g.pos, {WINNOW_K})), 1, 15))
+              AS BIGINT) AS h
+  FROM g JOIN base b USING (doc_id)
+),
+w AS (
+  SELECT doc_id, m, pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS fp
+  FROM h
+)
+SELECT doc_id, count(DISTINCT fp) AS n_fp, min(fp) AS min_fp, max(fp) AS max_fp
+FROM w WHERE pos <= m - {WINNOW_W} + 1
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Similarity search. Deterministic 64-dim query vector (exact decimal
 # literals so Spark and DuckDB parse identical doubles).
 # --------------------------------------------------------------------------
@@ -697,6 +773,76 @@ def extract_munge(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Main-content extraction flagship (north rule: HTML boilerplate strip,
+# PDF/layout parse, DOM heuristics over the interleaved spans table).
+# rows-only for the driver (DuckDB cannot parse HTML); correctness is
+# pytest's oracle equality in tests/test_extract.py.
+# --------------------------------------------------------------------------
+
+_WEB_HTML_TPL = (
+    "<html><head><title>doc %s</title><script>x=1</script></head><body>"
+    '<header><h1>Site</h1><nav><ul><li><a href="/a">Home</a></li>'
+    '<li><a href="/b">World</a></li></ul></nav></header>'
+    '<div class="ad-banner">Buy one get one free today only</div>'
+    "<main><article><h2>Entry %s</h2><p>%s</p></article></main>"
+    '<aside class="sidebar"><a href="/r">Related one</a></aside>'
+    "<footer><p>All rights reserved</p></footer></body></html>"
+)
+_WEB_PDF_TPL = (
+    "400,30,600,45|Site Header\n"
+    "60,100,940,140|%s\n"
+    "60,160,940,200|%s\n"
+    "480,960,520,975|17"
+)
+
+
+def extract_main_content(spark, sf_dir):
+    """documents → interleaved (html, media, pdf) spans → the extraction
+    operator. Span construction is JVM-side (format_string); the ONE
+    Python stage is the mapInArrow extractor."""
+    from .operators.extract import extract
+
+    docs = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism * 2
+    )
+    did = F.col("doc_id").cast("string")
+    html = F.format_string(_WEB_HTML_TPL, did, did, F.col("text"))
+    pdf = F.format_string(
+        _WEB_PDF_TPL, F.substring("text", 1, 80), F.substring("text", 81, 80)
+    )
+    spans = F.array(
+        F.struct(
+            F.lit("html").alias("kind"),
+            html.alias("text"),
+            F.lit("").alias("media_ref"),
+            F.lit(0).cast("int").alias("offset"),
+        ),
+        F.struct(
+            F.lit("image").alias("kind"),
+            F.lit("").alias("text"),
+            F.concat(F.lit("media/"), did).alias("media_ref"),
+            F.lit(1).cast("int").alias("offset"),
+        ),
+        F.struct(
+            F.lit("pdf").alias("kind"),
+            pdf.alias("text"),
+            F.concat(F.lit("pdf/"), did).alias("media_ref"),
+            F.lit(2).cast("int").alias("offset"),
+        ),
+    )
+    vols = docs.select(did.alias("doc_id"), spans.alias("spans"))
+    out = extract(vols, spark)
+    return out.select(
+        "doc_id",
+        "html_blocks_kept",
+        "html_blocks_dropped",
+        "pdf_lines_kept",
+        "pdf_lines_dropped",
+        "chars_out",
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
 # Catalog
 # --------------------------------------------------------------------------
 
@@ -709,11 +855,13 @@ ML_QUERIES: dict[str, tuple] = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "token_stats": (token_stats, TOKEN_STATS_SQL),
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
+    "winnow_fingerprint": (winnow_fingerprint, WINNOW_SQL),
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
     "ann_lsh_buckets": (ann_lsh_buckets, ANN_LSH_SQL),
     "knn_join_topk": (knn_join_topk, KNN_JOIN_SQL),
     "multimodal_features": (multimodal_features, None),
     "extract_munge": (extract_munge, None),
+    "extract_main_content": (extract_main_content, None),
 }
 
 

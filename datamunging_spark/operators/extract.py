@@ -1,0 +1,281 @@
+"""Spark-side main-content extraction operator (SPEC.md part II): HTML
+boilerplate strip + PDF/layout parse as ONE Arrow-batched ``mapInArrow``
+pass over the interleaved spans table.
+
+Independent implementation of the spec: ``oracle/extract.py`` builds a
+DOM tree and walks it recursively; this operator consumes parser events
+against a frame stack and never materializes a tree — O(depth) memory
+per document instead of O(nodes), which is what you want when a single
+monster HTML span holds tens of MB. pytest asserts span-sequence
+equality between the two (tests/test_extract.py), so agreement is
+evidence of correctness rather than shared code.
+
+Plan shape: like the munge cascade, this is the ONLY Python stage in
+its pipeline — scan, repartition and writes stay JVM-side; the batch
+size cap in session.py bounds per-batch memory against skewed docs.
+"""
+
+from __future__ import annotations
+
+import re
+import time
+from typing import Iterator
+
+from html.parser import HTMLParser
+
+from pyspark.sql import types as T
+
+from ..oracle.extract import (
+    BLOCK_TAGS,
+    EXTRACT_METRIC_FIELDS,
+    HEADING_TAGS,
+    MAX_LINK_DENSITY,
+    MIN_BLOCK_CHARS,
+    MIN_HEADING_CHARS,
+    PRUNE_ATTR_TOKENS,
+    PRUNE_TAGS,
+    VOID_TAGS,
+)
+from .munge import INPUT_SCHEMA  # same spans table contract
+
+EXTRACT_OUTPUT_SCHEMA = T.StructType(
+    list(INPUT_SCHEMA.fields)
+    + [T.StructField(f, T.LongType(), True) for f in EXTRACT_METRIC_FIELDS]
+    + [T.StructField("extract_us", T.LongType(), True)]
+)
+
+_WS_RE = re.compile(r"\s+")
+
+
+class _Frame:
+    __slots__ = ("tag", "block", "in_link", "pruned")
+
+    def __init__(self, tag, block, in_link, pruned):
+        self.tag = tag
+        self.block = block
+        self.in_link = in_link
+        self.pruned = pruned
+
+
+class _Blk:
+    __slots__ = ("tag", "parts", "raw", "link")
+
+    def __init__(self, tag):
+        self.tag = tag
+        self.parts = []
+        self.raw = 0
+        self.link = 0
+
+
+class _StreamExtractor(HTMLParser):
+    """Event-driven extractor: frames mirror the oracle's element stack
+    (implied-close of p, pop-to-match end tags); pruning is a frame flag
+    instead of a skipped subtree, text routes to the top frame's block."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        root = _Frame("#root", _Blk("body"), False, False)
+        self.stack = [root]
+        self.blocks: list[_Blk] = []
+
+    def handle_starttag(self, tag, attrs):
+        tag = tag.lower()
+        top = self.stack[-1]
+        if tag in VOID_TAGS:
+            if tag == "br":
+                self._text(" ")
+            return
+        if tag in BLOCK_TAGS and top.tag == "p":
+            self.stack.pop()
+            top = self.stack[-1]
+        pruned = top.pruned or self._prunable(tag, attrs)
+        if not pruned and tag in BLOCK_TAGS:
+            block = _Blk(tag)
+        else:
+            block = top.block
+        self.stack.append(
+            _Frame(tag, block, top.in_link or tag == "a", pruned)
+        )
+
+    def handle_endtag(self, tag):
+        tag = tag.lower()
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+
+    def handle_data(self, data):
+        if data:
+            self._text(data)
+
+    def _text(self, data: str):
+        top = self.stack[-1]
+        if top.pruned:
+            return
+        blk = top.block
+        if not blk.parts:
+            self.blocks.append(blk)
+        blk.parts.append(data)
+        blk.raw += len(data)
+        if top.in_link:
+            blk.link += len(data)
+
+    @staticmethod
+    def _prunable(tag, attrs) -> bool:
+        if tag in PRUNE_TAGS:
+            return True
+        return any(
+            n in ("class", "id")
+            and v
+            and any(tok in v.lower() for tok in PRUNE_ATTR_TOKENS)
+            for n, v in attrs
+        )
+
+
+def extract_html_stream(html: str) -> tuple[str, int, int]:
+    p = _StreamExtractor()
+    p.feed(html or "")
+    kept_texts = []
+    dropped = 0
+    for b in p.blocks:
+        text = _WS_RE.sub(" ", "".join(b.parts)).strip()
+        floor = MIN_HEADING_CHARS if b.tag in HEADING_TAGS else MIN_BLOCK_CHARS
+        if len(text) >= floor and b.link / b.raw <= MAX_LINK_DENSITY:
+            kept_texts.append(text)
+        else:
+            dropped += 1
+    return "\n\n".join(kept_texts), len(kept_texts), dropped
+
+
+# ---------------------------------------------------------------------------
+# layout parse (SPEC §9) — findall-based twin of the oracle's line loop
+# ---------------------------------------------------------------------------
+
+_BOX_RE = re.compile(
+    r"^\s*(-?\d+(?:\.\d+)?),(-?\d+(?:\.\d+)?),(-?\d+(?:\.\d+)?),(-?\d+(?:\.\d+)?)\|(.*)$",
+    re.MULTILINE,
+)
+
+
+def parse_layout_stream(layout: str) -> tuple[str, int, int]:
+    layout = layout or ""
+    raw_lines = [ln for ln in layout.split("\n") if ln.strip()]
+    matches = _BOX_RE.findall(layout)
+    dropped = len(raw_lines) - len(matches)
+    body = []
+    for sx0, sy0, sx1, sy1, txt in matches:
+        x0, y0, x1, y1 = float(sx0), float(sy0), float(sx1), float(sy1)
+        if (y0 < 60 or y0 > 940) and len(txt) <= 40:
+            dropped += 1
+        else:
+            body.append((x0, y0, x1, y1, txt))
+    two_col = (
+        body
+        and sum(1 for b in body if b[2] < 520 or b[0] > 480) / len(body) >= 0.70
+    )
+    if two_col:
+        ordered = sorted(
+            (b for b in body if (b[0] + b[2]) / 2 < 500), key=lambda b: (b[1], b[0])
+        ) + sorted(
+            (b for b in body if (b[0] + b[2]) / 2 >= 500), key=lambda b: (b[1], b[0])
+        )
+    else:
+        ordered = sorted(body, key=lambda b: (b[1], b[0]))
+    out: list[str] = []
+    for b in ordered:
+        txt = b[4]
+        if out and out[-1].endswith("-") and txt[:1].islower():
+            out[-1] = out[-1][:-1] + txt
+        else:
+            out.append(txt)
+    return "\n".join(out), len(ordered), dropped
+
+
+# ---------------------------------------------------------------------------
+# mapInArrow operator
+# ---------------------------------------------------------------------------
+
+
+def _extract_doc_stream(kinds, texts) -> tuple[list[str], dict]:
+    m = {f: 0 for f in EXTRACT_METRIC_FIELDS}
+    out_texts = list(texts)
+    for i, kind in enumerate(kinds):
+        if kind == "html":
+            m["chars_in"] += len(texts[i] or "")
+            text, kept, dropped = extract_html_stream(texts[i])
+            out_texts[i] = text
+            m["html_blocks_kept"] += kept
+            m["html_blocks_dropped"] += dropped
+            m["chars_out"] += len(text)
+        elif kind == "pdf":
+            m["chars_in"] += len(texts[i] or "")
+            text, kept, dropped = parse_layout_stream(texts[i])
+            out_texts[i] = text
+            m["pdf_lines_kept"] += kept
+            m["pdf_lines_dropped"] += dropped
+            m["chars_out"] += len(text)
+    return out_texts, m
+
+
+def make_extract_arrow():
+    """(doc_id, spans) -> EXTRACT_OUTPUT_SCHEMA, flat-Arrow in and out
+    (same zero-dict plumbing as the munge operator — see its docstring
+    for why mapInArrow beats mapInPandas on list<struct> columns)."""
+    import pyarrow as pa
+
+    def extract_arrow(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            doc_ids = batch.column(0)
+            spans_col = batch.column(1)
+            if isinstance(spans_col, pa.ChunkedArray):  # pragma: no cover
+                spans_col = spans_col.combine_chunks()
+            offsets = spans_col.offsets.to_pylist()
+            flat = spans_col.values
+            kinds = flat.field("kind").to_pylist()
+            texts = flat.field("text").to_pylist()
+
+            new_texts: list[str] = list(texts)
+            metric_cols: dict[str, list[int]] = {f: [] for f in EXTRACT_METRIC_FIELDS}
+            timings: list[int] = []
+            for r in range(batch.num_rows):
+                lo, hi = offsets[r], offsets[r + 1]
+                t0 = time.monotonic()
+                out, m = _extract_doc_stream(kinds[lo:hi], texts[lo:hi])
+                timings.append(int((time.monotonic() - t0) * 1e6))
+                new_texts[lo:hi] = out
+                for f in EXTRACT_METRIC_FIELDS:
+                    metric_cols[f].append(m[f])
+
+            struct_arr = pa.StructArray.from_arrays(
+                [
+                    flat.field("kind"),
+                    pa.array(new_texts, type=pa.string()),
+                    flat.field("media_ref"),
+                    flat.field("offset"),
+                ],
+                names=["kind", "text", "media_ref", "offset"],
+            )
+            spans_out = pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()), struct_arr
+            )
+            arrays = [doc_ids, spans_out]
+            names = ["doc_id", "spans"]
+            for f in EXTRACT_METRIC_FIELDS:
+                arrays.append(pa.array(metric_cols[f], type=pa.int64()))
+                names.append(f)
+            arrays.append(pa.array(timings, type=pa.int64()))
+            names.append("extract_us")
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return extract_arrow
+
+
+def extract(df, spark=None):
+    """DataFrame (doc_id, spans) -> (doc_id, spans', extraction metrics).
+
+    No broadcast state needed (unlike munge's rulesets): the heuristics
+    are compiled into the closure. ``spark`` accepted for signature
+    symmetry with ``munge``."""
+    return df.mapInArrow(make_extract_arrow(), schema=EXTRACT_OUTPUT_SCHEMA)

@@ -1,0 +1,108 @@
+"""Main-content extraction (SPEC.md part II): the Spark mapInArrow
+operator must be span-sequence-equal to the pure-Python oracle, media
+must pass through byte-identical, and the plan must stay one Python
+stage."""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from datamunging_spark.generator import corpus_to_rows
+from datamunging_spark.generator_web import generate_web_corpus, make_html
+from datamunging_spark.operators.extract import (
+    EXTRACT_OUTPUT_SCHEMA,
+    extract,
+    extract_html_stream,
+)
+from datamunging_spark.operators.munge import INPUT_SCHEMA
+from datamunging_spark.oracle.extract import (
+    EXTRACT_METRIC_FIELDS,
+    extract_doc,
+    extract_html,
+)
+
+
+def _spark_results(spark, docs):
+    df = spark.createDataFrame(corpus_to_rows(docs), schema=INPUT_SCHEMA)
+    out = extract(df.repartition(4, "doc_id"), spark).collect()
+    return {r.doc_id: r for r in out}
+
+
+def test_spark_matches_oracle_span_equality(spark):
+    docs = generate_web_corpus(seed=21, n_docs=25)
+    got = _spark_results(spark, docs)
+    assert len(got) == len(docs)
+    for doc_id, spans in docs:
+        want_spans, want_m = extract_doc([s._asdict() for s in spans])
+        row = got[doc_id]
+        have = [(s.kind, s.text, s.media_ref, s.offset) for s in row.spans]
+        want = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in want_spans]
+        assert have == want, f"{doc_id}: span sequence differs"
+        for f in EXTRACT_METRIC_FIELDS:
+            assert getattr(row, f) == want_m[f], f"{doc_id}.{f}"
+
+
+def test_media_spans_byte_identical(spark):
+    docs = generate_web_corpus(seed=22, n_docs=15)
+    got = _spark_results(spark, docs)
+    for doc_id, spans in docs:
+        row = got[doc_id]
+        for orig, out in zip(spans, row.spans):
+            assert orig.offset == out.offset
+            assert orig.kind == out.kind
+            assert orig.media_ref == out.media_ref
+            if orig.kind not in ("html", "pdf"):
+                assert out.text == orig.text
+
+
+def test_plan_is_single_python_stage(spark):
+    docs = generate_web_corpus(seed=23, n_docs=5)
+    df = spark.createDataFrame(corpus_to_rows(docs), schema=INPUT_SCHEMA)
+    plan = extract(df, spark)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInArrow") == 1
+    assert "EvalPython" not in plan
+
+
+def test_boilerplate_dropped_content_kept():
+    rng = random.Random(5)
+    html = make_html(rng, 1)
+    text, kept, dropped = extract_html(html)
+    assert kept > 0 and dropped > 0
+    # chrome is gone
+    for marker in ("Politics", "Subscribe", "cookies", "All rights reserved", "Related"):
+        assert marker not in text
+    # long article paragraphs survive
+    assert max(len(p) for p in text.split("\n\n")) >= 50
+
+
+def test_implementations_agree_on_tag_soup():
+    rng = random.Random(99)
+    tags = "p div span a li ul h2 em footer nav script b td body head title br pre".split()
+    for _ in range(150):
+        parts = []
+        for _ in range(rng.randint(1, 50)):
+            r = rng.random()
+            if r < 0.35:
+                cls = rng.choice(["", " class='ad-top'", " id='main'", " class='content'"])
+                parts.append(f"<{rng.choice(tags)}{cls}>")
+            elif r < 0.6:
+                parts.append(f"</{rng.choice(tags)}>")
+            else:
+                parts.append(
+                    " ".join(
+                        rng.choice(["word", "the quick brown fox jumps over it", "&amp;"])
+                        for _ in range(rng.randint(1, 5))
+                    )
+                )
+        html = "".join(parts)
+        assert extract_html(html) == extract_html_stream(html)
+
+
+def test_output_schema_stable():
+    names = [f.name for f in EXTRACT_OUTPUT_SCHEMA.fields]
+    assert names[:2] == ["doc_id", "spans"]
+    assert set(EXTRACT_METRIC_FIELDS) <= set(names)
