@@ -25,28 +25,49 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--input", required=True, help="spans table (parquet path)")
     p.add_argument("--output", required=True, help="output table path (also the checkpoint)")
     p.add_argument("--run-id", required=True)
+    p.add_argument(
+        "--job",
+        choices=["munge", "extract"],
+        default="munge",
+        help="munge = OCR correction cascade; extract = HTML/PDF main-content extraction",
+    )
     p.add_argument("--partitions", type=int, default=None)
     p.add_argument("--salt", type=int, default=0)
     p.add_argument("--master", default=None, help="override master (default: spark-submit's)")
     args = p.parse_args(argv)
 
-    from .pipeline import run_pipeline
+    from .pipeline import run_extract_pipeline, run_pipeline
     from .session import get_spark
 
-    spark = get_spark(app_name=f"munge-{args.run_id}", master=args.master)
+    spark = get_spark(app_name=f"{args.job}-{args.run_id}", master=args.master)
     input_df = spark.read.parquet(args.input)
-    res = run_pipeline(
-        spark,
-        input_df,
-        args.output,
-        run_id=args.run_id,
-        partitions=args.partitions,
-        salt=args.salt,
-    )
-    print(
-        f"run={res.run_id} docs={res.docs_processed} pages={res.pages} "
-        f"tokens_corrected={res.tokens_corrected}"
-    )
+    if args.job == "munge":
+        res = run_pipeline(
+            spark,
+            input_df,
+            args.output,
+            run_id=args.run_id,
+            partitions=args.partitions,
+            salt=args.salt,
+        )
+        print(
+            f"run={res.run_id} docs={res.docs_processed} pages={res.pages} "
+            f"tokens_corrected={res.tokens_corrected}"
+        )
+    else:
+        res = run_extract_pipeline(
+            spark,
+            input_df,
+            args.output,
+            run_id=args.run_id,
+            partitions=args.partitions,
+            salt=args.salt,
+        )
+        print(
+            f"run={res.run_id} docs={res.docs_processed} "
+            f"html_blocks={res.html_blocks_kept} pdf_lines={res.pdf_lines_kept} "
+            f"chars_out={res.chars_out}"
+        )
     spark.stop()
     return 0
 

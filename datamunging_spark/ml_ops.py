@@ -913,3 +913,93 @@ SELECT orig_id, probe_id, cos FROM (
 """
 
 ML_QUERIES["dedup_embedding_cosine"] = (dedup_embedding_cosine, DEDUP_EMBEDDING_SQL)
+
+
+# --------------------------------------------------------------------------
+# IVF-partitioned ANN (task brief: "an IVF or LSH-bucketed variant as the
+# scale path"; this is the IVF one, complementing ann_lsh_buckets).
+# Coarse quantizer = 8 deterministic literal centroids; every vector is
+# assigned to its nearest centroid by squared L2 (argmin over
+# |c|^2 - 2<x,c>, the |x|^2 term cancels), the query probes its nprobe=2
+# nearest cells, and exact cosine runs only inside those cells. At 10^9
+# vectors the cluster id becomes the table's partition column, so a probe
+# is partition pruning + a scan of ~nprobe/C of the corpus. Fully
+# DuckDB-oracle-checked, including the cluster assignment.
+# --------------------------------------------------------------------------
+
+IVF_N_CENTROIDS = 8
+IVF_NPROBE = 2
+IVF_CENTROIDS = [
+    [(((i * (j + 3) + j * j) % 11) - 5) / 7.0 for i in range(64)]
+    for j in range(IVF_N_CENTROIDS)
+]
+
+
+def _ivf_affinities_py(vec: list[float]) -> list[float]:
+    out = []
+    for c in IVF_CENTROIDS:
+        norm2 = sum(x * x for x in c)
+        d = sum(x * y for x, y in zip(vec, c))
+        out.append(norm2 - 2.0 * d)
+    return out
+
+
+def _ivf_probe_clusters(vec: list[float], nprobe: int = IVF_NPROBE) -> list[int]:
+    aff = _ivf_affinities_py(vec)
+    return sorted(sorted(range(len(aff)), key=lambda j: aff[j])[:nprobe])
+
+
+def _ivf_cluster_col():
+    """1-based cluster id column (argmin of the affinity array)."""
+    from .functions import dot as _dot
+
+    v = F.col("embedding").cast("array<double>")
+    aff = F.array(
+        *[
+            F.lit(float(sum(x * x for x in c)))
+            - 2.0 * _dot(v, F.array(*[F.lit(float(x)) for x in c]))
+            for c in IVF_CENTROIDS
+        ]
+    )
+    return F.array_position(aff, F.array_min(aff)).cast("int")
+
+
+def ann_ivf_topk(spark, sf_dir):
+    probes = [j + 1 for j in _ivf_probe_clusters(QUERY_VEC)]  # 1-based
+    emb = t(spark, sf_dir, "embeddings").withColumn("cluster", _ivf_cluster_col())
+    return (
+        emb.where(F.col("cluster").isin(probes))
+        .select(
+            "vec_id",
+            "cluster",
+            F.round(cosine_to_literal(F.col("embedding"), QUERY_VEC), 4).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), "vec_id")
+        .limit(10)
+    )
+
+
+def _ivf_sql() -> str:
+    aff_exprs = ", ".join(
+        f"({sum(x * x for x in c)!r} - 2.0 * "
+        f"list_dot_product(embedding::DOUBLE[], {c!r}))"
+        for c in IVF_CENTROIDS
+    )
+    probes = ", ".join(str(j + 1) for j in _ivf_probe_clusters(QUERY_VEC))
+    qnorm = (sum(x * x for x in QUERY_VEC)) ** 0.5
+    return f"""
+WITH assigned AS (
+  SELECT vec_id, embedding,
+         list_indexof([{aff_exprs}], list_min([{aff_exprs}])) AS cluster
+  FROM embeddings
+)
+SELECT vec_id, CAST(cluster AS INT) AS cluster,
+       round(list_dot_product(embedding::DOUBLE[], {QUERY_VEC!r})
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * {qnorm!r}), 4) AS cos
+FROM assigned WHERE cluster IN ({probes})
+ORDER BY cos DESC, vec_id LIMIT 10
+"""
+
+
+ML_QUERIES["ann_ivf_topk"] = (ann_ivf_topk, _ivf_sql())

@@ -62,21 +62,21 @@ def _done_docs(spark: SparkSession, io: ParquetTableIO, output_path: str):
     return io.read(spark, output_path).select("doc_id").distinct()
 
 
-def run_pipeline(
+def _run_stage(
     spark: SparkSession,
     input_df: DataFrame,
     output_path: str,
     run_id: str,
-    partitions: int | None = None,
-    salt: int = 0,
-    io: ParquetTableIO | None = None,
-    monster_threshold: int = 512,
-) -> RunResult:
-    """Process all not-yet-done docs from ``input_df`` into ``output_path``.
-
-    Idempotent: rerunning after success is a no-op; rerunning after a
-    mid-job kill processes only the missing docs.
-    """
+    apply_op,
+    lineage_sums: tuple[str, ...],
+    us_col: str,
+    partitions: int | None,
+    salt: int,
+    io: ParquetTableIO | None,
+):
+    """Shared resume/salt/lineage machinery for any (doc_id, spans) →
+    (doc_id, spans', metrics…) Arrow operator. Returns the run's output
+    DataFrame (rows of this run only)."""
     io = io or default_io()
     spark.conf.set("mapreduce.fileoutputcommitter.algorithm.version", "2")
 
@@ -92,34 +92,107 @@ def run_pipeline(
     # per deployment to dodge pathological co-location of hot doc_ids.
     todo = todo.repartition(partitions, F.xxhash64(F.col("doc_id"), F.lit(salt)))
 
-    # normal docs: single mapInArrow pass; monsters (> monster_threshold
-    # spans): bounded chunks with halo pages (operators/chunked.py) so no
-    # single task carries a 10^4-span row
-    munged = (
-        munge_auto(todo, spark, monster_threshold=monster_threshold)
+    processed = (
+        apply_op(todo)
         .withColumn("run_id", F.lit(run_id))
         .withColumn("partition_id", F.spark_partition_id())
     )
-    io.append(munged, output_path)
+    io.append(processed, output_path)
 
     # Per-partition lineage summary (derived; output table remains the
     # source of truth — see module docstring).
     out = io.read(spark, output_path).where(F.col("run_id") == run_id)
     lineage = out.groupBy("run_id", "partition_id").agg(
         F.count("*").alias("docs"),
-        F.sum("pages").alias("pages"),
-        F.sum("tokens_total").alias("tokens_total"),
-        F.sum("tokens_corrected").alias("tokens_corrected"),
-        (F.sum("munge_us") / F.lit(1000)).cast("long").alias("wall_ms"),
+        *[F.sum(c).alias(c) for c in lineage_sums],
+        (F.sum(us_col) / F.lit(1000)).cast("long").alias("wall_ms"),
     )
     io.append(lineage, output_path + STATE_SUFFIX)
+    return out
 
+
+def run_pipeline(
+    spark: SparkSession,
+    input_df: DataFrame,
+    output_path: str,
+    run_id: str,
+    partitions: int | None = None,
+    salt: int = 0,
+    io: ParquetTableIO | None = None,
+    monster_threshold: int = 512,
+) -> RunResult:
+    """Process all not-yet-done docs from ``input_df`` into ``output_path``.
+
+    Idempotent: rerunning after success is a no-op; rerunning after a
+    mid-job kill processes only the missing docs.
+    """
+    # normal docs: single mapInArrow pass; monsters (> monster_threshold
+    # spans): bounded chunks with halo pages (operators/chunked.py) so no
+    # single task carries a 10^4-span row
+    out = _run_stage(
+        spark,
+        input_df,
+        output_path,
+        run_id,
+        lambda df: munge_auto(df, spark, monster_threshold=monster_threshold),
+        ("pages", "tokens_total", "tokens_corrected"),
+        "munge_us",
+        partitions,
+        salt,
+        io,
+    )
     totals = out.agg(
         F.count("*").alias("docs"),
         F.coalesce(F.sum("pages"), F.lit(0)).alias("pages"),
         F.coalesce(F.sum("tokens_corrected"), F.lit(0)).alias("corr"),
     ).collect()[0]
     return RunResult(run_id, totals["docs"], totals["pages"], totals["corr"])
+
+
+@dataclass
+class ExtractRunResult:
+    run_id: str
+    docs_processed: int
+    html_blocks_kept: int
+    pdf_lines_kept: int
+    chars_out: int
+
+
+def run_extract_pipeline(
+    spark: SparkSession,
+    input_df: DataFrame,
+    output_path: str,
+    run_id: str,
+    partitions: int | None = None,
+    salt: int = 0,
+    io: ParquetTableIO | None = None,
+) -> ExtractRunResult:
+    """Main-content extraction (SPEC part II) under the same
+    output-table-as-checkpoint / anti-join-resume / salted-repartition
+    protocol as the munge cascade."""
+    from .operators.extract import extract
+
+    out = _run_stage(
+        spark,
+        input_df,
+        output_path,
+        run_id,
+        lambda df: extract(df, spark),
+        ("html_blocks_kept", "pdf_lines_kept", "pdf_lines_dropped", "chars_out"),
+        "extract_us",
+        partitions,
+        salt,
+        io,
+    )
+    totals = out.agg(
+        F.count("*").alias("docs"),
+        F.coalesce(F.sum("html_blocks_kept"), F.lit(0)).alias("hb"),
+        F.coalesce(F.sum("pdf_lines_kept"), F.lit(0)).alias("pl"),
+        F.coalesce(F.sum("chars_out"), F.lit(0)).alias("co"),
+    ).collect()[0]
+    return ExtractRunResult(
+        run_id, totals["docs"], totals["hb"], totals["pl"], totals["co"]
+    )
 
 
 def read_output(spark: SparkSession, output_path: str, io=None) -> DataFrame:

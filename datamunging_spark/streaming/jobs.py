@@ -169,3 +169,21 @@ def run_streaming_munge(
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_stream(events: DataFrame) -> DataFrame:
+    """Streaming exact dedup: the streaming form of the batch
+    ``dedup_exact`` training-data op. Rows are keyed by a content hash
+    and deduped with ``dropDuplicatesWithinWatermark``, so the state
+    store only retains keys until the 2-hour watermark passes — bounded
+    memory regardless of stream length, which is the property that makes
+    this viable on an unbounded 10^12-doc ingest (a plain
+    ``dropDuplicates`` would grow state forever)."""
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    keyed = events.withColumn(
+        "content_key",
+        F.sha2(F.concat_ws("|", *[F.col(c).cast("string") for c in cols]), 256),
+    )
+    return keyed.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["content_key"]
+    )

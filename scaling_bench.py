@@ -28,7 +28,11 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent
 N_DOCS = int(os.environ.get("SCALING_N_DOCS", "3000"))
 REPEATS = int(os.environ.get("SCALING_REPEATS", "2"))
-DATA = Path(os.environ.get("SCALING_DATA_DIR", f"/tmp/scaling_vols_{N_DOCS}"))
+# SCALING_JOB=munge (OCR cascade) or extract (HTML/PDF main-content
+# extraction) — both are single-Python-stage span pipelines and both are
+# north-rule scaling subjects.
+JOB = os.environ.get("SCALING_JOB", "munge")
+DATA = Path(os.environ.get("SCALING_DATA_DIR", f"/tmp/scaling_{JOB}_{N_DOCS}"))
 
 GEN = r"""
 import json, sys
@@ -36,10 +40,17 @@ sys.path.insert(0, {repo!r})
 from datamunging_spark.session import get_spark
 from datamunging_spark.generator import corpus_to_rows, generate_corpus
 from datamunging_spark.operators.munge import INPUT_SCHEMA
-n_docs = int(sys.argv[1]); out = sys.argv[2]
+n_docs = int(sys.argv[1]); out = sys.argv[2]; job = sys.argv[3]
 spark = get_spark(app_name="scaling-gen", master="local[32]")
-docs = generate_corpus(seed=42, n_docs=n_docs, monster_frac=0.05)
-n_pages = sum(1 for _, spans in docs for s in spans if s.kind == "page")
+if job == "munge":
+    docs = generate_corpus(seed=42, n_docs=n_docs, monster_frac=0.05)
+    n_pages = sum(1 for _, spans in docs for s in spans if s.kind == "page")
+else:
+    from datamunging_spark.generator_web import generate_web_corpus
+    docs = generate_web_corpus(seed=42, n_docs=n_docs)
+    n_pages = sum(
+        1 for _, spans in docs for s in spans if s.kind in ("html", "pdf")
+    )
 vols = spark.createDataFrame(corpus_to_rows(docs), schema=INPUT_SCHEMA)
 vols.repartition(128, "doc_id").write.mode("overwrite").parquet(out)
 print(json.dumps({{"pages": n_pages}}))
@@ -50,23 +61,29 @@ CHILD = r"""
 import json, sys, time
 sys.path.insert(0, {repo!r})
 from datamunging_spark.session import get_spark
-from datamunging_spark.operators.munge import munge
-cores = int(sys.argv[1]); data = sys.argv[2]
+cores = int(sys.argv[1]); data = sys.argv[2]; job = sys.argv[3]
+if job == "munge":
+    from datamunging_spark.operators.munge import munge as op
+else:
+    from datamunging_spark.operators.extract import extract as op
 spark = get_spark(app_name=f"scaling-{{cores}}", master=f"local[{{cores}}]",
                   shuffle_partitions=cores)
 vols = spark.read.parquet(data)
 # full-width warmup: spawn every Python worker once
-munge(vols, spark).write.mode("overwrite").format("noop").save()
+op(vols, spark).write.mode("overwrite").format("noop").save()
 t0 = time.perf_counter()
-munge(vols, spark).write.mode("overwrite").format("noop").save()
+op(vols, spark).write.mode("overwrite").format("noop").save()
 print(json.dumps({{"cores": cores, "wall_s": time.perf_counter() - t0}}))
 spark.stop()
 """
 
 
+PIN = os.environ.get("SCALING_PIN", "1") != "0"
+
+
 def _run(code: str, *args: str, cores: int | None = None) -> dict:
     cmd = [sys.executable, "-c", code.format(repo=str(REPO)), *args]
-    if cores is not None:
+    if cores is not None and PIN:
         # Pin the whole process tree (JVM + Python workers) to exactly
         # `cores` CPUs: an honest N-core executor, not "N task threads
         # free-riding on a 32-core host for GC/Arrow/Python work".
@@ -80,7 +97,7 @@ def _run(code: str, *args: str, cores: int | None = None) -> dict:
 def run_level(cores: int) -> dict:
     best = None
     for _ in range(REPEATS):
-        res = _run(CHILD, str(cores), str(DATA), cores=cores)
+        res = _run(CHILD, str(cores), str(DATA), JOB, cores=cores)
         if best is None or res["wall_s"] < best["wall_s"]:
             best = res
     return best
@@ -88,7 +105,7 @@ def run_level(cores: int) -> dict:
 
 def main() -> None:
     if not (DATA / "_SUCCESS").exists():
-        meta = _run(GEN, str(N_DOCS), str(DATA))
+        meta = _run(GEN, str(N_DOCS), str(DATA), JOB)
         (DATA / "_meta.json").write_text(json.dumps(meta))
     pages = json.loads((DATA / "_meta.json").read_text())["pages"]
 
@@ -98,6 +115,7 @@ def main() -> None:
     speedup = t32 / t8
     eff = speedup / 4.0
     result = {
+        "job": JOB,
         "n_docs": N_DOCS,
         "pages": pages,
         "local8_wall_s": round(r8["wall_s"], 3),
@@ -106,6 +124,7 @@ def main() -> None:
         "local32_pages_per_sec": round(t32, 1),
         "speedup_8_to_32": round(speedup, 3),
         "scaling_efficiency": round(eff, 3),
+        "pinned": PIN,
         "target": 0.8,
         "meets_target": eff >= 0.8,
     }
@@ -113,7 +132,7 @@ def main() -> None:
     md.parent.mkdir(exist_ok=True)
     lines = [
         "",
-        f"## Scaling run ({N_DOCS} docs, {pages} pages, seed=42, parquet input)",
+        f"## Scaling run — {JOB} job ({N_DOCS} docs, {pages} {'pages' if JOB == 'munge' else 'html+pdf spans'}, seed=42, parquet input, {'pinned' if PIN else 'unpinned'})",
         "",
         "| cores | wall (s) | pages/sec |",
         "|---|---|---|",

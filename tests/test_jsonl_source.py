@@ -51,3 +51,26 @@ def test_read_jsonl_pages_assembles_order(spark, corpus, tmp_path_factory):
         assert [
             (s.kind, s.text, s.media_ref, s.offset) for s in got[row["doc_id"]]
         ] == [tuple(s.values()) for s in row["spans"]]
+
+
+# ---- TSV feature sink (R16 parity) ---------------------------------------
+
+
+def test_tsv_feature_sink_round_trip(spark, tmp_path_factory):
+    from datamunging_spark.generator import corpus_to_rows, generate_corpus
+    from datamunging_spark.operators.munge import INPUT_SCHEMA, munge
+    from datamunging_spark.sources.tsv import (
+        FEATURE_COLUMNS,
+        read_features_tsv,
+        write_features_tsv,
+    )
+
+    rows = corpus_to_rows(generate_corpus(seed=13, n_docs=8))
+    out = munge(spark.createDataFrame(rows, schema=INPUT_SCHEMA), spark)
+    path = str(tmp_path_factory.mktemp("tsv") / "features")
+    write_features_tsv(out, path, single_file=True)
+    back = read_features_tsv(spark, path)
+    assert back.columns == FEATURE_COLUMNS
+    want = {r.doc_id: (r.pages, r.tokens_total) for r in out.collect()}
+    got = {r.doc_id: (r.pages, r.tokens_total) for r in back.collect()}
+    assert got == want

@@ -86,3 +86,46 @@ def test_salted_partitioning_spreads_docs(spark, corpus_df, tmp_path_factory):
     )
     # 20 docs into 16 partitions: no partition may hoard them
     assert max(r["count"] for r in per_part) <= 5
+
+
+# ---- extraction pipeline shares the resume protocol ----------------------
+
+from datamunging_spark.generator_web import generate_web_corpus  # noqa: E402
+from datamunging_spark.pipeline import run_extract_pipeline  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def web_corpus_df(spark):
+    rows = corpus_to_rows(generate_web_corpus(seed=31, n_docs=20))
+    return spark.createDataFrame(rows, schema=INPUT_SCHEMA).cache()
+
+
+def test_extract_rerun_is_noop(spark, web_corpus_df, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("ex") / "out")
+    r1 = run_extract_pipeline(spark, web_corpus_df, out, run_id="e1", partitions=8)
+    assert r1.docs_processed == 20
+    r2 = run_extract_pipeline(spark, web_corpus_df, out, run_id="e2", partitions=8)
+    assert r2.docs_processed == 0
+    assert read_output(spark, out).count() == 20
+
+
+def test_extract_resume_matches_clean_run(spark, web_corpus_df, tmp_path_factory):
+    base = tmp_path_factory.mktemp("ex2")
+    out, clean_out = str(base / "out"), str(base / "clean")
+    partial = web_corpus_df.where(F.col("doc_id") < "web.00000010")
+    run_extract_pipeline(spark, partial, out, run_id="e1", partitions=4)
+    r2 = run_extract_pipeline(spark, web_corpus_df, out, run_id="e2", partitions=4)
+    assert r2.docs_processed == 10
+    run_extract_pipeline(spark, web_corpus_df, clean_out, run_id="c", partitions=4)
+    a = {
+        r.doc_id: [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans]
+        for r in read_output(spark, out).collect()
+    }
+    b = {
+        r.doc_id: [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans]
+        for r in read_output(spark, clean_out).collect()
+    }
+    assert a == b
+    state = read_state(spark, out)
+    assert {r.run_id for r in state.collect()} == {"e1", "e2"}
+    assert state.agg(F.sum("docs")).collect()[0][0] == 20

@@ -134,3 +134,25 @@ def test_streaming_munge_matches_batch_pipeline(spark, tmp_path_factory):
     raw = spark.read.parquet(out_stream)
     assert raw.count() == raw.select("doc_id").distinct().count()
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def doubled_events_dir(spark, sf_dir, tmp_path_factory):
+    """Events written TWICE into each file: every row has exactly one
+    duplicate arriving in the same micro-batch."""
+    out = str(tmp_path_factory.mktemp("stream_dup") / "events")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.unionAll(ev).coalesce(1).write.mode("overwrite").parquet(out)
+    return out
+
+
+def test_dedup_stream_removes_duplicates(spark, sf_dir, doubled_events_dir):
+    from datamunging_spark.streaming.jobs import dedup_stream
+
+    stream = read_events_stream(spark, doubled_events_dir)
+    q = _drain(dedup_stream(stream), "dedup_stream_t")
+    got = spark.sql("SELECT event_id FROM dedup_stream_t")
+    n_orig = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert got.count() == n_orig  # every duplicate dropped, no original lost
+    assert got.distinct().count() == n_orig
+    q.stop()
