@@ -1003,3 +1003,176 @@ ORDER BY cos DESC, vec_id LIMIT 10
 
 
 ML_QUERIES["ann_ivf_topk"] = (ann_ivf_topk, _ivf_sql())
+
+
+# --------------------------------------------------------------------------
+# Multimodal part II (task brief: "decode / feature-extract / resize /
+# frame-sample"): resize and frame sampling. Both run as Arrow-batched
+# mapInPandas over the opaque binary payload (the real decode is stubbed
+# like multimodal_features above), but their GEOMETRY/SAMPLING math is
+# real and — because the fake decode derives dimensions and checksums
+# from md5, which DuckDB shares — both ops are fully oracle-checked:
+# a rare end-to-end value check on a Pandas-UDF pipeline.
+# --------------------------------------------------------------------------
+
+RESIZE_TARGET = 224
+FRAME_SAMPLE_K = 4
+
+
+def _md5_int15(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("out_width", T.IntegerType(), False),
+        T.StructField("out_height", T.IntegerType(), False),
+    ]
+)
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import math
+
+    for pdf in batches:
+        texts = pdf["payload"].map(lambda b: bytes(b).decode("utf-8"))
+        if DECODE_AVAILABLE:  # pragma: no cover
+            dims = [_decode_real(bytes(b)) for b in pdf["payload"]]
+            w = pd.Series([d[0] for d in dims])
+            h = pd.Series([d[1] for d in dims])
+        else:
+            # deterministic fake decode: dims from md5 of the payload
+            w = texts.map(lambda s: _md5_int15("w:" + s) % 640 + 1)
+            h = texts.map(lambda s: _md5_int15("h:" + s) % 480 + 1)
+        # REAL resize math: aspect-preserving fit into TARGET x TARGET,
+        # never upscale
+        scale = pd.concat(
+            [RESIZE_TARGET / w, RESIZE_TARGET / h, pd.Series(1.0, index=w.index)],
+            axis=1,
+        ).min(axis=1)
+        ow = (w * scale).map(math.floor).clip(lower=1)
+        oh = (h * scale).map(math.floor).clip(lower=1)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": w.astype("int32"),
+                "height": h.astype("int32"),
+                "out_width": ow.astype("int32"),
+                "out_height": oh.astype("int32"),
+            }
+        )
+
+
+def multimodal_resize(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    media = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return (
+        media.repartition(8, "doc_id")
+        .mapInPandas(_resize_batches, schema=RESIZE_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+MULTIMODAL_RESIZE_SQL = f"""
+WITH decoded AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(concat('w:', text)), 1, 15)) AS BIGINT)
+             % 640 + 1 AS width,
+         CAST(concat('0x', substr(md5(concat('h:', text)), 1, 15)) AS BIGINT)
+             % 480 + 1 AS height
+  FROM documents WHERE doc_id < 100
+)
+SELECT doc_id,
+       CAST(width AS INT)  AS width,
+       CAST(height AS INT) AS height,
+       CAST(greatest(1, floor(width * least({RESIZE_TARGET}.0 / width,
+                                            {RESIZE_TARGET}.0 / height,
+                                            1.0))) AS INT) AS out_width,
+       CAST(greatest(1, floor(height * least({RESIZE_TARGET}.0 / width,
+                                             {RESIZE_TARGET}.0 / height,
+                                             1.0))) AS INT) AS out_height
+FROM decoded ORDER BY doc_id
+"""
+
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_hash", T.LongType(), False),
+    ]
+)
+
+
+def _frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import math
+
+    for pdf in batches:
+        out = {"doc_id": [], "n_frames": [], "frame_idx": [], "frame_hash": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            text = bytes(payload).decode("utf-8")
+            # fake video length from payload size; REAL uniform sampling
+            n_frames = len(payload) // 40 + 1
+            k = min(FRAME_SAMPLE_K, n_frames)
+            for j in range(k):
+                idx = math.floor(j * (n_frames - 1) / max(k - 1, 1))
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(n_frames)
+                out["frame_idx"].append(idx)
+                out["frame_hash"].append(_md5_int15(text + ":" + str(idx)))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "n_frames": pd.Series(out["n_frames"], dtype="int32"),
+                "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                "frame_hash": pd.Series(out["frame_hash"], dtype="int64"),
+            }
+        )
+
+
+def multimodal_frame_sample(spark, sf_dir):
+    """One input row → k output rows (uniformly sampled frames): the
+    mapInPandas row-expansion shape a video pipeline needs."""
+    docs = t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    media = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return (
+        media.repartition(8, "doc_id")
+        .mapInPandas(_frame_sample_batches, schema=FRAME_SAMPLE_SCHEMA)
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+MULTIMODAL_FRAME_SQL = f"""
+WITH v AS (
+  SELECT doc_id, text,
+         CAST(octet_length(encode(text)) // 40 + 1 AS INT) AS n_frames
+  FROM documents WHERE doc_id < 100
+),
+ks AS (
+  SELECT doc_id, text, n_frames,
+         least({FRAME_SAMPLE_K}, n_frames) AS k FROM v
+),
+j AS (
+  SELECT doc_id, text, n_frames, k,
+         unnest(generate_series(0, k - 1)) AS jj FROM ks
+)
+SELECT doc_id, n_frames,
+       CAST(floor(jj * (n_frames - 1) / greatest(k - 1, 1)) AS INT) AS frame_idx,
+       CAST(concat('0x', substr(md5(concat(text, ':',
+            CAST(CAST(floor(jj * (n_frames - 1) / greatest(k - 1, 1)) AS INT)
+                 AS VARCHAR))), 1, 15)) AS BIGINT) AS frame_hash
+FROM j ORDER BY doc_id, frame_idx
+"""
+
+
+ML_QUERIES["multimodal_resize"] = (multimodal_resize, MULTIMODAL_RESIZE_SQL)
+ML_QUERIES["multimodal_frame_sample"] = (
+    multimodal_frame_sample,
+    MULTIMODAL_FRAME_SQL,
+)
