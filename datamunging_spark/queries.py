@@ -1325,8 +1325,36 @@ ORDER BY n_events DESC, user_id LIMIT 20
 """
 
 
+def q_map_funcs(spark, sf_dir):
+    """Map-typed column surface: parse the JSON props into
+    map<string,string>, explode entries, aggregate per key. At scale the
+    from_json + explode is a generated-column scan — no UDF, no extra
+    shuffle beyond the aggregation."""
+    ev = t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return (
+        ev.select(F.explode(m).alias("key", "value"))
+        .groupBy("key")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(F.col("value").cast("int")), 4).alias("avg_val"),
+        )
+        .orderBy("key")
+    )
+
+
+Q_MAP_FUNCS_SQL = """
+SELECT k.key AS key, count(*) AS n,
+       round(avg(CAST(json_extract_string(e.props, '$.' || k.key) AS INT)), 4)
+           AS avg_val
+FROM events e, unnest(json_keys(e.props)) AS k(key)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 RELATIONAL_QUERIES.update(
     {
+        "map_funcs": (q_map_funcs, Q_MAP_FUNCS_SQL),
         "grouping_sets": (q_grouping_sets, Q_GROUPING_SETS_SQL),
         "full_outer_balance": (q_full_outer_balance, Q_FULL_OUTER_SQL),
         "cross_join_pairs": (q_cross_join_pairs, Q_CROSS_JOIN_SQL),
