@@ -148,3 +148,24 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_cust")
+
+
+def test_aqe_coalesces_shuffle_partitions(spark, sf_dir):
+    """AQE must be live: after execution the final adaptive plan reads
+    the shuffle through AQEShuffleRead with runtime-coalesced partitions
+    (at 100 TB this is what keeps 32k-partition shuffles from emitting
+    32k tiny tasks on the small stages)."""
+    df = q1_pricing_summary(spark, sf_dir)
+    df.collect()
+    final = plan_of(df)
+    assert "AQEShuffleRead" in final
+    assert "coalesced" in final
+
+
+def test_salted_agg_is_two_exchanges(spark, sf_dir):
+    """The skew-safe two-phase aggregation must cost exactly its two
+    intended shuffles (salted partial + final merge) and compile the
+    top-k to TakeOrdered, not a global sort."""
+    plan = plan_of(RELATIONAL_QUERIES["salted_heavy_hitters"][0](spark, sf_dir))
+    assert plan.count("Exchange") == 2
+    assert "TakeOrderedAndProject" in plan
