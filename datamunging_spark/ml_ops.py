@@ -1176,3 +1176,81 @@ ML_QUERIES["multimodal_frame_sample"] = (
     multimodal_frame_sample,
     MULTIMODAL_FRAME_SQL,
 )
+
+
+# --------------------------------------------------------------------------
+# Language ID, n-gram variant (task brief: "language-ID (n-gram
+# heuristic)", complementing the stopword version above). Score per
+# language = total occurrences of its characteristic character trigrams
+# (occurrence counting via length-difference after literal replace — a
+# pure codegen scan, no explode, no UDF); prediction = argmax with a
+# fixed precedence on ties. Fully oracle-checked; output is the
+# (actual, predicted) confusion matrix. NOTE the testdata's `lang`
+# labels sit on synthetic word-salad text, so the matrix records the
+# heuristic's deterministic behavior, not real-language accuracy.
+# --------------------------------------------------------------------------
+
+TRIGRAM_PROFILES = {
+    "en": ["the", " th", "he ", "and", "ing", "er "],
+    "de": ["der", "ein", "ich", "sch", "und", "en "],
+    "fr": ["les", " le", "ent", "que", "de ", "ion"],
+}
+
+
+def _trigram_score_col(trigrams: list[str]):
+    txt = F.lower(F.col("text"))
+    score = None
+    for tg in trigrams:
+        occ = (F.length(txt) - F.length(F.replace(txt, F.lit(tg), F.lit("")))) / 3
+        score = occ if score is None else score + occ
+    return score.cast("long")
+
+
+def lang_id_ngram(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[
+            _trigram_score_col(tgs).alias(f"s_{code}")
+            for code, tgs in TRIGRAM_PROFILES.items()
+        ],
+    )
+    best = F.greatest(*[F.col(f"s_{c}") for c in TRIGRAM_PROFILES])
+    pred = (
+        F.when(F.col("s_en") == best, "en")
+        .when(F.col("s_de") == best, "de")
+        .otherwise("fr")
+    )
+    return (
+        scored.withColumn("pred", pred)
+        .groupBy("lang", "pred")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "pred")
+    )
+
+
+def _lang_ngram_sql() -> str:
+    def score(code):
+        terms = " + ".join(
+            f"(length(lower(text)) - length(replace(lower(text), '{tg}', ''))) / 3"
+            for tg in TRIGRAM_PROFILES[code]
+        )
+        return f"CAST({terms} AS BIGINT)"
+
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {score('en')} AS s_en, {score('de')} AS s_de, {score('fr')} AS s_fr
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN s_en = greatest(s_en, s_de, s_fr) THEN 'en'
+            WHEN s_de = greatest(s_en, s_de, s_fr) THEN 'de'
+            ELSE 'fr' END AS pred,
+       count(*) AS n
+FROM scored GROUP BY 1, 2 ORDER BY lang, pred
+"""
+
+
+ML_QUERIES["lang_id_ngram"] = (lang_id_ngram, _lang_ngram_sql())

@@ -279,3 +279,104 @@ def extract(df, spark=None):
     are compiled into the closure. ``spark`` accepted for signature
     symmetry with ``munge``."""
     return df.mapInArrow(make_extract_arrow(), schema=EXTRACT_OUTPUT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Span-level parallel variant for monster documents. Unlike the munge
+# cascade (whose header/footer stage needs a ±2-page halo), extraction is
+# strictly SPAN-LOCAL, so a monster doc can be exploded to one row per
+# span, spread across the whole cluster, and reassembled byte-exactly —
+# perfect skew elimination at the cost of two shuffles.
+# ---------------------------------------------------------------------------
+
+_SPAN_ROWS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("pos", T.IntegerType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("offset", T.IntegerType()),
+    ]
+    + [T.StructField(f, T.LongType()) for f in EXTRACT_METRIC_FIELDS]
+    + [T.StructField("extract_us", T.LongType())]
+)
+
+
+def _extract_span_rows(batches: Iterator["pa.RecordBatch"]):
+    import pyarrow as pa
+
+    for batch in batches:
+        if batch.num_rows == 0:
+            continue
+        cols = {n: batch.column(i).to_pylist() for i, n in enumerate(batch.schema.names)}
+        out_texts = []
+        metric_cols = {f: [] for f in EXTRACT_METRIC_FIELDS}
+        timings = []
+        for kind, text in zip(cols["kind"], cols["text"]):
+            t0 = time.monotonic()
+            new_texts, m = _extract_doc_stream([kind], [text])
+            timings.append(int((time.monotonic() - t0) * 1e6))
+            out_texts.append(new_texts[0])
+            for f in EXTRACT_METRIC_FIELDS:
+                metric_cols[f].append(m[f])
+        arrays = [
+            pa.array(cols["doc_id"], type=pa.string()),
+            pa.array(cols["pos"], type=pa.int32()),
+            pa.array(cols["kind"], type=pa.string()),
+            pa.array(out_texts, type=pa.string()),
+            pa.array(cols["media_ref"], type=pa.string()),
+            pa.array(cols["offset"], type=pa.int32()),
+        ]
+        names = ["doc_id", "pos", "kind", "text", "media_ref", "offset"]
+        for f in EXTRACT_METRIC_FIELDS:
+            arrays.append(pa.array(metric_cols[f], type=pa.int64()))
+            names.append(f)
+        arrays.append(pa.array(timings, type=pa.int64()))
+        names.append("extract_us")
+        yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+
+def extract_exploded(df, spark=None, partitions=None):
+    """(doc_id, spans) -> EXTRACT_OUTPUT_SCHEMA via span-level
+    parallelism: posexplode → per-span extraction → array_sort
+    reassembly. Byte-equal to ``extract`` (pytest-asserted)."""
+    from pyspark.sql import functions as F
+
+    sess = df.sparkSession
+    par = partitions or sess.sparkContext.defaultParallelism * 4
+    rows = (
+        df.select("doc_id", F.posexplode("spans").alias("pos", "s"))
+        .select(
+            "doc_id",
+            F.col("pos").cast("int").alias("pos"),
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.offset").alias("offset"),
+        )
+        .repartition(par, "doc_id", "pos")
+    )
+    done = rows.mapInArrow(_extract_span_rows, schema=_SPAN_ROWS_SCHEMA)
+    span_struct = F.struct(
+        F.col("pos"),
+        F.struct("kind", "text", "media_ref", "offset").alias("s"),
+    )
+    agg = done.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(span_struct)), lambda x: x["s"]
+        ).alias("spans"),
+        *[F.sum(f).alias(f) for f in EXTRACT_METRIC_FIELDS],
+        F.sum("extract_us").alias("extract_us"),
+    )
+    return agg.select([f.name for f in EXTRACT_OUTPUT_SCHEMA.fields])
+
+
+def extract_auto(df, spark=None, monster_threshold: int = 256):
+    """Route: normal docs through the single-pass operator, monsters
+    (> monster_threshold spans) through span-level explosion."""
+    from pyspark.sql import functions as F
+
+    small = df.where(F.size("spans") <= monster_threshold)
+    big = df.where(F.size("spans") > monster_threshold)
+    return extract(small, spark).unionByName(extract_exploded(big, spark))

@@ -169,15 +169,17 @@ def run_extract_pipeline(
 ) -> ExtractRunResult:
     """Main-content extraction (SPEC part II) under the same
     output-table-as-checkpoint / anti-join-resume / salted-repartition
-    protocol as the munge cascade."""
-    from .operators.extract import extract
+    protocol as the munge cascade. Monster docs route through the
+    span-level exploded path (extraction is span-local, so no halo is
+    needed — see operators/extract.extract_exploded)."""
+    from .operators.extract import extract_auto
 
     out = _run_stage(
         spark,
         input_df,
         output_path,
         run_id,
-        lambda df: extract(df, spark),
+        lambda df: extract_auto(df, spark),
         ("html_blocks_kept", "pdf_lines_kept", "pdf_lines_dropped", "chars_out"),
         "extract_us",
         partitions,

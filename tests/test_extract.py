@@ -106,3 +106,30 @@ def test_output_schema_stable():
     names = [f.name for f in EXTRACT_OUTPUT_SCHEMA.fields]
     assert names[:2] == ["doc_id", "spans"]
     assert set(EXTRACT_METRIC_FIELDS) <= set(names)
+
+
+def test_exploded_extraction_byte_equal(spark):
+    """Span-level parallel path (monster-doc skew elimination) must be
+    byte-identical to the single-pass operator, metrics included."""
+    from datamunging_spark.operators.extract import extract_auto, extract_exploded
+
+    docs = generate_web_corpus(seed=41, n_docs=6)
+    # synthesize a monster: tile one doc's spans to 300 spans
+    base_id, base_spans = docs[0]
+    tiled = [
+        s._replace(offset=i) for i, s in enumerate(
+            [base_spans[i % len(base_spans)] for i in range(300)]
+        )
+    ]
+    docs = [("web.monster", tiled)] + docs[1:]
+    df = spark.createDataFrame(corpus_to_rows(docs), schema=INPUT_SCHEMA)
+
+    whole = {r.doc_id: r for r in extract(df, spark).collect()}
+    routed = {r.doc_id: r for r in extract_auto(df, spark, monster_threshold=50).collect()}
+    exploded = {r.doc_id: r for r in extract_exploded(df, spark).collect()}
+    assert set(whole) == set(routed) == set(exploded)
+    for doc_id, w in whole.items():
+        for other in (routed[doc_id], exploded[doc_id]):
+            assert [tuple(s) for s in w.spans] == [tuple(s) for s in other.spans], doc_id
+            for f in EXTRACT_METRIC_FIELDS:
+                assert getattr(w, f) == getattr(other, f), f"{doc_id}.{f}"
