@@ -1254,3 +1254,45 @@ FROM scored GROUP BY 1, 2 ORDER BY lang, pred
 
 
 ML_QUERIES["lang_id_ngram"] = (lang_id_ngram, _lang_ngram_sql())
+
+
+# --------------------------------------------------------------------------
+# BPE-ish token counting (task brief: "token counting (whitespace + a
+# BPE-ish regex)"). The pattern is the GPT-2 pretokenizer family —
+# contraction suffixes, space-prefixed letter runs, digit runs, punct
+# runs — minus the trailing-whitespace lookahead (RE2, which DuckDB
+# uses, has no lookahead; Java and RE2 agree on leftmost-first
+# alternation for this pattern, which the oracle verifies).
+# --------------------------------------------------------------------------
+
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9']+"
+
+
+def token_stats_bpe(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    tk = F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_PATTERN), 0)
+    return (
+        docs.select("lang", tk.alias("tk"))
+        .groupBy("lang")
+        .agg(
+            F.sum(F.size("tk")).alias("total_tokens"),
+            F.round(F.avg(F.size("tk")), 4).alias("avg_tokens"),
+            F.max(F.size("tk")).alias("max_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+TOKEN_STATS_BPE_SQL = rf"""
+SELECT lang,
+       CAST(sum(len(tk)) AS BIGINT) AS total_tokens,
+       round(avg(len(tk)), 4) AS avg_tokens,
+       CAST(max(len(tk)) AS INT) AS max_tokens
+FROM (SELECT lang,
+             regexp_extract_all(lower(text), '{BPE_PATTERN.replace("'", "''")}') AS tk
+      FROM documents)
+GROUP BY lang ORDER BY lang
+"""
+
+
+ML_QUERIES["token_stats_bpe"] = (token_stats_bpe, TOKEN_STATS_BPE_SQL)

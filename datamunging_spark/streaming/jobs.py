@@ -187,3 +187,40 @@ def dedup_stream(events: DataFrame) -> DataFrame:
     return keyed.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
         ["content_key"]
     )
+
+
+def correlate_streams(events: DataFrame) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition: each
+    `view` joins the same user's `purchase` events landing within 30
+    minutes AFTER it. Both sides carry a 1-hour watermark, so the join
+    state for a view expires once the purchase-side watermark passes
+    view_ts + 30min — bounded state on an unbounded stream, which is the
+    whole trick (an un-watermarked stream-stream join buffers forever)."""
+    views = (
+        events.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    return views.join(
+        purchases,
+        F.expr(
+            "v_user = p_user AND "
+            "purchase_ts >= view_ts AND "
+            "purchase_ts <= view_ts + interval 30 minutes"
+        ),
+    ).select(
+        "v_user", "view_id", "view_ts", "purchase_ts", "purchase_value"
+    )

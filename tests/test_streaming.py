@@ -156,3 +156,18 @@ def test_dedup_stream_removes_duplicates(spark, sf_dir, doubled_events_dir):
     assert got.count() == n_orig  # every duplicate dropped, no original lost
     assert got.distinct().count() == n_orig
     q.stop()
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, events_dir):
+    from datamunging_spark.streaming.jobs import correlate_streams
+
+    stream = read_events_stream(spark, events_dir)
+    q = _drain(correlate_streams(stream), "ss_join_t")
+    got = spark.sql("SELECT v_user, view_id, purchase_ts FROM ss_join_t")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = correlate_streams(ev)  # same logic, batch semantics
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(
+        want.select("v_user", "view_id", "purchase_ts")
+    ).count() == 0
+    q.stop()
