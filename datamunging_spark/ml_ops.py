@@ -1296,3 +1296,276 @@ GROUP BY lang ORDER BY lang
 
 
 ML_QUERIES["token_stats_bpe"] = (token_stats_bpe, TOKEN_STATS_BPE_SQL)
+
+
+# --------------------------------------------------------------------------
+# Near-dup CLUSTERING: connected components over the exact token-Jaccard
+# edge set, then canonical-representative selection. This is the piece
+# that turns pairwise dedup output into an actionable keep/drop list —
+# near-dup relations are not transitive, so pairs alone under-merge.
+#
+# Spark side: iterative min-label propagation (each round: ship every
+# node's current label to its neighbors, keep the minimum; labels are
+# monotone non-increasing, so the loop converges in <= graph-diameter
+# rounds). Each iteration is one shuffle keyed by dst + one self-join;
+# lineage is cut with localCheckpoint per round so plans stay O(1) deep.
+# Near-dup graphs are dense and low-diameter (clusters are near-cliques),
+# so this beats the O(log n)-round large-star/small-star contraction
+# (Kiveris et al., "Connected Components in MapReduce and Beyond") in
+# practice; swap in star contraction if cluster diameters are adversarial.
+#
+# Oracle: DuckDB recursive CTE computing full reachability, then
+# min(reachable id) per node — an independent formulation of the same
+# fixpoint.
+# --------------------------------------------------------------------------
+
+CC_MAX_ITERS = 15
+
+
+def _jaccard_edges(spark, sf_dir, threshold: float = 0.8) -> DataFrame:
+    """Same-source token-Jaccard >= threshold pairs (d1 < d2) — the
+    SQL-expressible edge set shared with ``dedup_token_jaccard``; the
+    scale path swaps in ``lsh_candidate_pairs`` + verify unchanged."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", tokens_distinct(F.col("text")).alias("tk")
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    jac = F.size(F.array_intersect("a.tk", "b.tk")) / F.size(
+        F.array_union("a.tk", "b.tk")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(F.round(jac, 4) >= threshold)
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+    )
+
+
+def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> DataFrame:
+    """(doc_id, cluster) for every node of the (d1, d2) edge set, where
+    cluster = min doc_id in the node's connected component."""
+    fwd = edges.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+    rev = edges.select(F.col("d2").alias("src"), F.col("d1").alias("dst"))
+    sym = fwd.unionByName(rev).localCheckpoint()
+    labels = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neigh = (
+            sym.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"), F.col("cluster").alias("c")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("c").alias("nc"))
+            .withColumnRenamed("src", "doc_id")
+        )
+        new = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster"), F.coalesce("nc", F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.withColumnRenamed("cluster", "new_c")
+            .join(labels, "doc_id")
+            .where(F.col("new_c") != F.col("cluster"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(spark, sf_dir):
+    return connected_components(_jaccard_edges(spark, sf_dir)).orderBy("doc_id")
+
+
+_CC_EDGES_SQL = """
+toks AS (
+  SELECT doc_id, source, list_distinct(string_split(lower(text), ' ')) AS tk
+  FROM documents
+),
+jpairs AS (
+  SELECT d1, d2 FROM (
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           round(len(list_intersect(a.tk, b.tk))::DOUBLE
+                 / len(list_distinct(list_concat(a.tk, b.tk))), 4) AS jaccard
+    FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
+  ) WHERE jaccard >= 0.8
+),
+edges AS (
+  SELECT d1 AS src, d2 AS dst FROM jpairs
+  UNION ALL SELECT d2, d1 FROM jpairs
+),
+reach AS (
+  SELECT DISTINCT src AS node, src AS r FROM edges
+  UNION
+  SELECT e.src, rc.r FROM edges e JOIN reach rc ON rc.node = e.dst
+),
+labels AS (
+  SELECT node AS doc_id, min(r) AS cluster FROM reach GROUP BY node
+)
+"""
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_CC_EDGES_SQL}
+SELECT doc_id, cluster FROM labels ORDER BY doc_id
+"""
+
+
+def dedup_representatives(spark, sf_dir):
+    """One keeper per near-dup cluster: the longest document (ties
+    broken by smallest doc_id), plus cluster size and total bytes — the
+    keep/drop manifest a dedup stage feeds downstream."""
+    labels = dedup_clusters(spark, sf_dir)
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = labels.join(docs, "doc_id")
+    w = W.partitionBy("cluster").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .groupBy("cluster")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias(
+                "rep_doc_id"
+            ),
+            F.count("*").alias("n_members"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("cluster")
+    )
+
+
+DEDUP_REPRESENTATIVES_SQL = f"""
+WITH RECURSIVE {_CC_EDGES_SQL},
+j AS (
+  SELECT l.doc_id, l.cluster, d.n_chars
+  FROM labels l JOIN documents d USING (doc_id)
+),
+rn AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY cluster ORDER BY n_chars DESC, doc_id
+  ) AS rn FROM j
+)
+SELECT cluster,
+       max(CASE WHEN rn = 1 THEN doc_id END) AS rep_doc_id,
+       count(*) AS n_members,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM rn GROUP BY cluster ORDER BY cluster
+"""
+
+
+ML_QUERIES["dedup_clusters"] = (dedup_clusters, DEDUP_CLUSTERS_SQL)
+ML_QUERIES["dedup_representatives"] = (
+    dedup_representatives,
+    DEDUP_REPRESENTATIVES_SQL,
+)
+
+
+# --------------------------------------------------------------------------
+# Deterministic dataset splitting & sampling — the train/valid/test
+# holdout and the eval-slice draw every training-data pipeline needs.
+# Both are pure hash math (md5, identical in Spark and DuckDB), so they
+# are reproducible across engines/runs/cluster sizes and need no stored
+# split table; membership is a projection, never a shuffle.
+# --------------------------------------------------------------------------
+
+
+def _md5_bucket(col, salt: str, mod: int):
+    """First 15 md5 hex chars of (salt || value) as int64, mod N —
+    uniform, deterministic, engine-independent."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return h % mod
+
+
+def hash_split(spark, sf_dir):
+    """80/10/10 train/valid/test split by md5 bucket of doc_id; returns
+    the per-split per-lang manifest (counts + size) used to sanity-check
+    balance. At 10^12 docs this is a scan + one small aggregation."""
+    docs = t(spark, sf_dir, "documents")
+    bucket = _md5_bucket(F.col("doc_id"), "split:", 100)
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+HASH_SPLIT_SQL = """
+SELECT split, lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+FROM (
+  SELECT CASE WHEN b < 80 THEN 'train'
+              WHEN b < 90 THEN 'valid'
+              ELSE 'test' END AS split,
+         lang, n_chars
+  FROM (
+    SELECT lang, n_chars,
+           CAST(concat('0x', substr(md5(concat('split:',
+                CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 AS b
+    FROM documents
+  )
+)
+GROUP BY split, lang ORDER BY split, lang
+"""
+
+
+def stratified_sample(spark, sf_dir, k: int = 20):
+    """Exactly-k-per-language deterministic sample: rank docs inside
+    each lang by a salted md5 of doc_id and keep the first k. Unlike
+    TABLESAMPLE/df.sample this is exact, stratified, and identical on
+    every engine and cluster size. One window shuffle keyed by lang;
+    at scale pre-filter with a bucket predicate (md5 % m < ceil) so the
+    window only ranks ~k·fudge rows per stratum instead of the corpus."""
+    docs = t(spark, sf_dir, "documents")
+    h = _md5_bucket(F.col("doc_id"), "sample:", 1_000_000_007)
+    w = W.partitionBy("lang").orderBy(F.asc("h"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "lang", h.alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("lang", F.col("rn").cast("int").alias("rn"), "doc_id")
+        .orderBy("lang", "rn")
+    )
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT lang, CAST(rn AS INT) AS rn, doc_id FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+  FROM (
+    SELECT doc_id, lang,
+           CAST(concat('0x', substr(md5(concat('sample:',
+                CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+             % 1000000007 AS h
+    FROM documents
+  )
+) WHERE rn <= 20 ORDER BY lang, rn
+"""
+
+
+ML_QUERIES["hash_split"] = (hash_split, HASH_SPLIT_SQL)
+ML_QUERIES["stratified_sample"] = (stratified_sample, STRATIFIED_SAMPLE_SQL)

@@ -158,3 +158,20 @@ def test_extract_munge_matches_oracle_per_doc(spark):
             m.tokens_in_dict,
             m.tokens_corrected,
         ), doc_id
+
+
+def test_connected_components_exact_clusters(spark):
+    """Hand-built graph: an 8-node chain (forces multiple propagation
+    rounds — diameter 7), a triangle, and a 2-clique; labels must be the
+    min doc_id of each component."""
+    from datamunging_spark.ml_ops import connected_components
+
+    chain = [(i, i + 1) for i in range(1, 8)]          # 1..8 linked
+    tri = [(20, 21), (21, 22), (20, 22)]               # triangle
+    pair = [(30, 31)]
+    edges = spark.createDataFrame(chain + tri + pair, ["d1", "d2"])
+    got = {
+        r.doc_id: r.cluster for r in connected_components(edges).collect()
+    }
+    want = {**{i: 1 for i in range(1, 9)}, 20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
+    assert got == want
