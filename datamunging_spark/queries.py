@@ -1363,3 +1363,104 @@ RELATIONAL_QUERIES.update(
         "salted_heavy_hitters": (q_salted_heavy_hitters, Q_SALTED_SQL),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Unpivot (wide -> long): Spark's native unpivot/melt vs DuckDB UNPIVOT.
+# At scale this is a zero-shuffle projection (Expand node), unlike the
+# UNION-ALL-of-selects formulation which scans the table once per metric.
+# --------------------------------------------------------------------------
+
+
+def q_unpivot_part_metrics(spark, sf_dir):
+    part = t(spark, sf_dir, "part").where(F.col("p_partkey") < 100)
+    wide = part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retailprice"),
+    )
+    return wide.unpivot(
+        ids=["p_partkey"],
+        values=["size", "retailprice"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).orderBy("p_partkey", "metric")
+
+
+Q_UNPIVOT_SQL = """
+SELECT p_partkey, metric, value FROM (
+  UNPIVOT (
+    SELECT p_partkey,
+           CAST(p_size AS DOUBLE) AS size,
+           p_retailprice AS retailprice
+    FROM part WHERE p_partkey < 100
+  ) ON size, retailprice INTO NAME metric VALUE value
+) ORDER BY p_partkey, metric
+"""
+
+
+# --------------------------------------------------------------------------
+# Robust/ordinal aggregates: exact interpolated median + deterministic
+# mode per group. Exact median needs a per-group sort (unlike mean) — at
+# 100 TB prefer approx_percentile (t-digest, mergeable partial aggs)
+# unless exactness is contractual. Mode is computed as "smallest value
+# among the most frequent" via a two-level count + window — the native
+# mode() aggregate in both engines is tie-arbitrary, which breaks
+# cross-engine reproducibility (this dataset ties at sf0.001).
+# --------------------------------------------------------------------------
+
+
+def q_robust_stats(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("cnt")
+    )
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.desc("cnt"), F.asc("o_orderpriority")
+    )
+    modes = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_orderstatus", F.col("o_orderpriority").alias("mode_priority")
+        )
+    )
+    med = orders.groupBy("o_orderstatus").agg(
+        F.round(F.median("o_totalprice"), 4).alias("med_price"),
+        F.count("*").alias("n"),
+    )
+    return (
+        med.join(F.broadcast(modes), "o_orderstatus")
+        .select("o_orderstatus", "med_price", "mode_priority", "n")
+        .orderBy("o_orderstatus")
+    )
+
+
+Q_ROBUST_STATS_SQL = """
+WITH counts AS (
+  SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+  FROM orders GROUP BY 1, 2
+),
+modes AS (
+  SELECT o_orderstatus, o_orderpriority AS mode_priority
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY o_orderstatus ORDER BY cnt DESC, o_orderpriority
+    ) AS rn FROM counts
+  ) WHERE rn = 1
+)
+SELECT o.o_orderstatus,
+       round(median(o.o_totalprice), 4) AS med_price,
+       m.mode_priority,
+       count(*) AS n
+FROM orders o JOIN modes m USING (o_orderstatus)
+GROUP BY 1, 3 ORDER BY 1
+"""
+
+
+RELATIONAL_QUERIES.update(
+    {
+        "unpivot_part_metrics": (q_unpivot_part_metrics, Q_UNPIVOT_SQL),
+        "robust_stats": (q_robust_stats, Q_ROBUST_STATS_SQL),
+    }
+)

@@ -26,8 +26,8 @@ import sys
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent
-N_DOCS = int(os.environ.get("SCALING_N_DOCS", "3000"))
-REPEATS = int(os.environ.get("SCALING_REPEATS", "2"))
+N_DOCS = int(os.environ.get("SCALING_N_DOCS", "12000"))
+REPEATS = int(os.environ.get("SCALING_REPEATS", "3"))
 # SCALING_JOB=munge (OCR cascade) or extract (HTML/PDF main-content
 # extraction) — both are single-Python-stage span pipelines and both are
 # north-rule scaling subjects.

@@ -169,3 +169,13 @@ def test_salted_agg_is_two_exchanges(spark, sf_dir):
     plan = plan_of(RELATIONAL_QUERIES["salted_heavy_hitters"][0](spark, sf_dir))
     assert plan.count("Exchange") == 2
     assert "TakeOrderedAndProject" in plan
+
+
+def test_unpivot_is_expand_single_scan(spark, sf_dir):
+    """unpivot must compile to one Expand over one scan — not the
+    UNION-ALL formulation that scans the table once per metric."""
+    from datamunging_spark.queries import q_unpivot_part_metrics
+
+    plan = plan_of(q_unpivot_part_metrics(spark, sf_dir))
+    assert "Expand" in plan
+    assert plan.count("FileScan parquet") == 1
