@@ -1569,3 +1569,33 @@ SELECT lang, CAST(rn AS INT) AS rn, doc_id FROM (
 
 ML_QUERIES["hash_split"] = (hash_split, HASH_SPLIT_SQL)
 ML_QUERIES["stratified_sample"] = (stratified_sample, STRATIFIED_SAMPLE_SQL)
+
+
+# --------------------------------------------------------------------------
+# Approximate aggregates — the sketches that replace exact
+# distinct/percentile at 100 TB. approx_count_distinct is HyperLogLog++
+# (mergeable partial aggs — one pass, no per-key shuffle of raw values);
+# approx_percentile is a mergeable quantile summary. No DuckDB oracle
+# (sketch internals differ across engines); pytest bounds the relative
+# error against the exact answers instead.
+# --------------------------------------------------------------------------
+
+
+def approx_stats(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias(
+                "approx_parts"
+            ),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias(
+                "approx_med_price"
+            ),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ML_QUERIES["approx_stats"] = (approx_stats, None)

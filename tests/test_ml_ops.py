@@ -175,3 +175,27 @@ def test_connected_components_exact_clusters(spark):
     }
     want = {**{i: 1 for i in range(1, 9)}, 20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
     assert got == want
+
+
+def test_approx_stats_error_bounds(spark, sf_dir):
+    """HLL++ distinct counts within 3*rsd of exact; approx median within
+    1% of the exact interpolated median (10k-bucket summary on ~6k rows
+    per group is near-exact)."""
+    from datamunging_spark.ml_ops import approx_stats
+
+    got = {r.l_returnflag: r for r in approx_stats(spark, SF_DIR).collect()}
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    exact = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_partkey").alias("nd"),
+            F.median("l_extendedprice").alias("med"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for flag, e in exact.items():
+        g = got[flag]
+        assert abs(g.approx_parts - e.nd) / e.nd <= 0.06
+        assert abs(g.approx_med_price - e.med) / e.med <= 0.01

@@ -179,3 +179,51 @@ def test_unpivot_is_expand_single_scan(spark, sf_dir):
     plan = plan_of(q_unpivot_part_metrics(spark, sf_dir))
     assert "Expand" in plan
     assert plan.count("FileScan parquet") == 1
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """A 50%-of-rows hot key must trigger AQE's runtime skew-join split
+    (SortMergeJoin(skew=true) + AQEShuffleRead ... skewed) — the runtime
+    half of the engine's skew story (the static half is salting,
+    test_salted_agg_is_two_exchanges). Thresholds are lowered to make a
+    ~6 MB hot partition qualify at test scale."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64KB",
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        big = spark.range(200000).select(
+            F.when(F.col("id") % 2 == 0, 0).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("x" * 50), F.col("id").cast("string")).alias(
+                "payload"
+            ),
+        )
+        small = spark.range(1000).select(
+            F.col("id").alias("k"), F.lit("dim").alias("d")
+        )
+        j = big.join(small, "k").select(F.length("payload").alias("lp"))
+        assert len(j.collect()) == 100500
+        plan = plan_of(j)
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+        assert "skewed" in plan  # AQEShuffleRead ... skewed
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
