@@ -47,6 +47,7 @@ HEADLINE = [
     "token_stats",
     "ann_cosine_topk",
     "knn_join_topk",
+    "curate_corpus",
     "extract_munge",
     "extract_main_content",
 ]

@@ -1322,25 +1322,65 @@ ML_QUERIES["token_stats_bpe"] = (token_stats_bpe, TOKEN_STATS_BPE_SQL)
 CC_MAX_ITERS = 15
 
 
+N_PAIR_BUCKETS = 8  # B: all-pairs work spreads over B(B+1)/2 cells/block
+
+
 def _jaccard_edges(spark, sf_dir, threshold: float = 0.8) -> DataFrame:
     """Same-source token-Jaccard >= threshold pairs (d1 < d2) — the
     SQL-expressible edge set shared with ``dedup_token_jaccard``; the
-    scale path swaps in ``lsh_candidate_pairs`` + verify unchanged."""
-    docs = t(spark, sf_dir, "documents").select(
-        "doc_id", "source", tokens_distinct(F.col("text")).alias("tk")
+    scale path swaps in ``lsh_candidate_pairs`` + verify unchanged.
+
+    The naive self-join on the blocking key parallelizes by DISTINCT
+    BLOCK — a handful of sources means a handful of tasks regardless of
+    cluster size. This uses the standard triangle (bucket-pair) all-pairs
+    join instead: hash each doc into one of B buckets, fan the row out to
+    its join cells — as LEFT of cells (b, j>=b), as RIGHT of cells
+    (i<=b, b) — and equi-join on (source, cell). Same comparison count,
+    but spread over B(B+1)/2 cells per block; each row is replicated B+1
+    times through the shuffle, the price of parallelism. Diagonal cells
+    see each pair twice, so they keep only doc_l < doc_r; off-diagonal
+    cells see it once and emit (least, greatest)."""
+    B = N_PAIR_BUCKETS
+    # Repartition the RAW rows before the heavy projection — a small
+    # parquet file scans as ONE task, and select-then-repartition would
+    # leave tokenization + fan-out single-core (see _with_shingles).
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .repartition(spark.sparkContext.defaultParallelism * 2)
+        .select("doc_id", "source", tokens_distinct(F.col("text")).alias("tk"))
     )
-    a, b = docs.alias("a"), docs.alias("b")
-    jac = F.size(F.array_intersect("a.tk", "b.tk")) / F.size(
-        F.array_union("a.tk", "b.tk")
+    bucket = F.pmod(F.xxhash64("doc_id"), F.lit(B)).cast("int")
+    left = docs.withColumn("b", bucket).select(
+        "doc_id",
+        "source",
+        "tk",
+        F.col("b").alias("ci"),
+        F.explode(F.sequence(F.col("b"), F.lit(B - 1))).alias("cj"),
     )
-    return (
-        a.join(
-            b,
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .where(F.round(jac, 4) >= threshold)
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+    right = docs.withColumn("b", bucket).select(
+        F.col("doc_id").alias("r_doc_id"),
+        F.col("source").alias("r_source"),
+        F.col("tk").alias("r_tk"),
+        F.explode(F.sequence(F.lit(0), F.col("b"))).alias("ci"),
+        F.col("b").alias("cj"),
+    )
+    pairs = left.join(
+        right,
+        (left.source == right.r_source)
+        & (left.ci == right.ci)
+        & (left.cj == right.cj)
+        & (
+            (left.ci != right.cj)
+            | (left.doc_id < right.r_doc_id)
+        ),
+    )
+    jac = F.size(F.array_intersect("tk", "r_tk")) / F.size(
+        F.array_union("tk", "r_tk")
+    )
+    return pairs.where(F.round(jac, 4) >= threshold).select(
+        F.least("doc_id", "r_doc_id").alias("d1"),
+        F.greatest("doc_id", "r_doc_id").alias("d2"),
     )
 
 
@@ -1349,7 +1389,12 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
     cluster = min doc_id in the node's connected component."""
     fwd = edges.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
     rev = edges.select(F.col("d2").alias("src"), F.col("d1").alias("dst"))
-    sym = fwd.unionByName(rev).localCheckpoint()
+    # Size the loop's partitioning to the EDGE SET, not to the (much
+    # wider) upstream pair-join: a union of two N-partition inputs is
+    # 2N partitions, and every iteration would pay 2N task launches for
+    # rows that fit in a handful — repartition once before looping.
+    par = edges.sparkSession.sparkContext.defaultParallelism
+    sym = fwd.unionByName(rev).repartition(par, "src").localCheckpoint()
     labels = (
         sym.select(F.col("src").alias("doc_id"))
         .distinct()
@@ -1378,14 +1423,15 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
             )
             .localCheckpoint()
         )
-        changed = (
-            new.withColumnRenamed("cluster", "new_c")
-            .join(labels, "doc_id")
-            .where(F.col("new_c") != F.col("cluster"))
-            .count()
-        )
+        # Labels are monotone non-increasing, so sum(cluster) strictly
+        # decreases iff anything changed — one cheap aggregate per round
+        # instead of a join + count. (At 10^12 docs switch the probe to
+        # sum over DECIMAL or (count, avg) to dodge int64 overflow.)
+        new_sum = new.agg(F.sum("cluster")).collect()[0][0]
+        prev_sum = getattr(labels, "_cc_sum", None)
         labels = new
-        if changed == 0:
+        labels._cc_sum = new_sum
+        if prev_sum is not None and new_sum == prev_sum:
             break
     return labels
 
@@ -1599,3 +1645,100 @@ def approx_stats(spark, sf_dir):
 
 
 ML_QUERIES["approx_stats"] = (approx_stats, None)
+
+
+# --------------------------------------------------------------------------
+# End-to-end corpus curation — the whole training-data recipe as ONE
+# declarative plan: near-dup dedup (keep the cluster representative),
+# quality gate (length + lexical-diversity thresholds), deterministic
+# train/valid/test assignment, and the per-split per-lang token budget
+# manifest a data order is written against. Every stage is a scan-level
+# filter or broadcast join; the only iterative piece (connected
+# components) runs over the tiny edge-node set, never the corpus.
+# Fully oracle-checked end to end (recursive CTE + windows in DuckDB).
+# --------------------------------------------------------------------------
+
+CURATE_MIN_TOKENS = 25
+CURATE_MIN_DISTINCT_RATIO = 0.35
+
+
+def curate_corpus(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    # 1. dedup keep-list: drop cluster members that are not the longest
+    labels = dedup_clusters(spark, sf_dir)  # (doc_id, cluster), nodes only
+    w = W.partitionBy("cluster").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    reps = (
+        labels.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id")
+    )
+    drop = labels.select("doc_id").exceptAll(reps)
+    kept = docs.join(F.broadcast(drop), "doc_id", "left_anti")
+    # 2. quality gate
+    toks = F.split(F.col("text"), " ")
+    n_toks = F.size(toks)
+    distinct_ratio = F.size(tokens_distinct(F.col("text"))) / n_toks
+    kept = kept.where(
+        (n_toks >= CURATE_MIN_TOKENS)
+        & (distinct_ratio >= CURATE_MIN_DISTINCT_RATIO)
+    )
+    # 3. deterministic split + 4. manifest
+    bucket = _md5_bucket(F.col("doc_id"), "split:", 100)
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    )
+    return (
+        kept.select(split.alias("split"), "lang", n_toks.alias("nt"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nt").alias("total_tokens"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+CURATE_CORPUS_SQL = f"""
+WITH RECURSIVE {_CC_EDGES_SQL},
+reps AS (
+  SELECT doc_id FROM (
+    SELECT l.doc_id, row_number() OVER (
+      PARTITION BY l.cluster ORDER BY d.n_chars DESC, l.doc_id
+    ) AS rn
+    FROM labels l JOIN documents d USING (doc_id)
+  ) WHERE rn = 1
+),
+kept AS (
+  SELECT * FROM documents
+  WHERE doc_id NOT IN (
+    SELECT doc_id FROM labels
+    WHERE doc_id NOT IN (SELECT doc_id FROM reps)
+  )
+),
+gated AS (
+  SELECT *, len(string_split(text, ' ')) AS nt
+  FROM kept
+  WHERE len(string_split(text, ' ')) >= {CURATE_MIN_TOKENS}
+    AND len(list_distinct(string_split(lower(text), ' ')))::DOUBLE
+        / len(string_split(text, ' ')) >= {CURATE_MIN_DISTINCT_RATIO}
+)
+SELECT split, lang, count(*) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS total_tokens
+FROM (
+  SELECT CASE WHEN b < 80 THEN 'train'
+              WHEN b < 90 THEN 'valid'
+              ELSE 'test' END AS split,
+         lang, nt
+  FROM (
+    SELECT lang, nt,
+           CAST(concat('0x', substr(md5(concat('split:',
+                CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 AS b
+    FROM gated
+  )
+)
+GROUP BY split, lang ORDER BY split, lang
+"""
+
+
+ML_QUERIES["curate_corpus"] = (curate_corpus, CURATE_CORPUS_SQL)
