@@ -1742,3 +1742,108 @@ GROUP BY split, lang ORDER BY split, lang
 
 
 ML_QUERIES["curate_corpus"] = (curate_corpus, CURATE_CORPUS_SQL)
+
+
+# --------------------------------------------------------------------------
+# N-gram statistics: top-k bigrams per language. Bigram construction is
+# an arrays_zip of shifted slices (the HOF-safe pattern — indexing
+# words[i+1] inside a transform re-evaluates the split per element),
+# then one explode + count + per-group top-k via window (Spark plans the
+# rank filter as WindowGroupLimit: partial top-k before the shuffle).
+# --------------------------------------------------------------------------
+
+
+def top_bigrams(spark, sf_dir, k: int = 5):
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("lang", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    words = F.split(F.lower("text"), " ")
+    m = F.size(words) - 1
+    zipped = F.arrays_zip(
+        F.slice(words, 1, m).alias("w0"), F.slice(words, 2, m).alias("w1")
+    )
+    bg = docs.select(
+        "lang",
+        F.explode(
+            F.transform(zipped, lambda s: F.concat_ws(" ", s["w0"], s["w1"]))
+        ).alias("bg"),
+    )
+    counts = bg.groupBy("lang", "bg").agg(F.count("*").alias("n"))
+    w = W.partitionBy("lang").orderBy(F.desc("n"), F.asc("bg"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("lang", F.col("rn").cast("int").alias("rn"), "bg", "n")
+        .orderBy("lang", "rn")
+    )
+
+
+TOP_BIGRAMS_SQL = """
+WITH words AS (
+  SELECT lang, string_split(lower(text), ' ') AS w FROM documents
+),
+bigrams AS (
+  SELECT lang, w[i] || ' ' || w[i+1] AS bg
+  FROM words, unnest(range(1, len(w))) AS t(i)
+),
+counts AS (
+  SELECT lang, bg, count(*) AS n FROM bigrams GROUP BY 1, 2
+)
+SELECT lang, CAST(rn AS INT) AS rn, bg, n FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, bg) AS rn
+  FROM counts
+) WHERE rn <= 5 ORDER BY lang, rn
+"""
+
+
+ML_QUERIES["top_bigrams"] = (top_bigrams, TOP_BIGRAMS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Character-entropy quality metric — a cheap perplexity proxy (gibberish
+# and boilerplate sit at distribution extremes). Relational formulation
+# (explode chars → histogram → -Σ p·log2 p) is the oracle-checkable
+# spec; at corpus scale the same math runs vectorized inside the
+# extraction cascade's Arrow pass instead of exploding per character.
+# --------------------------------------------------------------------------
+
+
+def char_entropy(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    clean = F.regexp_replace(F.lower("text"), "[^a-z]", "")
+    chars = docs.select(
+        "doc_id", F.explode(F.split(clean, "")).alias("c")
+    ).where(F.col("c") != "")
+    freq = chars.groupBy("doc_id", "c").agg(
+        F.count("*").cast("double").alias("n")
+    )
+    tot = freq.groupBy("doc_id").agg(F.sum("n").alias("tn"))
+    p = F.col("n") / F.col("tn")
+    return (
+        freq.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(-F.sum(p * F.log2(p)), 4).alias("char_entropy"))
+        .orderBy("doc_id")
+    )
+
+
+CHAR_ENTROPY_SQL = """
+WITH chars AS (
+  SELECT doc_id,
+         unnest(string_split_regex(
+             regexp_replace(lower(text), '[^a-z]', '', 'g'), '')) AS c
+  FROM documents WHERE doc_id < 50
+),
+freq AS (
+  SELECT doc_id, c, count(*)::DOUBLE AS n
+  FROM chars WHERE c != '' GROUP BY 1, 2
+),
+tot AS (SELECT doc_id, sum(n) AS tn FROM freq GROUP BY 1)
+SELECT f.doc_id, round(-sum((n/tn) * log2(n/tn)), 4) AS char_entropy
+FROM freq f JOIN tot USING (doc_id) GROUP BY f.doc_id ORDER BY f.doc_id
+"""
+
+
+ML_QUERIES["char_entropy"] = (char_entropy, CHAR_ENTROPY_SQL)
