@@ -224,3 +224,15 @@ def correlate_streams(events: DataFrame) -> DataFrame:
     ).select(
         "v_user", "view_id", "view_ts", "purchase_ts", "purchase_value"
     )
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment: broadcast-join each micro-batch against
+    a static dimension table (here: per-user segment labels). The static
+    side is planned as a broadcast hash join inside every micro-batch —
+    no state, no watermark needed (static side is immutable for the
+    query's lifetime; swap-in of a refreshed dim is a query restart, or
+    use foreachBatch + a re-read for slowly-changing dims)."""
+    return events.join(F.broadcast(dim), "user_id").select(
+        "event_id", "ts", "user_id", "event_type", "value", "segment"
+    )

@@ -171,3 +171,20 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, events_dir):
         want.select("v_user", "view_id", "purchase_ts")
     ).count() == 0
     q.stop()
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir, events_dir):
+    from datamunging_spark.streaming.jobs import enrich_stream
+
+    dim = spark.range(0, 200).select(
+        F.col("id").alias("user_id"),
+        F.when(F.col("id") % 3 == 0, "a").otherwise("b").alias("segment"),
+    )
+    stream = read_events_stream(spark, events_dir)
+    q = _drain(enrich_stream(stream, dim), "enrich_t")
+    got = spark.table("enrich_t")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = enrich_stream(ev, dim)
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    q.stop()
