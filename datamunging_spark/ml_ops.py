@@ -587,7 +587,10 @@ def knn_join_topk(spark, sf_dir):
         F.col("vec_id").alias("q_id"),
         F.col("embedding").cast(T.ArrayType(T.DoubleType())).alias("q_vec"),
     )
-    cand = emb.select(
+    # Repartition the candidate side: a small single-row-group parquet
+    # scans as ONE task, and the per-pair HOF cosine (interpreted lambda,
+    # never codegen) is the expensive part — spread it first.
+    cand = emb.repartition(spark.sparkContext.defaultParallelism).select(
         F.col("vec_id").alias("c_id"),
         F.col("embedding").cast(T.ArrayType(T.DoubleType())).alias("c_vec"),
     )
@@ -1365,6 +1368,12 @@ def _jaccard_edges(spark, sf_dir, threshold: float = 0.8) -> DataFrame:
         F.explode(F.sequence(F.lit(0), F.col("b"))).alias("ci"),
         F.col("b").alias("cj"),
     )
+    # Size-ratio pruning (AllPairs/PPJoin lemma): jaccard(A,B) <=
+    # min(|A|,|B|)/max(|A|,|B|), so pairs whose distinct-token counts
+    # differ by more than the threshold ratio cannot qualify — an integer
+    # compare that prunes most candidates before the O(|A|+|B|) set ops.
+    # 0.799 (not 0.8) keeps pairs that only pass after round(...,4).
+    sz_l, sz_r = F.size(left.tk), F.size(right.r_tk)
     pairs = left.join(
         right,
         (left.source == right.r_source)
@@ -1373,6 +1382,10 @@ def _jaccard_edges(spark, sf_dir, threshold: float = 0.8) -> DataFrame:
         & (
             (left.ci != right.cj)
             | (left.doc_id < right.r_doc_id)
+        )
+        & (
+            F.least(sz_l, sz_r)
+            >= F.greatest(sz_l, sz_r) * (threshold - 0.001)
         ),
     )
     jac = F.size(F.array_intersect("tk", "r_tk")) / F.size(
@@ -1387,14 +1400,22 @@ def _jaccard_edges(spark, sf_dir, threshold: float = 0.8) -> DataFrame:
 def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> DataFrame:
     """(doc_id, cluster) for every node of the (d1, d2) edge set, where
     cluster = min doc_id in the node's connected component."""
-    fwd = edges.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
-    rev = edges.select(F.col("d2").alias("src"), F.col("d1").alias("dst"))
-    # Size the loop's partitioning to the EDGE SET, not to the (much
-    # wider) upstream pair-join: a union of two N-partition inputs is
-    # 2N partitions, and every iteration would pay 2N task launches for
-    # rows that fit in a handful — repartition once before looping.
+    # Symmetrize with one explode pass (a union of two N-partition
+    # branches is 2N partitions and two upstream evaluations), then hash
+    # by dst — the per-iteration join key — so the loop's sym side never
+    # re-shuffles. Partition count sized to the edge set, not to the
+    # (much wider) upstream pair-join.
     par = edges.sparkSession.sparkContext.defaultParallelism
-    sym = fwd.unionByName(rev).repartition(par, "src").localCheckpoint()
+    both = F.array(
+        F.struct(F.col("d1").alias("src"), F.col("d2").alias("dst")),
+        F.struct(F.col("d2").alias("src"), F.col("d1").alias("dst")),
+    )
+    sym = (
+        edges.select(F.explode(both).alias("e"))
+        .select("e.src", "e.dst")
+        .repartition(par, "dst")
+        .localCheckpoint()
+    )
     labels = (
         sym.select(F.col("src").alias("doc_id"))
         .distinct()
@@ -1421,12 +1442,15 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
                     F.col("cluster"), F.coalesce("nc", F.col("cluster"))
                 ).alias("cluster"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # Labels are monotone non-increasing, so sum(cluster) strictly
         # decreases iff anything changed — one cheap aggregate per round
-        # instead of a join + count. (At 10^12 docs switch the probe to
-        # sum over DECIMAL or (count, avg) to dodge int64 overflow.)
+        # instead of a join + count; with the LAZY checkpoint above this
+        # probe is also the action that materializes the round, so each
+        # iteration costs exactly one job. (At 10^12 docs switch the
+        # probe to sum over DECIMAL or (count, avg) to dodge int64
+        # overflow.)
         new_sum = new.agg(F.sum("cluster")).collect()[0][0]
         prev_sum = getattr(labels, "_cc_sum", None)
         labels = new
