@@ -26,3 +26,18 @@ Architecture (Spark-first):
 """
 
 __version__ = "0.1.0"
+
+
+def correct_text(text: str) -> str:
+    """Single-stream corrector — the ``Correct.py`` equivalent of the
+    reference (BASELINE.json:6 names it as a golden source): apply the
+    full cascade to one raw text (treated as one page), no Spark, no
+    pairtree bookkeeping. For corpora use the distributed path
+    (``operators.munge`` / ``pipeline``), which runs the identical
+    semantics (oracle-equality-tested) inside one Arrow stage."""
+    from .oracle.munge import Span, munge_document
+    from .rulesets.loader import load_rulesets
+
+    spans = [Span(kind="page", text=text, media_ref="", offset=0)]
+    out, _metrics = munge_document("stream", spans, load_rulesets())
+    return out[0].text

@@ -139,3 +139,14 @@ def test_idempotence():
     once, _ = munge_document("d", spans, RS)
     twice, _ = munge_document("d", list(once), RS)
     assert [s.text for s in twice] == [s.text for s in once]
+
+
+def test_correct_text_single_stream_matches_cascade():
+    """The Correct.py-style convenience equals the cascade on a one-page
+    doc, and actually corrects (ligature + long-s + known OCR error)."""
+    from datamunging_spark import correct_text
+
+    raw = "The ﬁrst cafe was clean\nbut tbe ſecond was not"
+    got = correct_text(raw)
+    assert "first" in got and "the second" in got.lower()
+    assert "tbe" not in got.split() and "ſ" not in got
