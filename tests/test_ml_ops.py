@@ -199,3 +199,16 @@ def test_approx_stats_error_bounds(spark, sf_dir):
         g = got[flag]
         assert abs(g.approx_parts - e.nd) / e.nd <= 0.06
         assert abs(g.approx_med_price - e.med) / e.med <= 0.01
+
+
+def test_connected_components_empty_and_single_edge(spark):
+    """CC must not loop forever or crash on an empty edge set (corpus
+    with no near-dups) and must handle a single edge."""
+    from datamunging_spark.ml_ops import connected_components
+
+    schema = "d1 long, d2 long"
+    empty = spark.createDataFrame([], schema)
+    assert connected_components(empty).count() == 0
+    one = spark.createDataFrame([(7, 3)], schema)
+    got = {r.doc_id: r.cluster for r in connected_components(one).collect()}
+    assert got == {3: 3, 7: 3}

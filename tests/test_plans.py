@@ -227,3 +227,18 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_sampling_ops_plan_quality(spark, sf_dir):
+    """hash_split is scan → project → two-phase agg (no join, no window:
+    membership is pure hash math); stratified_sample's rank filter plans
+    as WindowGroupLimit (partial per-group top-k before the shuffle)."""
+    from datamunging_spark.ml_ops import hash_split, stratified_sample
+
+    p1 = plan_of(hash_split(spark, sf_dir))
+    assert "partial_count" in p1 and "Join" not in p1 and "Window" not in p1
+    assert p1.count("FileScan parquet") == 1
+
+    p2 = plan_of(stratified_sample(spark, sf_dir))
+    assert "WindowGroupLimit" in p2
+    assert p2.count("FileScan parquet") == 1
