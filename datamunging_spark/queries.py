@@ -1464,3 +1464,45 @@ RELATIONAL_QUERIES.update(
         "robust_stats": (q_robust_stats, Q_ROBUST_STATS_SQL),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Ranking-function family: rank / dense_rank / percent_rank / ntile /
+# cume_dist in one window pass (one shuffle + one per-partition sort).
+# --------------------------------------------------------------------------
+
+
+def q_window_rank_funcs(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders").where(F.col("o_custkey") < 30)
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_orderstatus",
+            "o_orderkey",
+            F.rank().over(w).alias("rk"),
+            F.dense_rank().over(w).alias("drk"),
+            F.round(F.percent_rank().over(w), 6).alias("prk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+        )
+        .orderBy("o_orderstatus", "rk")
+    )
+
+
+Q_WINDOW_RANK_SQL = """
+SELECT o_orderstatus, o_orderkey,
+       CAST(rank()         OVER w AS BIGINT) AS rk,
+       CAST(dense_rank()   OVER w AS BIGINT) AS drk,
+       round(percent_rank() OVER w, 6) AS prk,
+       CAST(ntile(4)       OVER w AS BIGINT) AS quartile,
+       round(cume_dist()   OVER w, 6) AS cd
+FROM orders WHERE o_custkey < 30
+WINDOW w AS (PARTITION BY o_orderstatus
+             ORDER BY o_totalprice DESC, o_orderkey)
+ORDER BY o_orderstatus, rk
+"""
+
+
+RELATIONAL_QUERIES["window_rank_funcs"] = (q_window_rank_funcs, Q_WINDOW_RANK_SQL)
