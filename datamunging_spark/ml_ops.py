@@ -1871,3 +1871,103 @@ FROM freq f JOIN tot USING (doc_id) GROUP BY f.doc_id ORDER BY f.doc_id
 
 
 ML_QUERIES["char_entropy"] = (char_entropy, CHAR_ENTROPY_SQL)
+
+
+# --------------------------------------------------------------------------
+# Relational form of running-header detection (SURVEY.md R3 documents
+# this as the non-default formulation; the production path runs the same
+# ±-neighbor comparison inside the Arrow cascade). Pages are synthesized
+# deterministically from `documents` — even doc_ids carry a repeated
+# header line, odd ones a varying first line — then detection is pure
+# window algebra: normalize the first line, compare against lag/lead
+# neighbors within the doc, count repeats. One shuffle (the window
+# partition by doc_id); everything stays in WholeStageCodegen.
+# --------------------------------------------------------------------------
+
+
+def header_detect_relational(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    pages = docs.select(
+        "doc_id",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("offset"),
+        "text",
+    )
+    # Even docs: a repeated running head (detected). Odd docs: a first
+    # line that actually varies per page AFTER digit-stripping (a slice
+    # of the body) — "chapter 1/2/3"-style lines would normalize to the
+    # same string and be flagged, which is the reference's known
+    # page-number-in-header behavior, not a useful negative case.
+    first_line = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("The Journal Vol "), F.col("doc_id").cast("string")),
+    ).otherwise(F.substring(F.col("text"), F.col("offset") * 7 + 1, 12))
+    body = F.substring(
+        F.col("text"), F.col("offset") * 40 + 1, 40
+    )
+    page = pages.select(
+        "doc_id",
+        "offset",
+        F.concat(first_line, F.lit("\n"), body).alias("page_text"),
+    )
+    norm = F.regexp_replace(
+        F.lower(F.split(F.col("page_text"), "\n")[0]), "[^a-z ]", ""
+    )
+    w = W.partitionBy("doc_id").orderBy("offset")
+    flagged = page.select(
+        "doc_id",
+        "offset",
+        norm.alias("norm"),
+    ).withColumn(
+        "is_header",
+        (F.col("norm") == F.lag("norm", 1).over(w))
+        | (F.col("norm") == F.lead("norm", 1).over(w)),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("is_header"), 1).otherwise(0)).alias(
+                "header_pages"
+            )
+        )
+        .orderBy("doc_id")
+    )
+
+
+HEADER_DETECT_SQL = """
+WITH pages AS (
+  SELECT doc_id, off, text
+  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS off) AS t
+  WHERE doc_id < 300
+),
+page AS (
+  SELECT doc_id, off,
+         CASE WHEN doc_id % 2 = 0
+              THEN 'The Journal Vol ' || CAST(doc_id AS VARCHAR)
+              ELSE substr(text, off * 7 + 1, 12) END
+         || chr(10) || substr(text, off * 40 + 1, 40) AS page_text
+  FROM pages
+),
+flagged AS (
+  SELECT doc_id, off,
+         regexp_replace(lower(string_split(page_text, chr(10))[1]),
+                        '[^a-z ]', '', 'g') AS norm
+  FROM page
+),
+marked AS (
+  SELECT doc_id,
+         (norm = lag(norm, 1)  OVER (PARTITION BY doc_id ORDER BY off)
+          OR norm = lead(norm, 1) OVER (PARTITION BY doc_id ORDER BY off))
+           AS is_header
+  FROM flagged
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN is_header THEN 1 ELSE 0 END) AS BIGINT)
+         AS header_pages
+FROM marked GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+ML_QUERIES["header_detect_relational"] = (
+    header_detect_relational,
+    HEADER_DETECT_SQL,
+)
