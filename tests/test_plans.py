@@ -242,3 +242,50 @@ def test_sampling_ops_plan_quality(spark, sf_dir):
     p2 = plan_of(stratified_sample(spark, sf_dir))
     assert "WindowGroupLimit" in p2
     assert p2.count("FileScan parquet") == 1
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """A selective dimension filter must inject a runtime Bloom filter
+    (bloom_filter_agg on the build side, might_contain on the fact
+    side's scan filter) — at 100 TB this prunes fact rows before the
+    shuffle instead of after the join. Thresholds lowered to trigger at
+    test scale; broadcast disabled so the join actually shuffles."""
+    from pyspark.sql import functions as F
+
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+    )
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "10MB",
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+            F.col("o_totalprice") > 550000
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_extendedprice").alias("s"))
+        )
+        plan = plan_of(j)
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
