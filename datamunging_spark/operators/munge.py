@@ -176,10 +176,17 @@ class _Munger:
         toks = line.split()
         out: list[str] = []
         hot = self._hot_skip
+        # local counters: three dict increments per token add up at
+        # ~600k tokens/page-batch; fold into m once per line
+        n_total = n_dict = n_corr = 0
+        syncope = rs.syncope_rules
         for i, tok in enumerate(toks):
-            if tok.isalpha() and tok.lower() in hot:
-                m["tokens_total"] += 1
-                m["tokens_in_dict"] += 1
+            # `hot` holds only lowercase alphabetic words, so a direct
+            # probe (no .lower() allocation) is exact for the majority
+            # lowercase case; mixed-case falls through to the full check
+            if tok in hot or (tok.isalpha() and tok.lower() in hot):
+                n_total += 1
+                n_dict += 1
                 out.append(tok)
                 continue
             pre, core, suf = _split_token(tok)
@@ -188,13 +195,15 @@ class _Munger:
                 continue
             orig = core
             low = core.lower()
-            syn = rs.syncope_rules.get((pre + core).lower())
+            # with no punctuation prefix, (pre+core).lower() == low — one
+            # probe covers both rule positions
+            syn = syncope.get((pre + core).lower()) if pre else syncope.get(low)
             if syn is not None:
                 core = _case_like(core, syn)
                 pre = ""
                 low = core.lower()
-            else:
-                syn = rs.syncope_rules.get(low)
+            elif pre:
+                syn = syncope.get(low)
                 if syn is not None:
                     core = _case_like(core, syn)
                     low = core.lower()
@@ -232,12 +241,15 @@ class _Munger:
                         core = cand
                         low = core.lower()
                         break
-            m["tokens_total"] += 1
+            n_total += 1
             if low in self._dict:
-                m["tokens_in_dict"] += 1
+                n_dict += 1
             if core != orig:
-                m["tokens_corrected"] += 1
+                n_corr += 1
             out.append(pre + core + suf)
+        m["tokens_total"] += n_total
+        m["tokens_in_dict"] += n_dict
+        m["tokens_corrected"] += n_corr
         return " ".join(out)
 
     # ---- page sequences ---------------------------------------------------
