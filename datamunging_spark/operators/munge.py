@@ -174,8 +174,20 @@ class _Munger:
     def correct_line(self, line: str, m: dict) -> str:
         rs = self.rs
         toks = line.split()
-        out: list[str] = []
         hot = self._hot_skip
+        # whole-line fast path: clean lowercase dictionary text (the
+        # common case in real OCR output) costs one set probe per token
+        # and zero per-token bookkeeping; " ".join matches the token
+        # loop's whitespace normalization exactly
+        for tok in toks:
+            if tok not in hot:
+                break
+        else:
+            n = len(toks)
+            m["tokens_total"] += n
+            m["tokens_in_dict"] += n
+            return " ".join(toks)
+        out: list[str] = []
         # local counters: three dict increments per token add up at
         # ~600k tokens/page-batch; fold into m once per line
         n_total = n_dict = n_corr = 0
