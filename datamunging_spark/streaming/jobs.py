@@ -137,19 +137,20 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
     )
 
 
-def run_streaming_munge(
+def _run_streaming_span_job(
     spark: SparkSession,
+    op,
     spans_dir: str,
     output_path: str,
     checkpoint_dir: str,
 ) -> None:
-    """Incremental munge ingest: each micro-batch of newly-arrived span
-    documents goes through the SAME batch operator and is appended to the
-    same output table the batch pipeline uses. Spark's streaming
-    checkpoint gives at-least-once per file; the output table's
-    dedupe-on-read (pipeline.read_output) upgrades it to effectively
-    exactly-once."""
-    from ..operators.munge import INPUT_SCHEMA, munge
+    """Incremental span-pipeline ingest: each micro-batch of
+    newly-arrived span documents goes through the SAME batch operator
+    (munge or extract) and is appended to the same output table the
+    batch pipeline uses. Spark's streaming checkpoint gives
+    at-least-once per file; the output table's dedupe-on-read
+    (pipeline.read_output) upgrades it to effectively exactly-once."""
+    from ..operators.munge import INPUT_SCHEMA
 
     stream = (
         spark.readStream.schema(INPUT_SCHEMA)
@@ -158,7 +159,7 @@ def run_streaming_munge(
     )
 
     def process_batch(df: DataFrame, epoch_id: int) -> None:
-        out = munge(df, spark).withColumn("run_id", F.lit(f"stream-{epoch_id}"))
+        out = op(df, spark).withColumn("run_id", F.lit(f"stream-{epoch_id}"))
         out = out.withColumn("partition_id", F.spark_partition_id())
         out.write.mode("append").parquet(output_path)
 
@@ -169,6 +170,34 @@ def run_streaming_munge(
         .start()
     )
     q.awaitTermination()
+
+
+def run_streaming_munge(
+    spark: SparkSession,
+    spans_dir: str,
+    output_path: str,
+    checkpoint_dir: str,
+) -> None:
+    from ..operators.munge import munge
+
+    _run_streaming_span_job(spark, munge, spans_dir, output_path, checkpoint_dir)
+
+
+def run_streaming_extract(
+    spark: SparkSession,
+    spans_dir: str,
+    output_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Incremental main-content extraction — the extract twin of
+    run_streaming_munge (same checkpoint/append/dedupe-on-read
+    protocol, html/pdf spans instead of OCR pages)."""
+    from ..operators.extract import extract
+
+    def op(df, spark):
+        return extract(df, spark)
+
+    _run_streaming_span_job(spark, op, spans_dir, output_path, checkpoint_dir)
 
 
 def dedup_stream(events: DataFrame) -> DataFrame:

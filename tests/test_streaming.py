@@ -188,3 +188,30 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir, events_dir):
     assert got.count() == want.count() > 0
     assert got.exceptAll(want).count() == 0
     q.stop()
+
+
+def test_streaming_extract_matches_batch(spark, tmp_path_factory):
+    from datamunging_spark.generator_web import generate_web_corpus
+    from datamunging_spark.operators.extract import extract
+    from datamunging_spark.streaming.jobs import run_streaming_extract
+
+    base = tmp_path_factory.mktemp("sextract")
+    spans_dir = str(base / "spans")
+    out_stream = str(base / "out_stream")
+    ckpt = str(base / "ckpt")
+
+    docs = generate_web_corpus(seed=13, n_docs=12)
+    df = spark.createDataFrame(corpus_to_rows(docs), schema=INPUT_SCHEMA)
+    df.repartition(6).write.parquet(spans_dir)
+
+    run_streaming_extract(spark, spans_dir, out_stream, ckpt)
+    got = {
+        r.doc_id: [tuple(s) for s in r.spans]
+        for r in read_output(spark, out_stream).collect()
+    }
+    want = {
+        r.doc_id: [tuple(s) for s in r.spans]
+        for r in extract(df, spark).collect()
+    }
+    assert got == want and len(got) == 12
+    shutil.rmtree(ckpt, ignore_errors=True)
