@@ -27,12 +27,21 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--run-id", required=True)
     p.add_argument(
         "--job",
-        choices=["munge", "extract"],
+        choices=["munge", "extract", "stream-munge", "stream-extract"],
         default="munge",
-        help="munge = OCR correction cascade; extract = HTML/PDF main-content extraction",
+        help=(
+            "munge = OCR correction cascade; extract = HTML/PDF "
+            "main-content extraction; stream-* = incremental foreachBatch "
+            "ingest of newly-arrived span files (checkpointed, restart-safe)"
+        ),
     )
     p.add_argument("--partitions", type=int, default=None)
     p.add_argument("--salt", type=int, default=0)
+    p.add_argument(
+        "--checkpoint",
+        default=None,
+        help="streaming checkpoint dir (stream-* jobs; default <output>_ckpt)",
+    )
     p.add_argument("--master", default=None, help="override master (default: spark-submit's)")
     args = p.parse_args(argv)
 
@@ -40,6 +49,21 @@ def main(argv: list[str] | None = None) -> int:
     from .session import get_spark
 
     spark = get_spark(app_name=f"{args.job}-{args.run_id}", master=args.master)
+
+    if args.job.startswith("stream-"):
+        from .streaming.jobs import run_streaming_extract, run_streaming_munge
+
+        runner = (
+            run_streaming_munge if args.job == "stream-munge" else run_streaming_extract
+        )
+        ckpt = args.checkpoint or f"{args.output}_ckpt"
+        runner(spark, args.input, args.output, ckpt)
+        from .pipeline import read_output
+
+        print(f"run={args.run_id} docs={read_output(spark, args.output).count()}")
+        spark.stop()
+        return 0
+
     input_df = spark.read.parquet(args.input)
     if args.job == "munge":
         res = run_pipeline(
