@@ -1971,3 +1971,28 @@ ML_QUERIES["header_detect_relational"] = (
     header_detect_relational,
     HEADER_DETECT_SQL,
 )
+
+
+# --------------------------------------------------------------------------
+# Approximate frequent items (heavy hitters) — df.freqItems implements
+# the Karp-Shenker-Papadimitriou single-pass algorithm: one scan, O(1/s)
+# state, mergeable across partitions; the result is guaranteed to be a
+# SUPERSET of every value with frequency > s (false positives possible,
+# false negatives not). Rows-only (sketch contents are
+# implementation-defined); pytest asserts the superset guarantee against
+# exact counts.
+# --------------------------------------------------------------------------
+
+
+def freq_items(spark, sf_dir, support: float = 0.05):
+    li = t(spark, sf_dir, "lineitem")
+    out = li.select("l_suppkey", "l_returnflag").freqItems(
+        ["l_suppkey", "l_returnflag"], support=support
+    )
+    return out.select(
+        F.array_sort("l_suppkey_freqItems").alias("hot_suppkeys"),
+        F.array_sort("l_returnflag_freqItems").alias("hot_flags"),
+    )
+
+
+ML_QUERIES["freq_items"] = (freq_items, None)

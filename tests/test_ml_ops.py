@@ -212,3 +212,19 @@ def test_connected_components_empty_and_single_edge(spark):
     one = spark.createDataFrame([(7, 3)], schema)
     got = {r.doc_id: r.cluster for r in connected_components(one).collect()}
     assert got == {3: 3, 7: 3}
+
+
+def test_freq_items_superset_guarantee(spark, sf_dir):
+    """freqItems must return a superset of the true heavy hitters at the
+    requested support (KSP guarantee: no false negatives)."""
+    from datamunging_spark.ml_ops import freq_items
+
+    row = freq_items(spark, SF_DIR, support=0.05).collect()[0]
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    n = li.count()
+    for col, got in (("l_suppkey", row.hot_suppkeys), ("l_returnflag", row.hot_flags)):
+        truth = {
+            r[col]
+            for r in li.groupBy(col).count().where(F.col("count") > 0.05 * n).collect()
+        }
+        assert truth <= set(got), f"{col}: missing {truth - set(got)}"
