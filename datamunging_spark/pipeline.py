@@ -97,7 +97,19 @@ def _run_stage(
         .withColumn("run_id", F.lit(run_id))
         .withColumn("partition_id", F.spark_partition_id())
     )
+    # Run totals ride the WRITE job via the Observation API (CollectMetrics
+    # accumulators, retry-safe per committed task) — at 100 TB this saves
+    # the separate read-back aggregation scan the totals used to cost.
+    from pyspark.sql import Observation
+
+    obs = Observation(f"stage-{run_id}")
+    processed = processed.observe(
+        obs,
+        F.count(F.lit(1)).alias("docs"),
+        *[F.coalesce(F.sum(c), F.lit(0)).alias(c) for c in lineage_sums],
+    )
     io.append(processed, output_path)
+    stage_totals = obs.get
 
     # Per-partition lineage summary (derived; output table remains the
     # source of truth — see module docstring).
@@ -108,7 +120,7 @@ def _run_stage(
         (F.sum(us_col) / F.lit(1000)).cast("long").alias("wall_ms"),
     )
     io.append(lineage, output_path + STATE_SUFFIX)
-    return out
+    return out, stage_totals
 
 
 def run_pipeline(
@@ -129,7 +141,7 @@ def run_pipeline(
     # normal docs: single mapInArrow pass; monsters (> monster_threshold
     # spans): bounded chunks with halo pages (operators/chunked.py) so no
     # single task carries a 10^4-span row
-    out = _run_stage(
+    _out, totals = _run_stage(
         spark,
         input_df,
         output_path,
@@ -141,12 +153,9 @@ def run_pipeline(
         salt,
         io,
     )
-    totals = out.agg(
-        F.count("*").alias("docs"),
-        F.coalesce(F.sum("pages"), F.lit(0)).alias("pages"),
-        F.coalesce(F.sum("tokens_corrected"), F.lit(0)).alias("corr"),
-    ).collect()[0]
-    return RunResult(run_id, totals["docs"], totals["pages"], totals["corr"])
+    return RunResult(
+        run_id, totals["docs"], totals["pages"], totals["tokens_corrected"]
+    )
 
 
 @dataclass
@@ -174,7 +183,7 @@ def run_extract_pipeline(
     needed — see operators/extract.extract_exploded)."""
     from .operators.extract import extract_auto
 
-    out = _run_stage(
+    _out, totals = _run_stage(
         spark,
         input_df,
         output_path,
@@ -186,14 +195,12 @@ def run_extract_pipeline(
         salt,
         io,
     )
-    totals = out.agg(
-        F.count("*").alias("docs"),
-        F.coalesce(F.sum("html_blocks_kept"), F.lit(0)).alias("hb"),
-        F.coalesce(F.sum("pdf_lines_kept"), F.lit(0)).alias("pl"),
-        F.coalesce(F.sum("chars_out"), F.lit(0)).alias("co"),
-    ).collect()[0]
     return ExtractRunResult(
-        run_id, totals["docs"], totals["hb"], totals["pl"], totals["co"]
+        run_id,
+        totals["docs"],
+        totals["html_blocks_kept"],
+        totals["pdf_lines_kept"],
+        totals["chars_out"],
     )
 
 
