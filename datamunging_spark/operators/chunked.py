@@ -144,8 +144,16 @@ def munge_chunked(
         F.col("a.halo").alias("is_halo"),
     )
 
-    chunked = exploded.groupBy("doc_id", "chunk").applyInPandas(
-        _make_chunk_fn(bc), schema=_CHUNK_ROWS_SCHEMA
+    # Explicit repartition on the group keys: chunk rows are few BYTES
+    # but huge CPU, and AQE coalesces exchanges by byte size — left to
+    # itself it folds every chunk of a monster into one task, undoing
+    # the whole point. A user repartition is never coalesced, and
+    # applyInPandas reuses the co-partitioning (no second exchange).
+    par = spark.sparkContext.defaultParallelism * 2
+    chunked = (
+        exploded.repartition(par, "doc_id", "chunk")
+        .groupBy("doc_id", "chunk")
+        .applyInPandas(_make_chunk_fn(bc), schema=_CHUNK_ROWS_SCHEMA)
     )
 
     # reassemble: spans in pos order + metric sums (JVM-side)
