@@ -132,9 +132,249 @@ class _StreamExtractor(HTMLParser):
         )
 
 
+from html import unescape
+
+
+class _Bail(Exception):
+    """Construct outside the fast scanner's verified subset."""
+
+
+_cdata_close = {
+    t: re.compile(r"</\s*%s" % t, re.I) for t in ("script", "style")
+}
+_starttagopen = re.compile("<[a-zA-Z]")
+_commentclose = re.compile(r"--\s*>")
+_tagfind = re.compile(r"([a-zA-Z][^\t\n\r\f />\x00]*)(?:\s|/(?!>))*")
+_attrfind = re.compile(
+    r"((?<=['\"\s/])[^\s/>][^\s/=>]*)(\s*=+\s*"
+    r"('[^']*'|\"[^\"]*\"|(?!['\"])[^>\s]*))?(?:\s|/(?!>))*"
+)
+_locatestarttagend = re.compile(
+    r"""
+  <[a-zA-Z][^\t\n\r\f />\x00]*
+  (?:[\s/]*
+    (?:(?<=['"\s/])[^\s/>][^\s/=>]*
+      (?:\s*=+\s*
+        (?:'[^']*'
+          |"[^"]*"
+          |(?!['"])[^>\s]*
+         )
+        \s*
+       )?(?:\s|/(?!>))*
+     )*
+   )?
+  \s*
+""",
+    re.VERBOSE,
+)
+_endtagfind = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+_amp_tail = re.compile(r"[\s;]")
+# zero-attr fast paths (the overwhelming majority of tags); each is a
+# strict subset of the tolerant grammar, verified equivalent by the
+# differential fuzz
+_simple_start = re.compile(r"<([a-zA-Z][^\t\n\r\f />\x00]*)>")
+_simple_end = re.compile(r"</([a-zA-Z][-.a-zA-Z0-9:_]*)>")
+# quoted-attr fast path: names/values that unescape() cannot change and
+# the tolerant grammar parses identically
+_attr_start = re.compile(
+    r"<([a-zA-Z][^\t\n\r\f />\x00]*)"
+    r"((?:\s+[a-zA-Z_:][\-a-zA-Z0-9_:.]*=(?:\"[^\"&<]*\"|'[^'&<]*'))*)\s*>"
+)
+_attr_pair = re.compile(
+    r"([a-zA-Z_:][\-a-zA-Z0-9_:.]*)=(?:\"([^\"&<]*)\"|'([^'&<]*)')"
+)
+
+
+def _fast_scan(rawdata: str, target) -> None:
+    """Single-pass tokenizer emitting the exact event stream of
+    ``HTMLParser(convert_charrefs=True).feed(rawdata)`` WITHOUT close()
+    (incomplete trailing constructs are withheld, mirroring the
+    stdlib's buffered-feed semantics), specialized for whole-document
+    input: no incremental-feed bookkeeping, no line/column tracking —
+    the stdlib spends ~80% of extraction CPU there. Uses the stdlib's
+    own tolerant regexes so malformed input takes identical branches;
+    raises _Bail on the one construct it does not implement (marked
+    sections, "<![") so the caller can fall back to the stdlib parser.
+    Behavioral twin-ship is enforced by a differential fuzz test."""
+    handle_data = target.handle_data
+    n = len(rawdata)
+    i = 0
+    cdata_elem = None
+    while i < n:
+        if cdata_elem is None:
+            j = rawdata.find("<", i)
+            if j < 0:
+                # feed-without-close: withhold a possibly-split charref
+                amppos = rawdata.rfind("&", max(i, n - 34))
+                if amppos >= 0 and not _amp_tail.search(rawdata, amppos):
+                    return
+                handle_data(unescape(rawdata[i:]))
+                return
+            if i < j:
+                handle_data(unescape(rawdata[i:j]))
+        else:
+            m = _cdata_close[cdata_elem].search(rawdata, i)
+            if not m:
+                return  # unterminated CDATA content stays buffered
+            j = m.start()
+            if i < j:
+                handle_data(rawdata[i:j])
+        i = j
+        # rawdata[i] == '<' — dispatch exactly like goahead(end=0)
+        if cdata_elem is None and (sm := _simple_start.match(rawdata, i)):
+            tag = sm.group(1).lower()
+            target.handle_starttag(tag, [])
+            if tag in ("script", "style"):
+                cdata_elem = tag
+            i = sm.end()
+            continue
+        if cdata_elem is None and (em := _simple_end.match(rawdata, i)):
+            target.handle_endtag(em.group(1).lower())
+            i = em.end()
+            continue
+        if cdata_elem is None and (am := _attr_start.match(rawdata, i)):
+            tag = am.group(1).lower()
+            attrs = [
+                (p.group(1).lower(), p.group(2) if p.group(2) is not None else p.group(3))
+                for p in _attr_pair.finditer(am.group(2))
+            ]
+            target.handle_starttag(tag, attrs)
+            if tag in ("script", "style"):
+                cdata_elem = tag
+            i = am.end()
+            continue
+        if _starttagopen.match(rawdata, i):
+            k = _fast_starttag(rawdata, i, target)
+            if k is None:
+                return
+            i, cdata_elem = k
+        elif rawdata.startswith("</", i):
+            k = _fast_endtag(rawdata, i, target, cdata_elem)
+            if k is None:
+                return
+            i, cdata_elem = k
+        elif rawdata.startswith("<!--", i):
+            m = _commentclose.search(rawdata, i + 4)
+            if not m:
+                return
+            i = m.end()
+        elif rawdata.startswith("<?", i):
+            pos = rawdata.find(">", i + 2)
+            if pos < 0:
+                return
+            i = pos + 1
+        elif rawdata.startswith("<!", i):
+            # parse_html_declaration: doctype / bogus comment; marked
+            # sections bail to the stdlib path
+            if rawdata.startswith("<![", i):
+                raise _Bail
+            if rawdata[i : i + 9].lower() == "<!doctype":
+                gtpos = rawdata.find(">", i + 9)
+                if gtpos < 0:
+                    return
+                i = gtpos + 1
+            else:
+                pos = rawdata.find(">", i + 2)  # bogus comment
+                if pos < 0:
+                    return
+                i = pos + 1
+        elif i + 1 < n:
+            handle_data("<")
+            i += 1
+        else:
+            return  # lone '<' at EOF stays buffered
+
+
+def _fast_starttag(rawdata, i, target):
+    """Mirror of parse_starttag + check_for_whole_start_tag for full
+    input. Returns (next_i, cdata_elem) or None for withheld-at-EOF."""
+    m = _locatestarttagend.match(rawdata, i)
+    j = m.end()
+    nxt = rawdata[j : j + 1]
+    if nxt == ">":
+        endpos = j + 1
+    elif nxt == "/":
+        if rawdata.startswith("/>", j):
+            endpos = j + 2
+        else:
+            return None  # trailing '/' at EOF
+    elif nxt == "":
+        return None
+    elif nxt in (
+        "abcdefghijklmnopqrstuvwxyz=/ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    ):
+        return None
+    else:
+        endpos = j if j > i else i + 1
+    m = _tagfind.match(rawdata, i + 1)
+    k = m.end()
+    tag = m.group(1).lower()
+    attrs = []
+    while k < endpos:
+        am = _attrfind.match(rawdata, k)
+        if not am:
+            break
+        attrname, rest, attrvalue = am.group(1, 2, 3)
+        if not rest:
+            attrvalue = None
+        elif attrvalue[:1] == "'" == attrvalue[-1:] or attrvalue[:1] == '"' == attrvalue[-1:]:
+            attrvalue = attrvalue[1:-1]
+        if attrvalue:
+            attrvalue = unescape(attrvalue)
+        attrs.append((attrname.lower(), attrvalue))
+        k = am.end()
+    end = rawdata[k:endpos].strip()
+    if end not in (">", "/>"):
+        target.handle_data(rawdata[i:endpos])
+        return endpos, None
+    if end.endswith("/>"):
+        target.handle_starttag(tag, attrs)
+        target.handle_endtag(tag)
+        return endpos, None
+    target.handle_starttag(tag, attrs)
+    if tag in ("script", "style"):
+        return endpos, tag
+    return endpos, None
+
+
+def _fast_endtag(rawdata, i, target, cdata_elem):
+    """Mirror of parse_endtag. Returns (next_i, cdata_elem) or None."""
+    gt = rawdata.find(">", i + 1)
+    if gt < 0:
+        return None
+    gtpos = gt + 1
+    m = _endtagfind.match(rawdata, i)
+    if not m:
+        if cdata_elem is not None:
+            target.handle_data(rawdata[i:gtpos])
+            return gtpos, cdata_elem
+        nm = _tagfind.match(rawdata, i + 2)
+        if not nm:
+            if rawdata[i : i + 3] == "</>":
+                return i + 3, None
+            pos = rawdata.find(">", i + 2)  # bogus comment
+            if pos < 0:
+                return None
+            return pos + 1, None
+        tagname = nm.group(1).lower()
+        gtpos = rawdata.find(">", nm.end()) + 1
+        target.handle_endtag(tagname)
+        return gtpos, cdata_elem
+    elem = m.group(1).lower()
+    if cdata_elem is not None and elem != cdata_elem:
+        target.handle_data(rawdata[i:gtpos])
+        return gtpos, cdata_elem
+    target.handle_endtag(elem)
+    return gtpos, None
+
+
 def extract_html_stream(html: str) -> tuple[str, int, int]:
     p = _StreamExtractor()
-    p.feed(html or "")
+    try:
+        _fast_scan(html or "", p)
+    except _Bail:
+        p = _StreamExtractor()
+        p.feed(html or "")
     kept_texts = []
     dropped = 0
     for b in p.blocks:

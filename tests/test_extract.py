@@ -133,3 +133,63 @@ def test_exploded_extraction_byte_equal(spark):
             assert [tuple(s) for s in w.spans] == [tuple(s) for s in other.spans], doc_id
             for f in EXTRACT_METRIC_FIELDS:
                 assert getattr(w, f) == getattr(other, f), f"{doc_id}.{f}"
+
+
+def test_fast_scanner_differential_vs_stdlib():
+    """The fast tokenizer must emit a block stream identical to stdlib
+    HTMLParser(convert_charrefs=True).feed() (no close) on a hostile
+    space: entities (valid/unknown/numeric/bare), comments (terminated
+    and not), doctype, PIs, bogus declarations, script/style CDATA with
+    near-miss end tags, malformed/unterminated tags, quoted/unquoted
+    attrs, charrefs in attr values, split charrefs at EOF."""
+    from datamunging_spark.operators.extract import (
+        _Bail,
+        _fast_scan,
+        _StreamExtractor,
+    )
+
+    def blocks(html, fast):
+        p = _StreamExtractor()
+        if fast:
+            _fast_scan(html or "", p)
+        else:
+            p.feed(html or "")
+        return [(b.tag, "".join(b.parts), b.raw, b.link) for b in p.blocks]
+
+    rng = random.Random(77)
+    tags = (
+        "p div span a li ul h2 em footer nav script style b td body "
+        "head title br pre"
+    ).split()
+    frag = [
+        "&amp;", "&lt;x", "&unknown;", "&#65;", "&#x41;", "& loose", "&",
+        "<", "<3", "< p>", "<!doctype html>", "<!-- c -->",
+        "<!--unterminated", "<? pi ?>", "<?x", "<!bogus>", "</>", "</ >",
+        "</p attr='>'>", "<p", "<p class", "<p class=", "<p/>",
+        "<img src=x/>", "word", "text &amp; more", "<p class='ad-top'>",
+        "<div id=main>", '<div class="content" id="x">',
+        "<a href='/x' class='nav'>link</a>", "</scriptxyz>",
+        "</script b>x", "tail&am", "<a href='a&amp;b'>",
+        "<p  class='x'>", "<p class='x' >", "<SCRIPT>x</SCRIPT>",
+        "<p >", "</p >",
+    ]
+    checked = 0
+    for _ in range(800):
+        parts = [
+            rng.choice(frag)
+            if rng.random() > 0.5
+            else (
+                f"<{rng.choice(tags)}>"
+                if rng.random() < 0.6
+                else f"</{rng.choice(tags)}>"
+            )
+            for _ in range(rng.randint(1, 25))
+        ]
+        html = "".join(parts)
+        try:
+            fb = blocks(html, fast=True)
+        except _Bail:
+            continue
+        assert fb == blocks(html, fast=False), html
+        checked += 1
+    assert checked > 700
