@@ -1996,3 +1996,38 @@ def freq_items(spark, sf_dir, support: float = 0.05):
 
 
 ML_QUERIES["freq_items"] = (freq_items, None)
+
+
+# --------------------------------------------------------------------------
+# Positional lateral explode: posexplode vs DuckDB's range-lateral
+# (ordinal position is data, not incidental row order — required
+# whenever downstream logic reassembles or windows over the exploded
+# elements, e.g. chunk reassembly in operators/chunked.py).
+# --------------------------------------------------------------------------
+
+
+def posexplode_sentences(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").where(F.col("doc_id") < 30)
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), "\\. ")).alias(
+                "idx", "sentence"
+            ),
+        )
+        .select("doc_id", F.col("idx").cast("int").alias("idx"), "sentence")
+        .orderBy("doc_id", "idx")
+    )
+
+
+POSEXPLODE_SQL = """
+SELECT doc_id, CAST(i - 1 AS INT) AS idx, arr[i] AS sentence
+FROM (
+  SELECT doc_id, string_split(text, '. ') AS arr
+  FROM documents WHERE doc_id < 30
+), unnest(range(1, len(arr) + 1)) AS t(i)
+ORDER BY doc_id, idx
+"""
+
+
+ML_QUERIES["posexplode_sentences"] = (posexplode_sentences, POSEXPLODE_SQL)
