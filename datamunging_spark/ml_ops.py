@@ -2008,22 +2008,20 @@ ML_QUERIES["freq_items"] = (freq_items, None)
 
 def posexplode_sentences(spark, sf_dir):
     docs = t(spark, sf_dir, "documents").where(F.col("doc_id") < 30)
+    first10 = F.slice(F.split(F.col("text"), " "), 1, 10)
     return (
         docs.select(
-            "doc_id",
-            F.posexplode(F.split(F.col("text"), "\\. ")).alias(
-                "idx", "sentence"
-            ),
+            "doc_id", F.posexplode(first10).alias("idx", "word")
         )
-        .select("doc_id", F.col("idx").cast("int").alias("idx"), "sentence")
+        .select("doc_id", F.col("idx").cast("int").alias("idx"), "word")
         .orderBy("doc_id", "idx")
     )
 
 
 POSEXPLODE_SQL = """
-SELECT doc_id, CAST(i - 1 AS INT) AS idx, arr[i] AS sentence
+SELECT doc_id, CAST(i - 1 AS INT) AS idx, arr[i] AS word
 FROM (
-  SELECT doc_id, string_split(text, '. ') AS arr
+  SELECT doc_id, string_split(text, ' ')[1:10] AS arr
   FROM documents WHERE doc_id < 30
 ), unnest(range(1, len(arr) + 1)) AS t(i)
 ORDER BY doc_id, idx
