@@ -3,8 +3,10 @@ text analytics, multimodal plumbing.
 
 These are the operations a 100 TB pretraining-data pipeline needs beyond
 the reference's OCR cascade (task brief). Everything SQL-expressible has
-a DuckDB oracle; MinHash/SimHash use Spark's xxhash64 (not reproducible
-in DuckDB) and are verified by dedicated pytest invariants instead.
+a DuckDB oracle — including MinHash+LSH and SimHash, whose hashes are
+md5-derived int64s computed identically in both engines (xxhash64 is the
+documented drop-in for production clusters); pytest adds
+recall/precision invariants on top.
 
 Scale notes (the point of each design):
 - exact dedup: one hash-shuffle on the text hash — never on raw text.
@@ -131,11 +133,17 @@ SELECT d1, d2, jaccard FROM (
 
 
 # --------------------------------------------------------------------------
-# MinHash + LSH banding (rows-only: Spark xxhash64 has no DuckDB twin;
-# correctness is pytest-verified: LSH candidates ⊇ high-Jaccard pairs,
-# and verified pairs match exact Jaccard ≥ threshold).
-# Plan shape at scale: explode shingles → ONE groupBy(doc) computing all
-# 32 min-hashes → explode 8 bands → groupBy band bucket → pairs inside
+# MinHash + LSH banding — fully DuckDB-oracle-checked. The base shingle
+# hash is the md5→int64 trick (first 15 md5 hex chars, < 2^60) proven by
+# winnow_fingerprint, so BOTH engines compute bit-identical signatures:
+# Spark hashes each shingle once JVM-side and takes the 32-way
+# multiply-shift min in a vectorized numpy UDF; DuckDB replays the same
+# (a_k * h + b_k) mod 2^64 arithmetic in HUGEINT (h < 2^60 so the
+# product fits 128 bits — no wrap emulation needed). xxhash64 is the
+# drop-in base-hash swap on a production cluster where no cross-engine
+# oracle runs (one seeded 64-bit hash either way; banding unchanged).
+# Plan shape at scale: shuffle thin rows → ONE projection computing all
+# 32 min-hashes → explode bands → groupBy band bucket → pairs inside
 # buckets only → exact verify on the candidates.
 # --------------------------------------------------------------------------
 
@@ -143,17 +151,32 @@ N_HASHES = 32
 N_BANDS = 8
 ROWS_PER_BAND = N_HASHES // N_BANDS
 
+_MASK64 = 2**64
+# Multiply-shift coefficients: odd multipliers (bijections of the base
+# hash mod 2^64), identical literals in the numpy UDF and the oracle SQL.
+_MINHASH_A = [((2 * k + 1) * 0x9E3779B97F4A7C15) % _MASK64 for k in range(N_HASHES)]
+_MINHASH_B = [(k * 0xBF58476D1CE4E5B9) % _MASK64 for k in range(N_HASHES)]
 
-def _with_shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, sh). Repartition the RAW docs BEFORE projecting the
-    shingles: ``select(...).repartition(n)`` puts the projection under
-    the exchange, i.e. the whole shingle build runs inside the scan
-    stage — one task for a single small parquet file. Shuffling thin
-    (doc_id, text) rows first costs almost nothing and lets the heavy
-    expression run at full parallelism."""
+
+def md5_long(c):
+    """First 60 bits of md5 as a non-negative int64 — computed
+    identically in Spark (conv base16) and DuckDB
+    (``CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)``)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def _with_shingles(
+    docs: DataFrame, k: int = 3, extra_cols: tuple = ()
+) -> DataFrame:
+    """(doc_id, *extra_cols, sh). Repartition the RAW docs BEFORE
+    projecting the shingles: ``select(...).repartition(n)`` puts the
+    projection under the exchange, i.e. the whole shingle build runs
+    inside the scan stage — one task for a single small parquet file.
+    Shuffling thin (doc_id, text) rows first costs almost nothing and
+    lets the heavy expression run at full parallelism."""
     par = docs.sparkSession.sparkContext.defaultParallelism * 2
     return docs.repartition(par).select(
-        "doc_id", word_shingles(F.col("text"), 3).alias("sh")
+        "doc_id", *extra_cols, word_shingles(F.col("text"), k).alias("sh")
     )
 
 
@@ -161,16 +184,16 @@ def _with_shingles(docs: DataFrame) -> DataFrame:
 def _minhash_from_base(base: pd.Series) -> pd.Series:
     """32 minhashes per row from the row's base shingle hashes, computed
     as one numpy pass over the whole Arrow batch (flatten + outer
-    multiply-shift + ``minimum.reduceat``): h_k(s) = a_k * xxhash64(s)
-    + b_k over uint64 (wrapping). Odd multipliers keep each h_k a
-    bijection of the base hash, so min-wise behavior tracks xxhash64."""
+    multiply-shift + ``minimum.reduceat``): h_k(s) = a_k * base(s)
+    + b_k over uint64 (wrapping ≡ mod 2^64). Odd multipliers keep each
+    h_k a bijection of the base hash, so min-wise behavior tracks the
+    base hash's uniformity."""
     import numpy as np
 
     if base.empty:
         return pd.Series([], dtype=object)
-    k = np.arange(N_HASHES, dtype=np.uint64)
-    a = (2 * k + 1) * np.uint64(0x9E3779B97F4A7C15)
-    b = k * np.uint64(0xBF58476D1CE4E5B9)
+    a = np.array(_MINHASH_A, dtype=np.uint64)
+    b = np.array(_MINHASH_B, dtype=np.uint64)
     rows = [np.asarray(r, dtype=np.int64) for r in base]
     lens = np.array([len(r) for r in rows])
     flat = np.concatenate(rows).view(np.uint64)
@@ -184,47 +207,67 @@ def _minhash_from_base(base: pd.Series) -> pd.Series:
     return pd.Series(list(out))
 
 
-def _minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, sig: array<long>[32]) over 3-word shingles.
+def _minhash_signatures(
+    docs: DataFrame, shingle_k: int = 3, extra_cols: tuple = ()
+) -> DataFrame:
+    """(doc_id, *extra_cols, sig: array<long>[32]) over k-word shingles.
 
     Shuffle-free by construction: a pure projection, embarrassingly
     parallel at 10^12 docs (vs. the naive explode → groupBy formulation,
     which shuffles |docs|·|shingles| rows). Each shingle string is
-    xxhash64'd ONCE JVM-side; the 32-way min runs in a vectorized Arrow
+    md5-hashed ONCE JVM-side; the 32-way min runs in a vectorized Arrow
     UDF. The all-JVM alternative (nested ``transform``/``array_min``
     lambdas) evaluates 32 interpreted lambda calls per shingle — measured
     ~40 µs per eval, ~10 s for 5k docs — because higher-order functions
     never enter codegen; the numpy batch pass does the same work in
     milliseconds and is the scale path.
     """
-    with_sh = _with_shingles(docs)
-    base = F.transform(F.col("sh"), lambda s: F.xxhash64(s))
-    return with_sh.select("doc_id", _minhash_from_base(base).alias("sig"))
+    with_sh = _with_shingles(docs, shingle_k, extra_cols)
+    base = F.transform(F.col("sh"), lambda s: md5_long(s))
+    return with_sh.select(
+        "doc_id", *extra_cols, _minhash_from_base(base).alias("sig")
+    )
 
 
-def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
-    """Candidate near-dup pairs via LSH banding on minhash signatures."""
-    sig = _minhash_signatures(docs)
+def lsh_candidate_pairs(docs: DataFrame, n_bands: int = N_BANDS,
+                        shingle_k: int = 3,
+                        block_cols: tuple = ()) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding on minhash signatures.
+
+    ``n_bands`` trades precision for recall at fixed signature width:
+    8 bands × 4 rows targets j≥0.8 dedup; 16 bands × 2 rows pushes
+    per-pair miss probability at j=0.8 to (1-0.8²)^16 ≈ 8e-8, which is
+    what the clustering chain uses so its LSH-fed edges equal the exact
+    all-pairs edge set (pytest-asserted). ``block_cols`` (e.g. source)
+    join the bucket key so cross-block candidates never shuffle at all."""
+    rows_per_band = N_HASHES // n_bands
+    sig = _minhash_signatures(docs, shingle_k, block_cols)
     s = F.col("sig")
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
-                F.xxhash64(
-                    *[s[b * ROWS_PER_BAND + r] for r in range(ROWS_PER_BAND)]
+                md5_long(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            s[b * rows_per_band + r].cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
                 ).alias("band_hash"),
             )
-            for b in range(N_BANDS)
+            for b in range(n_bands)
         ]
     )
-    exploded = sig.select("doc_id", F.explode(bands).alias("b")).select(
-        "doc_id", "b.band_id", "b.band_hash"
-    )
+    exploded = sig.select(
+        "doc_id", *block_cols, F.explode(bands).alias("b")
+    ).select("doc_id", *block_cols, "b.band_id", "b.band_hash")
     # One shuffle: group each LSH bucket, expand pairs inside the row
     # (array expr, no self-join — the naive self-join computes the whole
     # signature scan twice and O(n²) join probes; this is the standard
     # bucket-local expansion).
-    buckets = exploded.groupBy("band_id", "band_hash").agg(
+    buckets = exploded.groupBy("band_id", "band_hash", *block_cols).agg(
         F.sort_array(F.collect_list("doc_id")).alias("ids")
     )
     pairs = buckets.where(F.size("ids") > 1).select(
@@ -243,7 +286,10 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     return pairs.select("p.d1", "p.d2").distinct()
 
 
-def dedup_minhash_lsh(spark, sf_dir, threshold: float = 0.6):
+MINHASH_THRESHOLD = 0.6
+
+
+def dedup_minhash_lsh(spark, sf_dir, threshold: float = MINHASH_THRESHOLD):
     """LSH candidates verified by exact shingle Jaccard >= threshold."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     # Candidates are consumed three times (pairs join + two id sides);
@@ -273,9 +319,83 @@ def dedup_minhash_lsh(spark, sf_dir, threshold: float = 0.6):
     )
 
 
+_SH3_SQL = """
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(lower(text), ' ')) >= 3 THEN
+           list_distinct(list_transform(
+             range(1, len(string_split(lower(text), ' ')) - 1),
+             i -> concat_ws(' ', string_split(lower(text), ' ')[i],
+                            string_split(lower(text), ' ')[i + 1],
+                            string_split(lower(text), ' ')[i + 2])))
+         ELSE [text] END AS sh
+  FROM documents
+)
+"""
+
+
+def _minhash_lsh_sql(threshold: float = MINHASH_THRESHOLD) -> str:
+    """DuckDB replay of the full MinHash+LSH pipeline: same shingles,
+    same md5→int64 base hash, same (a_k·h + b_k) mod 2^64 multiply-shift
+    minima (HUGEINT arithmetic — h < 2^60 so products fit 128 bits),
+    same md5 band hashes over the signed-int64 signature strings, same
+    bucket pairing and exact-Jaccard verification."""
+    sig_cols = ",\n         ".join(
+        f"min((CAST({a} AS HUGEINT) * h + {b}) % 18446744073709551616) AS s{k}"
+        for k, (a, b) in enumerate(zip(_MINHASH_A, _MINHASH_B))
+    )
+
+    def signed(c: str) -> str:  # uint64 bit pattern -> int64 (numpy view)
+        return (
+            f"CAST(CASE WHEN {c} >= 9223372036854775808 "
+            f"THEN {c} - 18446744073709551616 ELSE {c} END AS BIGINT)"
+        )
+
+    band_selects = []
+    for b in range(N_BANDS):
+        parts = ", ".join(
+            f"CAST({signed(f's{b * ROWS_PER_BAND + r}')} AS VARCHAR)"
+            for r in range(ROWS_PER_BAND)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id,\n"
+            f"  CAST(concat('0x', substr(md5(concat_ws('|', {parts})), 1, 15))"
+            f" AS BIGINT) AS band_hash FROM sigs"
+        )
+    bands_sql = "\n  UNION ALL\n  ".join(band_selects)
+    return f"""
+WITH {_SH3_SQL.strip()},
+hashes AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(unnest(sh)), 1, 15)) AS BIGINT) AS h
+  FROM sh
+),
+sigs AS (
+  SELECT doc_id, {sig_cols}
+  FROM hashes GROUP BY doc_id
+),
+bands AS (
+  {bands_sql}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+)
+SELECT d1, d2, jaccard FROM (
+  SELECT c.d1, c.d2,
+         round(len(list_intersect(x.sh, y.sh))::DOUBLE
+               / len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jaccard
+  FROM cands c JOIN sh x ON x.doc_id = c.d1 JOIN sh y ON y.doc_id = c.d2
+) WHERE jaccard >= {threshold} ORDER BY d1, d2
+"""
+
+
 # --------------------------------------------------------------------------
-# SimHash (rows-only): 16-bit signature from signed bit-votes of token
-# hashes — all built-in exprs via explode + conditional sums.
+# SimHash: 16-bit signature from signed bit-votes of token hashes — all
+# built-in exprs via explode + conditional sums. Token hash is the same
+# md5→int64 trick, so the whole query is DuckDB-oracle-checked.
 # --------------------------------------------------------------------------
 
 SIMHASH_BITS = 16
@@ -289,7 +409,7 @@ def simhash_docs(spark, sf_dir):
     )
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", md5_long(F.col("tok")))
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
@@ -304,6 +424,32 @@ def simhash_docs(spark, sf_dir):
         for b in range(SIMHASH_BITS)
     )
     return sig.select("doc_id", bits.cast("int").alias("simhash")).orderBy("doc_id")
+
+
+def _simhash_sql() -> str:
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"CASE WHEN v_{b} > 0 THEN {1 << b} ELSE 0 END"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+h AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+  FROM toks
+),
+votes AS (
+  SELECT doc_id, {votes}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, CAST({bits} AS INTEGER) AS simhash
+FROM votes ORDER BY doc_id
+"""
 
 
 # --------------------------------------------------------------------------
@@ -852,8 +998,8 @@ def extract_main_content(spark, sf_dir):
 ML_QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_token_jaccard": (dedup_token_jaccard, DEDUP_JACCARD_SQL),
-    "dedup_minhash_lsh": (dedup_minhash_lsh, None),
-    "dedup_simhash": (simhash_docs, None),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_lsh_sql()),
+    "dedup_simhash": (simhash_docs, _simhash_sql()),
     "lang_id_stopword": (lang_id_stopword, LANG_ID_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "token_stats": (token_stats, TOKEN_STATS_SQL),
@@ -873,47 +1019,90 @@ ML_QUERIES: dict[str, tuple] = {
 # vectors have no near-dups (max pairwise cosine ~0.6), so the query
 # synthesizes them: every 20th vector reappears (id+100000) deterministically
 # perturbed (x*1.01 + 0.001), then the detector finds each copy's source by
-# cosine >= 0.99 against the original corpus. Scale shape: the small probe
-# side broadcasts; the corpus side is a scan.
+# cosine >= 0.99 against the original corpus.
+#
+# Scale shape: BOTH sides are hyperplane-bucketed (random-hyperplane LSH,
+# shared with ann_lsh_buckets) and the cosine runs only inside matching
+# buckets — an equi-join on bucket id, not a cross join, so at 10^9
+# vectors the corpus scan emits each row into exactly one bucket and
+# probes touch ~1/2^H of it. Probes multi-probe their Hamming-1 neighbor
+# buckets (standard multi-probe LSH) so a perturbation that crosses one
+# hyperplane cannot lose the pair. The DuckDB oracle replicates the
+# bucketing exactly (like ann_ivf_topk's cluster assignment), and pytest
+# separately asserts the bucketed output equals the brute-force cross
+# join on the test corpus.
 # --------------------------------------------------------------------------
 
 
 def dedup_embedding_cosine(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     vec = F.col("embedding").cast(T.ArrayType(T.DoubleType()))
-    orig = emb.select(F.col("vec_id").alias("orig_id"), vec.alias("o_vec"))
+    orig = emb.select(
+        F.col("vec_id").alias("orig_id"),
+        vec.alias("o_vec"),
+        hyperplane_bucket(F.col("embedding"), HYPERPLANES).alias("bucket"),
+    )
+    p_vec = F.transform(vec, lambda x: x * 1.01 + 0.001)
+    pb = hyperplane_bucket(p_vec, HYPERPLANES)
     probes = (
         emb.where(F.col("vec_id") % 20 == 0)
         .select(
             (F.col("vec_id") + 100000).alias("probe_id"),
-            F.transform(vec, lambda x: x * 1.01 + 0.001).alias("p_vec"),
+            p_vec.alias("p_vec"),
+            F.explode(
+                F.array(pb, *[pb.bitwiseXOR(F.lit(1 << j)) for j in range(len(HYPERPLANES))])
+            ).alias("bucket"),
         )
     )
     cos = dot(F.col("o_vec"), F.col("p_vec")) / (
         l2_norm(F.col("o_vec")) * l2_norm(F.col("p_vec"))
     )
     return (
-        orig.join(F.broadcast(probes))
+        orig.join(F.broadcast(probes), "bucket")
         .select("orig_id", "probe_id", F.round(cos, 4).alias("cos"))
         .where(F.col("cos") >= 0.99)
         .orderBy("orig_id", "probe_id")
     )
 
 
-DEDUP_EMBEDDING_SQL = """
+def _hp_bucket_sql(vec_expr: str) -> str:
+    """DuckDB mirror of hyperplane_bucket over a DOUBLE[] expression."""
+    return " + ".join(
+        f"(CASE WHEN list_dot_product({vec_expr}, {h!r}) > 0 THEN {1 << j} ELSE 0 END)"
+        for j, h in enumerate(HYPERPLANES)
+    )
+
+
+def _dedup_embedding_sql() -> str:
+    probe_flips = ", ".join(f"xor(pb, {1 << j})" for j in range(len(HYPERPLANES)))
+    return f"""
+WITH orig AS (
+  SELECT vec_id AS orig_id, embedding::DOUBLE[] AS o_vec,
+         {_hp_bucket_sql("embedding::DOUBLE[]")} AS bucket
+  FROM embeddings
+),
+probes0 AS (
+  SELECT vec_id + 100000 AS probe_id,
+         list_transform(embedding::DOUBLE[], x -> x * 1.01 + 0.001) AS p_vec
+  FROM embeddings WHERE vec_id % 20 = 0
+),
+probes1 AS (
+  SELECT probe_id, p_vec, {_hp_bucket_sql("p_vec")} AS pb FROM probes0
+),
+probes AS (
+  SELECT probe_id, p_vec, unnest([pb, {probe_flips}]) AS bucket FROM probes1
+)
 SELECT orig_id, probe_id, cos FROM (
-  SELECT o.vec_id AS orig_id, p.probe_id,
-         round(list_dot_product(o.embedding::DOUBLE[], p.p_vec)
-               / (sqrt(list_dot_product(o.embedding::DOUBLE[], o.embedding::DOUBLE[]))
+  SELECT o.orig_id, p.probe_id,
+         round(list_dot_product(o.o_vec, p.p_vec)
+               / (sqrt(list_dot_product(o.o_vec, o.o_vec))
                   * sqrt(list_dot_product(p.p_vec, p.p_vec))), 4) AS cos
-  FROM embeddings o
-  CROSS JOIN (
-    SELECT vec_id + 100000 AS probe_id,
-           list_transform(embedding::DOUBLE[], x -> x * 1.01 + 0.001) AS p_vec
-    FROM embeddings WHERE vec_id % 20 = 0
-  ) p
+  FROM orig o JOIN probes p USING (bucket)
 ) WHERE cos >= 0.99 ORDER BY orig_id, probe_id
 """
+
+
+DEDUP_EMBEDDING_SQL = _dedup_embedding_sql()
 
 ML_QUERIES["dedup_embedding_cosine"] = (dedup_embedding_cosine, DEDUP_EMBEDDING_SQL)
 
@@ -1324,25 +1513,75 @@ ML_QUERIES["token_stats_bpe"] = (token_stats_bpe, TOKEN_STATS_BPE_SQL)
 
 CC_MAX_ITERS = 15
 
+_UNSET = object()  # convergence-probe sentinel (None is a valid sum)
+
 
 N_PAIR_BUCKETS = 8  # B: all-pairs work spreads over B(B+1)/2 cells/block
 
 
-def _jaccard_edges(spark, sf_dir, threshold: float = 0.8) -> DataFrame:
-    """Same-source token-Jaccard >= threshold pairs (d1 < d2) — the
-    SQL-expressible edge set shared with ``dedup_token_jaccard``; the
-    scale path swaps in ``lsh_candidate_pairs`` + verify unchanged.
+def _jaccard_edges(
+    spark, sf_dir, threshold: float = 0.8, use_lsh: bool = True
+) -> DataFrame:
+    """Same-source token-Jaccard >= threshold pairs (d1 < d2) — the edge
+    feed for near-dup clustering, identical in output to
+    ``dedup_token_jaccard``'s pair set.
 
-    The naive self-join on the blocking key parallelizes by DISTINCT
-    BLOCK — a handful of sources means a handful of tasks regardless of
-    cluster size. This uses the standard triangle (bucket-pair) all-pairs
-    join instead: hash each doc into one of B buckets, fan the row out to
-    its join cells — as LEFT of cells (b, j>=b), as RIGHT of cells
-    (i<=b, b) — and equi-join on (source, cell). Same comparison count,
-    but spread over B(B+1)/2 cells per block; each row is replicated B+1
-    times through the shuffle, the price of parallelism. Diagonal cells
-    see each pair twice, so they keep only doc_l < doc_r; off-diagonal
-    cells see it once and emit (least, greatest)."""
+    Default path (``use_lsh=True``): MinHash-LSH candidate generation at
+    16 bands × 2 rows over unigram shingles — the minhash then estimates
+    exactly the token-Jaccard being thresholded, and per-pair miss
+    probability at j=0.8 is (1-0.8²)^16 ≈ 8e-8, so on any non-adversarial
+    corpus the LSH-fed edge set equals the exact all-pairs edge set
+    (pytest-asserted equal on the test corpus). Comparisons are
+    O(candidates), not O(n²): this is the 100 TB path.
+
+    ``use_lsh=False`` keeps the exact all-pairs triangle join — the
+    executable spec and the oracle's formulation.
+    """
+    if use_lsh:
+        docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+        # Blocking col joins the LSH bucket key: cross-source candidates
+        # are never generated, mirroring the all-pairs same-source block.
+        cands = lsh_candidate_pairs(
+            docs, n_bands=16, shingle_k=1, block_cols=("source",)
+        ).localCheckpoint()
+        cand_ids = (
+            cands.select(F.explode(F.array("d1", "d2")).alias("doc_id"))
+            .distinct()
+        )
+        # Exact verification only touches candidate docs (semi-join), so
+        # at 10^12 docs the token arrays are built for a vanishing
+        # fraction of the corpus.
+        cand_docs = (
+            docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+            .select("doc_id", tokens_distinct(F.col("text")).alias("tk"))
+        )
+        jac = F.size(F.array_intersect("a.tk", "b.tk")) / F.size(
+            F.array_union("a.tk", "b.tk")
+        )
+        return (
+            cands.join(
+                F.broadcast(cand_docs.alias("a")),
+                cands.d1 == F.col("a.doc_id"),
+            )
+            .join(
+                F.broadcast(cand_docs.alias("b")),
+                cands.d2 == F.col("b.doc_id"),
+            )
+            .where(F.round(jac, 4) >= threshold)
+            .select("d1", "d2")
+        )
+
+    # -- exact all-pairs triangle join (the spec path) ---------------------
+    # The naive self-join on the blocking key parallelizes by DISTINCT
+    # BLOCK — a handful of sources means a handful of tasks regardless of
+    # cluster size. This uses the standard triangle (bucket-pair) all-pairs
+    # join instead: hash each doc into one of B buckets, fan the row out to
+    # its join cells — as LEFT of cells (b, j>=b), as RIGHT of cells
+    # (i<=b, b) — and equi-join on (source, cell). Same comparison count,
+    # but spread over B(B+1)/2 cells per block; each row is replicated B+1
+    # times through the shuffle, the price of parallelism. Diagonal cells
+    # see each pair twice, so they keep only doc_l < doc_r; off-diagonal
+    # cells see it once and emit (least, greatest).
     B = N_PAIR_BUCKETS
     # Repartition the RAW rows before the heavy projection — a small
     # parquet file scans as ONE task, and select-then-repartition would
@@ -1452,11 +1691,26 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
         # probe to sum over DECIMAL or (count, avg) to dodge int64
         # overflow.)
         new_sum = new.agg(F.sum("cluster")).collect()[0][0]
-        prev_sum = getattr(labels, "_cc_sum", None)
+        # sentinel (not None): sum() over an empty label set is None, and
+        # None == None must still count as a detected fixpoint
+        prev_sum = getattr(labels, "_cc_sum", _UNSET)
         labels = new
         labels._cc_sum = new_sum
-        if prev_sum is not None and new_sum == prev_sum:
+        if prev_sum is not _UNSET and new_sum == prev_sum:
             break
+    else:
+        # max_iters is a safety bound, not a silent truncation: a
+        # component with diameter > max_iters would otherwise be split
+        # into several clusters with no error (e.g. a long chain of
+        # template-drift near-dups), corrupting every downstream
+        # keep/drop decision. The sum probe already ran, so detecting
+        # this costs nothing.
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iters} "
+            "label-propagation rounds (component diameter exceeds the "
+            "iteration bound); raise max_iters or switch to star "
+            "contraction for adversarial graphs"
+        )
     return labels
 
 

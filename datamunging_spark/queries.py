@@ -956,15 +956,22 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 
 
 def q_stats_aggregates(spark, sf_dir):
-    """Statistical aggregate surface: stddev/variance/corr/covar."""
+    """Statistical aggregate surface: stddev/variance/corr/covar.
+
+    Every rounded double gets ``+ 0.0`` on BOTH sides: DuckDB's
+    covar_samp can return -0.0 where Spark returns 0.0, and the
+    driver's value hash distinguishes the sign of zero. IEEE 754
+    guarantees -0.0 + 0.0 == +0.0, so this canonicalizes without
+    changing any non-zero value.
+    """
     li = t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_linestatus")
         .agg(
-            F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
-            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
-            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qp"),
-            F.round(F.covar_samp("l_discount", "l_tax"), 4).alias("cov_dt"),
+            (F.round(F.stddev_samp("l_extendedprice"), 4) + F.lit(0.0)).alias("sd_price"),
+            (F.round(F.var_samp("l_quantity"), 4) + F.lit(0.0)).alias("var_qty"),
+            (F.round(F.corr("l_quantity", "l_extendedprice"), 4) + F.lit(0.0)).alias("corr_qp"),
+            (F.round(F.covar_samp("l_discount", "l_tax"), 4) + F.lit(0.0)).alias("cov_dt"),
         )
         .orderBy("l_linestatus")
     )
@@ -972,10 +979,10 @@ def q_stats_aggregates(spark, sf_dir):
 
 Q_STATS_SQL = """
 SELECT l_linestatus,
-       round(stddev_samp(l_extendedprice), 4) AS sd_price,
-       round(var_samp(l_quantity), 4)         AS var_qty,
-       round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
-       round(covar_samp(l_discount, l_tax), 4)     AS cov_dt
+       round(stddev_samp(l_extendedprice), 4) + 0.0 AS sd_price,
+       round(var_samp(l_quantity), 4) + 0.0         AS var_qty,
+       round(corr(l_quantity, l_extendedprice), 4) + 0.0 AS corr_qp,
+       round(covar_samp(l_discount, l_tax), 4) + 0.0     AS cov_dt
 FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
 """
 

@@ -160,6 +160,72 @@ def test_extract_munge_matches_oracle_per_doc(spark):
         ), doc_id
 
 
+def test_embedding_dedup_bucketed_equals_bruteforce(spark):
+    """The hyperplane-bucketed (multi-probe) near-dup join must find
+    exactly the pairs the brute-force cross join finds on the test
+    corpus — bucketing prunes compute, not recall, here."""
+    from datamunging_spark.functions import dot, l2_norm
+    from datamunging_spark.ml_ops import dedup_embedding_cosine
+    from pyspark.sql import types as T
+
+    got = {
+        (r.orig_id, r.probe_id)
+        for r in dedup_embedding_cosine(spark, SF_DIR).collect()
+    }
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    vec = F.col("embedding").cast(T.ArrayType(T.DoubleType()))
+    orig = emb.select(F.col("vec_id").alias("orig_id"), vec.alias("o_vec"))
+    probes = emb.where(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100000).alias("probe_id"),
+        F.transform(vec, lambda x: x * 1.01 + 0.001).alias("p_vec"),
+    )
+    cos = dot(F.col("o_vec"), F.col("p_vec")) / (
+        l2_norm(F.col("o_vec")) * l2_norm(F.col("p_vec"))
+    )
+    brute = {
+        (r.orig_id, r.probe_id)
+        for r in orig.join(F.broadcast(probes))
+        .where(F.round(cos, 4) >= 0.99)
+        .select("orig_id", "probe_id")
+        .collect()
+    }
+    assert got == brute
+    assert brute, "corpus must contain synthesized near-dup pairs"
+
+
+def test_lsh_edges_equal_allpairs_edges(spark):
+    """The clustering chain's default LSH-fed edge set must equal the
+    exact all-pairs triangle-join edge set (16 bands × 2 rows over
+    unigram shingles gives per-pair miss probability ~8e-8 at j=0.8, so
+    on the test corpus equality is exact) — this is the guarantee that
+    lets curate_corpus run on the O(candidates) path with an unchanged
+    oracle."""
+    from datamunging_spark.ml_ops import _jaccard_edges
+
+    lsh = {
+        (r.d1, r.d2)
+        for r in _jaccard_edges(spark, SF_DIR, use_lsh=True).collect()
+    }
+    exact = {
+        (r.d1, r.d2)
+        for r in _jaccard_edges(spark, SF_DIR, use_lsh=False).collect()
+    }
+    assert lsh == exact, (
+        f"missing={sorted(exact - lsh)[:5]} spurious={sorted(lsh - exact)[:5]}"
+    )
+    assert exact, "test corpus must contain at least one near-dup edge"
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A chain longer than max_iters must raise, not silently split."""
+    from datamunging_spark.ml_ops import connected_components
+
+    chain = [(i, i + 1) for i in range(1, 8)]  # diameter 7
+    edges = spark.createDataFrame(chain, ["d1", "d2"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iters=3)
+
+
 def test_connected_components_exact_clusters(spark):
     """Hand-built graph: an 8-node chain (forces multiple propagation
     rounds — diameter 7), a triangle, and a 2-clique; labels must be the

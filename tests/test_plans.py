@@ -81,6 +81,29 @@ def test_minhash_signature_stage_is_projection(spark, sf_dir):
     assert "HashAggregate" not in plan
 
 
+def test_embedding_dedup_is_bucket_equijoin(spark, sf_dir):
+    """dedup_embedding_cosine must probe via an equi-join on the LSH
+    bucket id — never a cross join of probes × corpus (the flop bomb at
+    10^9 vectors)."""
+    from datamunging_spark.ml_ops import dedup_embedding_cosine
+
+    plan = plan_of(dedup_embedding_cosine(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "bucket" in plan and "Join" in plan
+
+
+def test_minhash_verify_scans_only_candidates(spark, sf_dir):
+    """dedup_minhash_lsh's exact-Jaccard verify stage must be fed by a
+    (broadcast) semi join of the corpus against candidate ids — i.e. the
+    shingle rebuild touches candidate docs only, not a second full-corpus
+    pass. Guards the verify-side pruning against regression."""
+    from datamunging_spark.ml_ops import dedup_minhash_lsh
+
+    plan = plan_of(dedup_minhash_lsh(spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
 def test_munge_pipeline_single_python_stage(spark):
     rows = corpus_to_rows(generate_corpus(seed=5, n_docs=5, body_lines=(4, 6)))
     df = spark.createDataFrame(rows, schema=INPUT_SCHEMA)
