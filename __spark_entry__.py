@@ -27,6 +27,68 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from datamunging_spark.ml_ops import ML_QUERIES, extract_munge  # noqa: E402
 from datamunging_spark.queries import RELATIONAL_QUERIES  # noqa: E402
 
+# The driver records correctness for the first 50 catalog entries, so the
+# window is curated explicitly: one representative per relational category
+# (SURVEY.md §2.2), then every flagship training-data op (dedup family,
+# clustering + curation, ANN, multimodal, text analytics, the cascade's
+# hash-checkable metrics run). Everything after the window stays in the
+# catalog and is exact-value-checked by pytest (test_queries_oracle.py,
+# test_ml_ops.py) — same oracles, same comparison.
+DRIVER_PRIORITY = [
+    # relational surface, one per category
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "broadcast_part_revenue",
+    "semi_customers_with_urgent",
+    "anti_customers_without_orders",
+    "full_outer_balance",
+    "range_join_bins",
+    "asof_join",
+    "window_topk_orders",
+    "window_event_gaps",
+    "rollup_lineitem",
+    "cube_orders",
+    "grouping_sets",
+    "topk_parts",
+    "stats_aggregates",
+    "set_ops_segments",
+    "string_funcs",
+    "date_funcs",
+    "array_funcs",
+    "hof_embeddings",
+    "json_extract",
+    "pivot_status",
+    "sessionize_events",
+    "scalar_subquery",
+    "salted_heavy_hitters",
+    # training-data / extraction flagship ops
+    "extract_munge_metrics",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_token_jaccard",
+    "dedup_clusters",
+    "dedup_representatives",
+    "curate_corpus",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    "ann_lsh_buckets",
+    "ann_ivf_topk",
+    "knn_join_topk",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "lang_id_stopword",
+    "lang_id_ngram",
+    "text_quality",
+    "token_stats",
+    "token_stats_bpe",
+    "doc_fingerprint",
+    "winnow_fingerprint",
+    "hash_split",
+    "header_detect_relational",
+]
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the full OCR-munge extraction cascade over an
@@ -35,16 +97,20 @@ def entry(spark: SparkSession) -> DataFrame:
     return extract_munge(spark, "/root/testdata/sf0.001")
 
 
+def _catalog() -> dict[str, tuple]:
+    merged = {**RELATIONAL_QUERIES, **ML_QUERIES}
+    missing = [n for n in DRIVER_PRIORITY if n not in merged]
+    assert not missing, f"DRIVER_PRIORITY names not in catalog: {missing}"
+    ordered = {n: merged[n] for n in DRIVER_PRIORITY}
+    ordered.update({n: v for n, v in merged.items() if n not in ordered})
+    return ordered
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name, (fn, _sql) in {**RELATIONAL_QUERIES, **ML_QUERIES}.items():
-        out[name] = fn
-    return out
+    return {name: fn for name, (fn, _sql) in _catalog().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    out: dict[str, str] = {}
-    for name, (_fn, sql) in {**RELATIONAL_QUERIES, **ML_QUERIES}.items():
-        if sql is not None:
-            out[name] = sql
-    return out
+    return {
+        name: sql for name, (_fn, sql) in _catalog().items() if sql is not None
+    }

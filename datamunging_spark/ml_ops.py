@@ -991,6 +991,68 @@ def extract_main_content(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def extract_munge_metrics(spark, sf_dir):
+    """Driver-hash-checkable munge run: the REAL extraction cascade (one
+    Arrow-batched Python stage, same ``munge`` operator as
+    ``extract_munge``) over single-page spans synthesized from
+    ``documents``.
+
+    Single-page volumes make the cascade's metric arithmetic exactly
+    SQL-derivable: running-header detection needs neighboring pages (so
+    removes nothing), the corpus vocabulary triggers no corrections or
+    hyphen rejoins, and page-number lines cannot occur — leaving
+    pages = 1 and tokens_total = the whitespace word count, which DuckDB
+    computes independently from ``documents``. This closes the gap where
+    the flagship cascade only had a rows-only driver check: a value-hash
+    mismatch here means the Python stage miscounted or mutated clean
+    text. (extract_munge keeps exercising the multi-page + media path
+    under pytest golden equality.)
+    """
+    from .operators.munge import munge
+
+    docs = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism * 2
+    )
+    words = F.split(F.col("text"), " ")
+    lines = F.transform(
+        F.sequence(F.lit(0), ((F.size(words) - 1) / 8).cast("int")),
+        lambda j: F.concat_ws(" ", F.slice(words, j * 8 + 1, 8)),
+    )
+    spans = F.array(
+        F.struct(
+            F.lit("page").alias("kind"),
+            F.concat_ws("\n", lines).alias("text"),
+            F.lit("").alias("media_ref"),
+            F.lit(0).cast("int").alias("offset"),
+        ),
+        F.struct(
+            F.lit("image").alias("kind"),
+            F.lit("").alias("text"),
+            F.concat(F.lit("media/"), F.col("doc_id").cast("string")).alias(
+                "media_ref"
+            ),
+            F.lit(1).cast("int").alias("offset"),
+        ),
+    )
+    vols = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"), spans.alias("spans")
+    )
+    return (
+        munge(vols, spark)
+        .select("doc_id", "pages", "tokens_total", "tokens_corrected")
+        .orderBy("doc_id")
+    )
+
+
+EXTRACT_MUNGE_METRICS_SQL = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(1 AS BIGINT) AS pages,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens_total,
+       CAST(0 AS BIGINT) AS tokens_corrected
+FROM documents ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Catalog
 # --------------------------------------------------------------------------
@@ -1000,6 +1062,7 @@ ML_QUERIES: dict[str, tuple] = {
     "dedup_token_jaccard": (dedup_token_jaccard, DEDUP_JACCARD_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_lsh_sql()),
     "dedup_simhash": (simhash_docs, _simhash_sql()),
+    "extract_munge_metrics": (extract_munge_metrics, EXTRACT_MUNGE_METRICS_SQL),
     "lang_id_stopword": (lang_id_stopword, LANG_ID_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "token_stats": (token_stats, TOKEN_STATS_SQL),

@@ -580,11 +580,20 @@ def _extract_span_rows(batches: Iterator["pa.RecordBatch"]):
 def extract_exploded(df, spark=None, partitions=None):
     """(doc_id, spans) -> EXTRACT_OUTPUT_SCHEMA via span-level
     parallelism: posexplode → per-span extraction → array_sort
-    reassembly. Byte-equal to ``extract`` (pytest-asserted)."""
+    reassembly. Byte-equal to ``extract`` (pytest-asserted) — including
+    docs whose spans array is EMPTY: posexplode emits no rows for them,
+    so they are unioned back with empty spans and zeroed metrics rather
+    than silently dropped."""
     from pyspark.sql import functions as F
 
     sess = df.sparkSession
     par = partitions or sess.sparkContext.defaultParallelism * 4
+    empties = df.where(F.size("spans") == 0).select(
+        "doc_id",
+        "spans",  # already the correctly-typed empty array
+        *[F.lit(0).cast("long").alias(f) for f in EXTRACT_METRIC_FIELDS],
+        F.lit(0).cast("long").alias("extract_us"),
+    )
     rows = (
         df.select("doc_id", F.posexplode("spans").alias("pos", "s"))
         .select(
@@ -609,7 +618,8 @@ def extract_exploded(df, spark=None, partitions=None):
         *[F.sum(f).alias(f) for f in EXTRACT_METRIC_FIELDS],
         F.sum("extract_us").alias("extract_us"),
     )
-    return agg.select([f.name for f in EXTRACT_OUTPUT_SCHEMA.fields])
+    out_cols = [f.name for f in EXTRACT_OUTPUT_SCHEMA.fields]
+    return agg.select(out_cols).unionByName(empties.select(out_cols))
 
 
 def extract_auto(df, spark=None, monster_threshold: int = 256):

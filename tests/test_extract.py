@@ -121,7 +121,7 @@ def test_exploded_extraction_byte_equal(spark):
             [base_spans[i % len(base_spans)] for i in range(300)]
         )
     ]
-    docs = [("web.monster", tiled)] + docs[1:]
+    docs = [("web.monster", tiled), ("web.empty", [])] + docs[1:]
     df = spark.createDataFrame(corpus_to_rows(docs), schema=INPUT_SCHEMA)
 
     whole = {r.doc_id: r for r in extract(df, spark).collect()}
