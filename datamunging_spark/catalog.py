@@ -60,5 +60,56 @@ class IcebergTableIO:
         df.writeTo(table).createOrReplace()
 
 
+def merge_upsert(
+    spark: SparkSession,
+    updates: DataFrame,
+    target: str,
+    key: str = "doc_id",
+    io=None,
+) -> None:
+    """Keyed upsert: rows in ``updates`` replace same-key rows in the
+    target table; new keys append. The re-munge/backfill primitive (a
+    corrected batch of volumes supersedes its previous output).
+
+    Parquet backend: read target → anti-join out the updated keys →
+    union the updates → overwrite. Correct but rewrites the table, so
+    it is for LOCAL/test use and small state tables only.
+
+    Iceberg backend (real cluster) does this as one transactional
+    row-level command — no table rewrite, snapshot-isolated:
+
+        MERGE INTO lake.db.tbl t
+        USING updates u ON t.doc_id = u.doc_id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+
+    which we emit via SQL when the io is Iceberg-backed (updates are
+    registered as a temp view). Copy-on-write vs merge-on-read is a
+    table property (``write.merge.mode``), not engine code.
+    """
+    io = io or default_io()
+    if isinstance(io, IcebergTableIO):
+        updates.createOrReplaceTempView("_merge_updates")
+        spark.sql(
+            f"MERGE INTO {target} t USING _merge_updates u "
+            f"ON t.{key} = u.{key} "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        return
+    if io.exists(spark, target):
+        current = io.read(spark, target)
+        from pyspark.sql import functions as F
+
+        kept = current.join(
+            F.broadcast(updates.select(key).distinct()), key, "left_anti"
+        )
+        merged = kept.unionByName(updates)
+    else:
+        merged = updates
+    # the parquet overwrite reads its own input: materialize first
+    io.overwrite(merged.localCheckpoint(eager=True), target)
+
+
 def default_io() -> ParquetTableIO:
     return ParquetTableIO()
