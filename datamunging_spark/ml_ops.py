@@ -1582,24 +1582,63 @@ _UNSET = object()  # convergence-probe sentinel (None is a valid sum)
 N_PAIR_BUCKETS = 8  # B: all-pairs work spreads over B(B+1)/2 cells/block
 
 
+def _lsh_worthwhile(docs: DataFrame) -> bool:
+    """Selectivity probe: decide whether LSH candidate generation can
+    actually prune. MinHash-LSH beats the exact all-pairs join only when
+    most pairs DON'T collide; on a corpus whose vocabulary is tiny
+    relative to document length (e.g. the synthetic bench tables: 31
+    distinct words), every token set covers most of the vocabulary, all
+    pairs are near-dups, and banding degenerates into full same-bucket
+    collision — LSH then pays signature + 16-band bucket expansion for
+    zero pruning (measured 2× slower than the triangle join at sf0.1).
+
+    The probe reads a 256-doc sample and compares sample vocabulary size
+    against mean distinct-tokens-per-doc: vocab ≫ doc length means token
+    sets are sparse subsets (realistic text: sample vocab 10⁴–10⁵ vs
+    ~10² distinct tokens/doc) and collisions are informative. One tiny
+    driver-side aggregate, the same class of runtime statistics-based
+    strategy choice AQE makes for joins.
+    """
+    row = (
+        docs.limit(256)
+        .select(tokens_distinct(F.col("text")).alias("tk"))
+        .agg(
+            F.avg(F.size("tk")).alias("avg_doc_tokens"),
+            F.size(
+                F.array_distinct(F.flatten(F.collect_list("tk")))
+            ).alias("vocab"),
+        )
+        .collect()[0]
+    )
+    if row.avg_doc_tokens is None:  # empty corpus: nothing to prune
+        return False
+    return row.vocab > 8 * row.avg_doc_tokens
+
+
 def _jaccard_edges(
-    spark, sf_dir, threshold: float = 0.8, use_lsh: bool = True
+    spark, sf_dir, threshold: float = 0.8, use_lsh: bool | str = "auto"
 ) -> DataFrame:
     """Same-source token-Jaccard >= threshold pairs (d1 < d2) — the edge
     feed for near-dup clustering, identical in output to
     ``dedup_token_jaccard``'s pair set.
 
-    Default path (``use_lsh=True``): MinHash-LSH candidate generation at
-    16 bands × 2 rows over unigram shingles — the minhash then estimates
-    exactly the token-Jaccard being thresholded, and per-pair miss
-    probability at j=0.8 is (1-0.8²)^16 ≈ 8e-8, so on any non-adversarial
-    corpus the LSH-fed edge set equals the exact all-pairs edge set
-    (pytest-asserted equal on the test corpus). Comparisons are
-    O(candidates), not O(n²): this is the 100 TB path.
+    ``use_lsh="auto"`` (default) picks the candidate generator by the
+    ``_lsh_worthwhile`` selectivity probe: MinHash-LSH banding at 16
+    bands × 2 rows over unigram shingles when collisions prune (the
+    100 TB path — the minhash estimates exactly the token-Jaccard being
+    thresholded, per-pair miss probability at j=0.8 is (1-0.8²)^16 ≈
+    8e-8), the exact triangle all-pairs join when the corpus is so
+    self-similar that nothing prunes (the synthetic bench tables). Both
+    paths produce the identical edge set (pytest-asserted), so the
+    choice is pure physics, like AQE picking a join strategy.
 
-    ``use_lsh=False`` keeps the exact all-pairs triangle join — the
-    executable spec and the oracle's formulation.
+    ``use_lsh=False`` forces the exact all-pairs triangle join — the
+    executable spec and the oracle's formulation; ``True`` forces LSH.
     """
+    if use_lsh == "auto":
+        use_lsh = _lsh_worthwhile(
+            t(spark, sf_dir, "documents").select("doc_id", "text")
+        )
     if use_lsh:
         docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
         # Blocking col joins the LSH bucket key: cross-source candidates

@@ -216,6 +216,28 @@ def test_lsh_edges_equal_allpairs_edges(spark):
     assert exact, "test corpus must contain at least one near-dup edge"
 
 
+def test_lsh_selectivity_probe(spark):
+    """The auto strategy must pick all-pairs on the tiny-vocabulary
+    synthetic tables (everything collides — LSH can't prune) and LSH on
+    realistic sparse-vocabulary text."""
+    from datamunging_spark.ml_ops import _lsh_worthwhile
+
+    bench = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    assert _lsh_worthwhile(bench) is False
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(20000)]
+    rows = [
+        (str(i), " ".join(rng.choice(vocab) for _ in range(120)))
+        for i in range(256)
+    ]
+    wide = spark.createDataFrame(rows, "doc_id string, text string")
+    assert _lsh_worthwhile(wide) is True
+
+
 def test_connected_components_nonconvergence_raises(spark):
     """A chain longer than max_iters must raise, not silently split."""
     from datamunging_spark.ml_ops import connected_components
