@@ -316,3 +316,22 @@ def test_freq_items_superset_guarantee(spark, sf_dir):
             for r in li.groupBy(col).count().where(F.col("count") > 0.05 * n).collect()
         }
         assert truth <= set(got), f"{col}: missing {truth - set(got)}"
+
+
+def test_freq_items_superset_guarantee_sf01(spark):
+    """Same KSP no-false-negative guarantee at sf0.1 (600k lineitem
+    rows, many distinct suppkeys): the sketch's error bound must hold as
+    the data scales, not just on the 6k-row fixture."""
+    from datamunging_spark.ml_ops import freq_items
+
+    sf_dir = "/root/testdata/sf0.1"
+    row = freq_items(spark, sf_dir, support=0.02).collect()[0]
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n = li.count()
+    assert n >= 100_000  # this test is about scale
+    for col, got in (("l_suppkey", row.hot_suppkeys), ("l_returnflag", row.hot_flags)):
+        truth = {
+            r[col]
+            for r in li.groupBy(col).count().where(F.col("count") > 0.02 * n).collect()
+        }
+        assert truth <= set(got), f"{col}: missing {truth - set(got)}"
