@@ -67,7 +67,6 @@ DRIVER_PRIORITY = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_token_jaccard",
     "dedup_clusters",
     "dedup_representatives",
     "curate_corpus",
@@ -75,6 +74,7 @@ DRIVER_PRIORITY = [
     "ann_cosine_topk",
     "ann_lsh_buckets",
     "ann_ivf_topk",
+    "kmeans_embeddings",
     "knn_join_topk",
     "multimodal_resize",
     "multimodal_frame_sample",

@@ -1261,6 +1261,150 @@ ML_QUERIES["ann_ivf_topk"] = (ann_ivf_topk, _ivf_sql())
 
 
 # --------------------------------------------------------------------------
+# K-means (Lloyd) over the embedding table — the learned coarse
+# quantizer that replaces IVF's fixed literal centroids on a real
+# corpus. DataFrame-native in the standard Spark shape (MLlib's):
+# centroids live on the driver (k × dim floats — bytes, not data),
+# each iteration is ONE distributed job (assignment expression folded
+# into a single groupBy computing counts, SSE and all per-dimension
+# means with map-side partial aggregation), so at 10^9 vectors the cost
+# is iters × one scan+shuffle of (k × dim) partial sums per partition.
+# Deterministic by construction: init = the k lowest-id vectors,
+# argmin ties break to the lowest cluster id, no RNG anywhere.
+#
+# Oracle: the full Lloyd unroll (3 iterations of assign + recompute,
+# empty-cluster fallback included) replayed in DuckDB CTEs — avg order
+# differs between engines only at ~1e-13, far inside the rounding.
+# --------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+KMEANS_DIM = 64
+
+
+def _kmeans_assign(v, centroids):
+    """(cluster0, dist2) struct: 0-based argmin cluster + squared L2."""
+    aff = F.array(
+        *[
+            F.lit(float(sum(x * x for x in c)))
+            - 2.0 * dot(v, F.array(*[F.lit(float(x)) for x in c]))
+            for c in centroids
+        ]
+    )
+    cl = (F.array_position(aff, F.array_min(aff)) - 1).cast("int")
+    d2 = dot(v, v) + F.array_min(aff)
+    return F.struct(cl.alias("cluster"), d2.alias("dist2"))
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    dim: int = KMEANS_DIM,
+) -> tuple[list[list[float]], list[float]]:
+    """Lloyd's algorithm; returns (centroids, per-iteration inertia).
+
+    The only driver-side data is k×dim floats per round; inertia is the
+    SSE of the assignment each round and is non-increasing
+    (pytest-asserted)."""
+    v = F.col(vec_col).cast("array<double>")
+    seeds = df.select(v.alias("v")).orderBy(id_col).limit(k).collect()
+    centroids = [list(r.v) for r in seeds]
+    inertia: list[float] = []
+    for _ in range(iters):
+        rows = (
+            df.select(_kmeans_assign(v, centroids).alias("a"), v.alias("v"))
+            .groupBy(F.col("a.cluster").alias("cluster"))
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("a.dist2").alias("sse"),
+                *[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        inertia.append(sum(r.sse for r in rows))
+        new = {r.cluster: [r[f"c{i}"] for i in range(dim)] for r in rows}
+        centroids = [new.get(j, centroids[j]) for j in range(k)]
+    return centroids, inertia
+
+
+def kmeans_embeddings(spark, sf_dir):
+    """Fit k=8 Lloyd (3 rounds) on the embedding table, then report the
+    final per-cluster profile (members + SSE) — the cluster layout an
+    IVF index would be partitioned by."""
+    emb = t(spark, sf_dir, "embeddings")
+    centroids, _ = kmeans_fit(emb)
+    v = F.col("embedding").cast("array<double>")
+    return (
+        emb.select(_kmeans_assign(v, centroids).alias("a"))
+        .groupBy(F.col("a.cluster").alias("cluster"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("a.dist2"), 3).alias("sse"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def _kmeans_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS,
+                dim: int = KMEANS_DIM) -> str:
+    """DuckDB replay of the exact Lloyd unroll."""
+    assign = (
+        "SELECT vec_id, v, cl, dist2 FROM ("
+        "  SELECT e.vec_id, e.v, c.cl,"
+        "         list_dot_product(e.v, e.v) + c.cn2"
+        "         - 2.0 * list_dot_product(e.v, c.cv) AS dist2,"
+        "         row_number() OVER ("
+        "           PARTITION BY e.vec_id"
+        "           ORDER BY c.cn2 - 2.0 * list_dot_product(e.v, c.cv), c.cl"
+        "         ) AS rn"
+        "  FROM vecs e CROSS JOIN {cents} c"
+        ") WHERE rn = 1"
+    )
+    update = (
+        "SELECT cl, array_agg(m ORDER BY pos) AS cv,"
+        "       list_dot_product(array_agg(m ORDER BY pos),"
+        "                        array_agg(m ORDER BY pos)) AS cn2 FROM ("
+        "  SELECT cl, pos, avg(v[pos]) AS m"
+        "  FROM {assigned} CROSS JOIN (SELECT unnest(range(1, {dimp1})) AS pos)"
+        "  GROUP BY cl, pos"
+        ") GROUP BY cl"
+    )
+    ctes = [
+        "vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl,"
+        f" v AS cv, list_dot_product(v, v) AS cn2"
+        f" FROM vecs ORDER BY vec_id LIMIT {k})",
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        ctes.append(f"a{it} AS ({assign.format(cents=prev)})")
+        # empty-cluster fallback: keep the previous centroid
+        ctes.append(
+            f"u{it} AS ({update.format(assigned=f'a{it}', dimp1=dim + 1)})"
+        )
+        ctes.append(
+            f"c{it} AS (SELECT p.cl, coalesce(u.cv, p.cv) AS cv,"
+            f" coalesce(u.cn2, p.cn2) AS cn2"
+            f" FROM {prev} p LEFT JOIN u{it} u USING (cl))"
+        )
+        prev = f"c{it}"
+    final = f"afinal AS ({assign.format(cents=prev)})"
+    ctes.append(final)
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT CAST(cl AS INT) AS cluster, count(*) AS n,"
+        " round(sum(dist2), 3) AS sse\n"
+        "FROM afinal GROUP BY cl ORDER BY cluster"
+    )
+
+
+ML_QUERIES["kmeans_embeddings"] = (kmeans_embeddings, _kmeans_sql())
+
+
+# --------------------------------------------------------------------------
 # Multimodal part II (task brief: "decode / feature-extract / resize /
 # frame-sample"): resize and frame sampling. Both run as Arrow-batched
 # mapInPandas over the opaque binary payload (the real decode is stubbed

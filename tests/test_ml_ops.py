@@ -302,6 +302,19 @@ def test_connected_components_empty_and_single_edge(spark):
     assert got == {3: 3, 7: 3}
 
 
+def test_kmeans_inertia_monotone_and_deterministic(spark):
+    """Lloyd invariants: per-iteration inertia is non-increasing, and
+    two fits on the same input produce identical centroids (no RNG
+    anywhere — deterministic init + lowest-cluster tie-break)."""
+    from datamunging_spark.ml_ops import kmeans_fit
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    c1, inertia = kmeans_fit(emb)
+    assert all(b <= a * (1 + 1e-12) for a, b in zip(inertia, inertia[1:])), inertia
+    c2, _ = kmeans_fit(emb)
+    assert c1 == c2
+
+
 def test_freq_items_superset_guarantee(spark, sf_dir):
     """freqItems must return a superset of the true heavy hitters at the
     requested support (KSP guarantee: no false negatives)."""
