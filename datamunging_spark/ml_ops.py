@@ -1405,6 +1405,67 @@ ML_QUERIES["kmeans_embeddings"] = (kmeans_embeddings, _kmeans_sql())
 
 
 # --------------------------------------------------------------------------
+# Token-budget shard packing — the last step of a training-data
+# pipeline: assign curated documents to fixed-token-budget output
+# shards. A single global greedy cumsum is the textbook formulation but
+# is inherently sequential (one-partition window — dead at 10^12 docs),
+# so this uses the production shape: documents are md5-hashed into P
+# independent pack groups, each group packs ITSELF by running token sum
+# (window partitioned by group — P-way parallel, one shuffle), and the
+# global shard id namespaces group × local shard. Waste is bounded by
+# < budget tokens per group; packing is deterministic and
+# engine-independent (md5 order), so re-runs and the DuckDB oracle
+# reproduce it exactly.
+# --------------------------------------------------------------------------
+
+PACK_BUDGET = 2000  # tokens per shard
+PACK_GROUPS = 8
+
+
+def pack_shards(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("nt")
+    )
+    key = md5_long(F.concat(F.lit("pack:"), F.col("doc_id").cast("string")))
+    grouped = docs.select(
+        "doc_id", "nt", F.pmod(key, F.lit(PACK_GROUPS)).cast("int").alias("g"),
+        key.alias("k"),
+    )
+    w = W.partitionBy("g").orderBy("k")
+    cum = F.sum("nt").over(w)
+    local_shard = F.floor((cum - F.col("nt")) / PACK_BUDGET)
+    shard = (F.col("g") * 100000 + local_shard).alias("shard")
+    return (
+        grouped.select(shard, "nt")
+        .groupBy("shard")
+        .agg(F.count("*").alias("n_docs"), F.sum("nt").alias("tokens"))
+        .orderBy("shard")
+    )
+
+
+PACK_SHARDS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS nt,
+         CAST(concat('0x', substr(md5(concat('pack:', CAST(doc_id AS VARCHAR))), 1, 15))
+              AS BIGINT) AS k
+  FROM documents
+),
+g AS (SELECT doc_id, nt, k, k % {PACK_GROUPS} AS grp FROM d),
+packed AS (
+  SELECT grp * 100000
+         + CAST(floor((sum(nt) OVER (PARTITION BY grp ORDER BY k) - nt)
+                      / {PACK_BUDGET}) AS BIGINT) AS shard,
+         nt
+  FROM g
+)
+SELECT shard, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS tokens
+FROM packed GROUP BY shard ORDER BY shard
+"""
+
+ML_QUERIES["pack_shards"] = (pack_shards, PACK_SHARDS_SQL)
+
+
+# --------------------------------------------------------------------------
 # Multimodal part II (task brief: "decode / feature-extract / resize /
 # frame-sample"): resize and frame sampling. Both run as Arrow-batched
 # mapInPandas over the opaque binary payload (the real decode is stubbed
