@@ -1466,6 +1466,196 @@ ML_QUERIES["pack_shards"] = (pack_shards, PACK_SHARDS_SQL)
 
 
 # --------------------------------------------------------------------------
+# Benchmark decontamination — the canonical pretraining hygiene op:
+# find training documents sharing verbatim n-grams with an evaluation
+# set (every serious LLM data pipeline runs some form of this). The
+# eval set is small BY DEFINITION, so the scale-correct plan is exactly
+# what Catalyst produces here: build the distinct eval n-gram set,
+# broadcast it, and hash-join the (exploded) training n-grams against
+# it — one corpus scan, no shuffle of corpus data, contamination
+# ratio per doc from a single aggregation. Stand-in eval set: every
+# 50th document.
+# --------------------------------------------------------------------------
+
+DECON_NGRAM = 5
+DECON_THRESHOLD = 0.2
+
+
+def _shingle_sql(k: int, src: str = "documents") -> str:
+    """DuckDB mirror of word_shingles(text, k) as a CTE body."""
+    w = f"string_split(lower(text), ' ')"
+    grams = ", ".join(f"{w}[i + {j}]" for j in range(k))
+    return (
+        f"SELECT doc_id, CASE WHEN len({w}) >= {k} THEN "
+        f"list_distinct(list_transform(range(1, len({w}) - {k} + 2), "
+        f"i -> concat_ws(' ', {grams}))) ELSE [text] END AS sh FROM {src}"
+    )
+
+
+def decontaminate_ngrams(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    is_eval = F.col("doc_id") % 50 == 0
+    eval_grams = (
+        docs.where(is_eval)
+        .select(F.explode(word_shingles(F.col("text"), DECON_NGRAM)).alias("g"))
+        .distinct()
+    )
+    train = docs.where(~is_eval).select(
+        "doc_id", word_shingles(F.col("text"), DECON_NGRAM).alias("sh")
+    )
+    hits = (
+        train.select("doc_id", F.size("sh").alias("n_grams"),
+                     F.explode("sh").alias("g"))
+        .join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.countDistinct("g").alias("hits"))
+    )
+    ratio = F.round(F.col("hits") / F.col("n_grams"), 4)
+    return (
+        hits.select("doc_id", "hits", "n_grams", ratio.alias("ratio"))
+        .where(ratio >= DECON_THRESHOLD)
+        .orderBy("doc_id")
+    )
+
+
+DECONTAMINATE_SQL = f"""
+WITH sh AS ({_shingle_sql(DECON_NGRAM)}),
+eval_grams AS (
+  SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 50 = 0
+),
+train AS (
+  SELECT doc_id, len(sh) AS n_grams, unnest(sh) AS g FROM sh
+  WHERE doc_id % 50 <> 0
+),
+hits AS (
+  SELECT t.doc_id, t.n_grams, count(DISTINCT t.g) AS hits
+  FROM train t JOIN eval_grams e ON t.g = e.g
+  GROUP BY t.doc_id, t.n_grams
+)
+SELECT doc_id, hits, n_grams, ratio FROM (
+  SELECT doc_id, hits, n_grams,
+         round(hits::DOUBLE / n_grams, 4) AS ratio
+  FROM hits
+) WHERE ratio >= {DECON_THRESHOLD} ORDER BY doc_id
+"""
+
+ML_QUERIES["decontaminate_ngrams"] = (decontaminate_ngrams, DECONTAMINATE_SQL)
+
+
+# --------------------------------------------------------------------------
+# N-gram repetition ratio — the boilerplate/spam quality signal
+# (fraction of duplicated 3-grams per document; looping generations and
+# templated pages score high). Pure codegen scan, no shuffle before the
+# final ordering.
+# --------------------------------------------------------------------------
+
+
+def repetition_ratio(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), " ")
+    n = F.size(words)
+    m = n - 2  # total 3-grams
+    zipped = F.arrays_zip(
+        *[F.slice(words, j + 1, m).alias(f"w{j}") for j in range(3)]
+    )
+    grams = F.transform(
+        zipped, lambda s: F.concat_ws(" ", s["w0"], s["w1"], s["w2"])
+    )
+    rep = F.when(
+        n >= 3, F.round(1.0 - F.size(F.array_distinct(grams)) / m, 4)
+    ).otherwise(F.lit(0.0))
+    return (
+        docs.select("doc_id", rep.alias("rep_ratio"))
+        .where(F.col("rep_ratio") > 0)
+        .orderBy("doc_id")
+    )
+
+
+REPETITION_SQL = """
+SELECT doc_id, rep_ratio FROM (
+  SELECT doc_id,
+    CASE WHEN len(string_split(lower(text), ' ')) >= 3 THEN
+      round(1.0 - len(list_distinct(list_transform(
+                range(1, len(string_split(lower(text), ' ')) - 1),
+                i -> concat_ws(' ', string_split(lower(text), ' ')[i],
+                               string_split(lower(text), ' ')[i + 1],
+                               string_split(lower(text), ' ')[i + 2]))))::DOUBLE
+            / (len(string_split(lower(text), ' ')) - 2), 4)
+    ELSE 0.0 END AS rep_ratio
+  FROM documents
+) WHERE rep_ratio > 0 ORDER BY doc_id
+"""
+
+ML_QUERIES["repetition_ratio"] = (repetition_ratio, REPETITION_SQL)
+
+
+# --------------------------------------------------------------------------
+# Context-window sequence chunking — turn documents into fixed-length
+# training sequences with stride overlap (the doc→sample step before
+# tokenizer+packing). One posexplode over arithmetic start offsets; the
+# chunk text is hash-checked (md5) so the oracle verifies CONTENT, not
+# just counts. Embarrassingly parallel: a projection + explode, no
+# shuffle until the output sink.
+# --------------------------------------------------------------------------
+
+CHUNK_LEN = 64
+CHUNK_STRIDE = 48
+
+
+def chunk_sequences(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    # starts: 1, 1+stride, ... while start <= n (last chunk may be short)
+    starts = F.sequence(
+        F.lit(1), F.greatest(n - CHUNK_LEN + 1, F.lit(1)), F.lit(CHUNK_STRIDE)
+    )
+    chunk = lambda s: F.concat_ws(" ", F.slice(words, s, CHUNK_LEN))  # noqa: E731
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    starts,
+                    lambda s: F.struct(
+                        F.least(CHUNK_LEN + F.lit(0), n - s + 1).alias("nt"),
+                        F.md5(chunk(s)).alias("h"),
+                    ),
+                )
+            ).alias("chunk_idx", "c"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.col("c.nt").cast("long").alias("n_tokens"),
+            F.col("c.h").alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+CHUNK_SEQUENCES_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS n
+  FROM documents WHERE doc_id < 200
+),
+starts AS (
+  SELECT doc_id, w, n,
+         unnest(range(1, greatest(n - {CHUNK_LEN} + 1, 1) + 1, {CHUNK_STRIDE}))
+           AS s
+  FROM d
+)
+SELECT doc_id, CAST((s - 1) // {CHUNK_STRIDE} AS INT) AS chunk_idx,
+       CAST(least({CHUNK_LEN}, n - s + 1) AS BIGINT) AS n_tokens,
+       md5(array_to_string(list_slice(w, s, s + {CHUNK_LEN} - 1), ' ')) AS chunk_md5
+FROM starts ORDER BY doc_id, chunk_idx
+"""
+
+ML_QUERIES["chunk_sequences"] = (chunk_sequences, CHUNK_SEQUENCES_SQL)
+
+
+# --------------------------------------------------------------------------
 # Multimodal part II (task brief: "decode / feature-extract / resize /
 # frame-sample"): resize and frame sampling. Both run as Arrow-batched
 # mapInPandas over the opaque binary payload (the real decode is stubbed
