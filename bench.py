@@ -50,6 +50,10 @@ HEADLINE = [
     "curate_corpus",
     "extract_munge",
     "extract_main_content",
+    # round-2 flagship additions
+    "kmeans_embeddings",
+    "decontaminate_ngrams",
+    "pack_shards",
 ]
 
 ALL = {**RELATIONAL_QUERIES, **ML_QUERIES}

@@ -104,6 +104,51 @@ def test_minhash_verify_scans_only_candidates(spark, sf_dir):
     assert "LeftSemi" in plan
 
 
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    """Decontamination must broadcast the (small-by-definition) eval
+    n-gram set and scan the corpus once — no sort-merge join, no
+    corpus-side shuffle before the aggregation."""
+    from datamunging_spark.ml_ops import decontaminate_ngrams
+
+    plan = plan_of(decontaminate_ngrams(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_chunk_sequences_is_shuffle_free_projection(spark, sf_dir):
+    """Sequence chunking is a projection + generate: the only Exchange
+    allowed is the final presentation sort."""
+    from datamunging_spark.ml_ops import chunk_sequences
+
+    plan = plan_of(chunk_sequences(spark, sf_dir))
+    # exactly one Exchange allowed: the rangepartitioning for the orderBy
+    assert plan.count("Exchange") <= 1, plan
+    assert "Generate" in plan  # posexplode, not a join/shuffle expansion
+
+
+def test_kmeans_iteration_has_partial_aggregation(spark, sf_dir):
+    """Each Lloyd round must combine map-side: 64 per-dimension means +
+    count + SSE as partial_* before one shuffle of (k × dim) partials."""
+    from datamunging_spark.ml_ops import KMEANS_DIM, _kmeans_assign, IVF_CENTROIDS
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = F.col("embedding").cast("array<double>")
+    centroids = [list(c) for c in IVF_CENTROIDS]
+    df = (
+        emb.select(_kmeans_assign(v, centroids).alias("a"), v.alias("v"))
+        .groupBy(F.col("a.cluster").alias("cluster"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("a.dist2").alias("sse"),
+            *[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(KMEANS_DIM)],
+        )
+    )
+    plan = plan_of(df)
+    assert "partial_avg" in plan or "partial_average" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
 def test_munge_pipeline_single_python_stage(spark):
     rows = corpus_to_rows(generate_corpus(seed=5, n_docs=5, body_lines=(4, 6)))
     df = spark.createDataFrame(rows, schema=INPUT_SCHEMA)
