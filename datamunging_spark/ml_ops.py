@@ -1627,9 +1627,14 @@ def chunk_sequences(spark, sf_dir):
     docs = t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     words = F.split(F.col("text"), " ")
     n = F.size(words)
-    # starts: 1, 1+stride, ... while start <= n (last chunk may be short)
+    # starts: 1, 1+stride, …, chosen so the LAST (possibly partial)
+    # chunk always reaches the end of the document — stop at
+    # n - len + stride guarantees a start within len of the tail, so no
+    # token is dropped (pytest-asserted coverage invariant).
     starts = F.sequence(
-        F.lit(1), F.greatest(n - CHUNK_LEN + 1, F.lit(1)), F.lit(CHUNK_STRIDE)
+        F.lit(1),
+        F.greatest(n - CHUNK_LEN + CHUNK_STRIDE, F.lit(1)),
+        F.lit(CHUNK_STRIDE),
     )
     chunk = lambda s: F.concat_ws(" ", F.slice(words, s, CHUNK_LEN))  # noqa: E731
     return (
@@ -1663,8 +1668,8 @@ WITH d AS (
 ),
 starts AS (
   SELECT doc_id, w, n,
-         unnest(range(1, greatest(n - {CHUNK_LEN} + 1, 1) + 1, {CHUNK_STRIDE}))
-           AS s
+         unnest(range(1, greatest(n - {CHUNK_LEN} + {CHUNK_STRIDE}, 1) + 1,
+                      {CHUNK_STRIDE})) AS s
   FROM d
 )
 SELECT doc_id, CAST((s - 1) // {CHUNK_STRIDE} AS INT) AS chunk_idx,

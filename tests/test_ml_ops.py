@@ -315,6 +315,56 @@ def test_kmeans_inertia_monotone_and_deterministic(spark):
     assert c1 == c2
 
 
+def test_pack_shards_conserves_docs_and_tokens(spark):
+    """Packing must be a partition of the corpus: every doc in exactly
+    one shard, token totals conserved, and each shard's pre-overflow
+    start offset inside its group stays under the budget."""
+    from datamunging_spark.ml_ops import pack_shards
+
+    shards = pack_shards(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    total_docs = docs.count()
+    total_tokens = docs.select(
+        F.sum(F.size(F.split(F.col("text"), " ")))
+    ).collect()[0][0]
+    assert sum(r.n_docs for r in shards) == total_docs
+    assert sum(r.tokens for r in shards) == total_tokens
+
+
+def test_chunk_sequences_covers_every_token(spark):
+    """Stride < chunk length ⇒ chunks tile each doc with overlap: the
+    first chunk starts at 1, consecutive starts differ by the stride,
+    and the last chunk reaches the end of the document."""
+    from datamunging_spark.ml_ops import (
+        CHUNK_LEN,
+        CHUNK_STRIDE,
+        chunk_sequences,
+    )
+
+    rows = chunk_sequences(spark, SF_DIR).collect()
+    docs = {
+        r.doc_id: len(r.text.split(" "))
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .where(F.col("doc_id") < 200)
+        .collect()
+    }
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        n = docs[doc_id]
+        assert chunks[0].chunk_idx == 0
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        last_start = 1 + (len(chunks) - 1) * CHUNK_STRIDE
+        assert last_start + chunks[-1].n_tokens - 1 == min(
+            n, last_start + CHUNK_LEN - 1
+        )
+        # NO token dropped: the last chunk must reach the doc end
+        assert last_start + chunks[-1].n_tokens - 1 == n
+
+
 def test_freq_items_superset_guarantee(spark, sf_dir):
     """freqItems must return a superset of the true heavy hitters at the
     requested support (KSP guarantee: no false negatives)."""
