@@ -7,11 +7,12 @@ value-hash → CORRECTNESS_r{N}.json).
 
 The catalogs live in ``datamunging_spark.queries`` (relational surface,
 SURVEY.md §2.2) and ``datamunging_spark.ml_ops`` (dedup / similarity /
-text-analytics / multimodal / the flagship extraction cascade). Queries
-whose oracle SQL is None (MinHash/SimHash via xxhash64, the munge
-cascade, multimodal stubs) get the driver's rows-only check and are
-instead verified by pytest invariants (tests/test_ml_ops.py,
-tests/test_munge_spark.py).
+clustering+curation / ANN+k-means / text-analytics / decontamination /
+packing+chunking / multimodal / the flagship extraction cascade). All
+50 window entries carry exact-value DuckDB oracles; the few rows-only
+catalog queries (the raw munge/extract cascades, the multimodal decode
+stub, approximate aggregates) are verified by pytest invariants
+(tests/test_ml_ops.py, tests/test_munge_spark.py) instead.
 """
 
 from __future__ import annotations
@@ -79,13 +80,13 @@ DRIVER_PRIORITY = [
     "multimodal_resize",
     "multimodal_frame_sample",
     "lang_id_stopword",
-    "lang_id_ngram",
     "text_quality",
     "token_stats",
     "token_stats_bpe",
-    "doc_fingerprint",
     "winnow_fingerprint",
     "hash_split",
+    "decontaminate_ngrams",
+    "pack_shards",
     "header_detect_relational",
 ]
 
