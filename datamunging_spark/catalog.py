@@ -88,14 +88,36 @@ def merge_upsert(
     table property (``write.merge.mode``), not engine code.
     """
     io = io or default_io()
-    if isinstance(io, IcebergTableIO):
-        updates.createOrReplaceTempView("_merge_updates")
-        spark.sql(
-            f"MERGE INTO {target} t USING _merge_updates u "
-            f"ON t.{key} = u.{key} "
-            "WHEN MATCHED THEN UPDATE SET * "
-            "WHEN NOT MATCHED THEN INSERT *"
+    # Iceberg MERGE rejects duplicate update keys (cardinality
+    # violation) while a naive parquet rewrite would silently append
+    # both rows — enforce the same key-unique contract on both backends
+    # so they stay semantically identical.
+    dup = (
+        updates.groupBy(key)
+        .count()
+        .where("count > 1")
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"merge_upsert: updates contain duplicate {key}="
+            f"{dup[0][0]!r}; MERGE semantics require one row per key"
         )
+    if isinstance(io, IcebergTableIO):
+        import uuid
+
+        view = f"_merge_updates_{uuid.uuid4().hex}"
+        updates.createOrReplaceTempView(view)
+        try:
+            spark.sql(
+                f"MERGE INTO {target} t USING {view} u "
+                f"ON t.{key} = u.{key} "
+                "WHEN MATCHED THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
+        finally:
+            spark.catalog.dropTempView(view)
         return
     if io.exists(spark, target):
         current = io.read(spark, target)

@@ -319,18 +319,20 @@ def dedup_minhash_lsh(spark, sf_dir, threshold: float = MINHASH_THRESHOLD):
     )
 
 
-_SH3_SQL = """
-sh AS (
-  SELECT doc_id,
-         CASE WHEN len(string_split(lower(text), ' ')) >= 3 THEN
-           list_distinct(list_transform(
-             range(1, len(string_split(lower(text), ' ')) - 1),
-             i -> concat_ws(' ', string_split(lower(text), ' ')[i],
-                            string_split(lower(text), ' ')[i + 1],
-                            string_split(lower(text), ' ')[i + 2])))
-         ELSE [text] END AS sh
-  FROM documents
-)
+def _shingle_sql(k: int, src: str = "documents") -> str:
+    """DuckDB mirror of word_shingles(text, k) — the ONE shingle
+    formulation shared by the MinHash and decontamination oracles."""
+    w = "string_split(lower(text), ' ')"
+    grams = ", ".join(f"{w}[i + {j}]" for j in range(k))
+    return (
+        f"SELECT doc_id, CASE WHEN len({w}) >= {k} THEN "
+        f"list_distinct(list_transform(range(1, len({w}) - {k} + 2), "
+        f"i -> concat_ws(' ', {grams}))) ELSE [text] END AS sh FROM {src}"
+    )
+
+
+_SH3_SQL = f"""
+sh AS ({_shingle_sql(3)})
 """
 
 
@@ -1455,7 +1457,12 @@ def pack_shards(spark, sf_dir):
     w = W.partitionBy("g").orderBy("k")
     cum = F.sum("nt").over(w)
     local_shard = F.floor((cum - F.col("nt")) / PACK_BUDGET)
-    shard = (F.col("g") * 100000 + local_shard).alias("shard")
+    # group id in the top bits (2^40 local shards ≈ 2×10^15 tokens per
+    # group before collision — beyond any group at 10^12 docs; a plain
+    # g*1e5 namespace would alias across groups at ~2×10^8 tokens)
+    shard = (F.col("g").cast("long") * F.lit(1 << 40) + local_shard).alias(
+        "shard"
+    )
     return (
         grouped.select(shard, "nt")
         .groupBy("shard")
@@ -1473,7 +1480,7 @@ WITH d AS (
 ),
 g AS (SELECT doc_id, nt, k, k % {PACK_GROUPS} AS grp FROM d),
 packed AS (
-  SELECT grp * 100000
+  SELECT grp * {1 << 40}
          + CAST(floor((sum(nt) OVER (PARTITION BY grp ORDER BY k) - nt)
                       / {PACK_BUDGET}) AS BIGINT) AS shard,
          nt
@@ -1500,17 +1507,6 @@ ML_QUERIES["pack_shards"] = (pack_shards, PACK_SHARDS_SQL)
 
 DECON_NGRAM = 5
 DECON_THRESHOLD = 0.2
-
-
-def _shingle_sql(k: int, src: str = "documents") -> str:
-    """DuckDB mirror of word_shingles(text, k) as a CTE body."""
-    w = f"string_split(lower(text), ' ')"
-    grams = ", ".join(f"{w}[i + {j}]" for j in range(k))
-    return (
-        f"SELECT doc_id, CASE WHEN len({w}) >= {k} THEN "
-        f"list_distinct(list_transform(range(1, len({w}) - {k} + 2), "
-        f"i -> concat_ws(' ', {grams}))) ELSE [text] END AS sh FROM {src}"
-    )
 
 
 def decontaminate_ngrams(spark, sf_dir):
@@ -2003,6 +1999,9 @@ _UNSET = object()  # convergence-probe sentinel (None is a valid sum)
 N_PAIR_BUCKETS = 8  # B: all-pairs work spreads over B(B+1)/2 cells/block
 
 
+_LSH_PROBE_CACHE: dict[tuple, bool] = {}
+
+
 def _lsh_worthwhile(docs: DataFrame) -> bool:
     """Selectivity probe: decide whether LSH candidate generation can
     actually prune. MinHash-LSH beats the exact all-pairs join only when
@@ -2021,7 +2020,12 @@ def _lsh_worthwhile(docs: DataFrame) -> bool:
     strategy choice AQE makes for joins.
     """
     row = (
-        docs.limit(256)
+        # orderBy + limit = per-partition top-k merge (TakeOrdered): a
+        # DETERMINISTIC sample, unlike bare limit() which keeps whatever
+        # partitions answer first and could flip the routing run-to-run
+        # on a borderline corpus.
+        docs.orderBy("doc_id")
+        .limit(256)
         .select(tokens_distinct(F.col("text")).alias("tk"))
         .agg(
             F.avg(F.size("tk")).alias("avg_doc_tokens"),
@@ -2057,9 +2061,14 @@ def _jaccard_edges(
     executable spec and the oracle's formulation; ``True`` forces LSH.
     """
     if use_lsh == "auto":
-        use_lsh = _lsh_worthwhile(
-            t(spark, sf_dir, "documents").select("doc_id", "text")
-        )
+        # probe once per documents table per session: dedup_clusters,
+        # dedup_representatives and curate_corpus all route through here
+        cache_key = (id(spark), sf_dir)
+        if cache_key not in _LSH_PROBE_CACHE:
+            _LSH_PROBE_CACHE[cache_key] = _lsh_worthwhile(
+                t(spark, sf_dir, "documents").select("doc_id", "text")
+            )
+        use_lsh = _LSH_PROBE_CACHE[cache_key]
     if use_lsh:
         docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
         # Blocking col joins the LSH bucket key: cross-source candidates
@@ -2184,7 +2193,10 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
         .withColumn("cluster", F.col("doc_id"))
         .localCheckpoint()
     )
-    for _ in range(max_iters):
+    # max_iters bounds PROPAGATION rounds; fixpoint detection needs one
+    # extra round to observe sum-unchanged, so a diameter-max_iters
+    # graph converges without tripping the non-convergence guard.
+    for _ in range(max_iters + 1):
         neigh = (
             sym.join(
                 labels.select(

@@ -588,9 +588,12 @@ def extract_exploded(df, spark=None, partitions=None):
 
     sess = df.sparkSession
     par = partitions or sess.sparkContext.defaultParallelism * 4
-    empties = df.where(F.size("spans") == 0).select(
+    # size(NULL) is -1, so <= 0 also catches NULL-spans rows, which the
+    # whole-doc path emits as empty-array docs — coalesce to match.
+    spans_type = df.schema["spans"].dataType
+    empties = df.where(F.coalesce(F.size("spans"), F.lit(0)) <= 0).select(
         "doc_id",
-        "spans",  # already the correctly-typed empty array
+        F.coalesce(F.col("spans"), F.array().cast(spans_type)).alias("spans"),
         *[F.lit(0).cast("long").alias(f) for f in EXTRACT_METRIC_FIELDS],
         F.lit(0).cast("long").alias("extract_us"),
     )
@@ -624,9 +627,12 @@ def extract_exploded(df, spark=None, partitions=None):
 
 def extract_auto(df, spark=None, monster_threshold: int = 256):
     """Route: normal docs through the single-pass operator, monsters
-    (> monster_threshold spans) through span-level explosion."""
+    (> monster_threshold spans) through span-level explosion. NULL
+    spans count as size 0 (size(NULL) is NULL under ANSI, which would
+    silently drop the row from BOTH branches)."""
     from pyspark.sql import functions as F
 
-    small = df.where(F.size("spans") <= monster_threshold)
-    big = df.where(F.size("spans") > monster_threshold)
+    size_c = F.coalesce(F.size("spans"), F.lit(0))
+    small = df.where(size_c <= monster_threshold)
+    big = df.where(size_c > monster_threshold)
     return extract(small, spark).unionByName(extract_exploded(big, spark))

@@ -253,7 +253,7 @@ NO_INFLECT_VERBS = {
     "catch", "draw", "choose", "wear", "fight", "throw", "sleep", "wake",
     "ride", "drive", "swim", "sink", "flee", "hide", "seize", "tear",
     "burst", "arise", "bear", "steal", "slay", "feed", "drink", "swallow",
-    "deal", "lend", "owe", "shut", "bind", "spin", "fly",
+    "deal", "lend", "owe", "shut", "bind", "spin", "fly", "hit",
 }
 
 IRREGULAR_VERB_FORMS = """
@@ -281,28 +281,40 @@ def pluralize(n: str) -> str | None:
     return n + "s"
 
 
+def _is_cvc(w: str) -> bool:
+    """Final consonant-vowel-consonant syllable ⇒ double the last
+    consonant before a vowel-initial suffix (stop→stopped/stopping)."""
+    return (
+        len(w) >= 3
+        and w[-1] not in VOWELS
+        and w[-1] not in "wxy"
+        and w[-2] in VOWELS
+        and w[-3] not in VOWELS
+    )
+
+
 def verb_forms(v: str) -> list[str]:
     if v in NO_INFLECT_VERBS:
         return []
     out = []
     # third person singular
     out.append(pluralize(v))
-    # past/-ed
+    # past/-ed and -ing share the CVC doubling rule
     if v.endswith("e"):
         out.append(v + "d")
+        if not v.endswith(("ee", "ye", "oe")):
+            out.append(v[:-1] + "ing")
+        else:
+            out.append(v + "ing")
     elif v.endswith("y") and len(v) > 2 and v[-2] not in VOWELS:
         out.append(v[:-1] + "ied")
+        out.append(v + "ing")
+    elif _is_cvc(v):
+        out.append(v + v[-1] + "ed")   # stop→stopped
+        out.append(v + v[-1] + "ing")  # stop→stopping
     else:
         out.append(v + "ed")
-    # -ing (no consonant doubling inference — skip CVC verbs where the
-    # doubled form is required and the naive form would be junk)
-    if v.endswith("e") and not v.endswith(("ee", "ye", "oe")):
-        out.append(v[:-1] + "ing")
-    elif not (len(v) >= 3 and v[-1] not in VOWELS and v[-1] not in "wxy"
-              and v[-2] in VOWELS and v[-3] not in VOWELS):
         out.append(v + "ing")
-    else:
-        out.append(v + v[-1] + "ing")  # CVC: stop→stopping
     return [f for f in out if f]
 
 
@@ -310,7 +322,12 @@ def adjective_forms(a: str) -> list[str]:
     out = []
     if a.endswith("ly"):
         return out
-    out.append(a + "ly" if not a.endswith("y") else a[:-1] + "ily")
+    if a.endswith("le"):
+        out.append(a[:-1] + "y")  # gentle→gently, noble→nobly
+    elif a.endswith("y"):
+        out.append(a[:-1] + "ily")
+    else:
+        out.append(a + "ly")
     # -er/-est only for short (≤2 syllable heuristic: ≤6 chars) regulars
     if len(a) <= 6 and not a.endswith(("ous", "ful", "ish", "al", "ent", "ant")):
         if a.endswith("e"):
@@ -506,6 +523,8 @@ def build_syncope(dictionary: set[str]) -> dict[str, str]:
             elided, full = v[:-1] + "'d", v + "d"        # lov'd → loved
         elif v.endswith("y") and v[-2] not in VOWELS:
             continue  # carry'd is rare; carried already in dictionary
+        elif _is_cvc(v):
+            elided, full = v + "'d", v + v[-1] + "ed"    # drop'd → dropped
         else:
             elided, full = v + "'d", v + "ed"            # walk'd → walked
         if full in dictionary:

@@ -123,6 +123,10 @@ def test_exploded_extraction_byte_equal(spark):
     ]
     docs = [("web.monster", tiled), ("web.empty", [])] + docs[1:]
     df = spark.createDataFrame(corpus_to_rows(docs), schema=INPUT_SCHEMA)
+    # a NULL spans row (nullable per INPUT_SCHEMA) must not be dropped
+    df = df.unionByName(
+        spark.createDataFrame([("web.null", None)], schema=INPUT_SCHEMA)
+    )
 
     whole = {r.doc_id: r for r in extract(df, spark).collect()}
     routed = {r.doc_id: r for r in extract_auto(df, spark, monster_threshold=50).collect()}

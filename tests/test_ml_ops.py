@@ -316,10 +316,12 @@ def test_kmeans_inertia_monotone_and_deterministic(spark):
 
 
 def test_pack_shards_conserves_docs_and_tokens(spark):
-    """Packing must be a partition of the corpus: every doc in exactly
-    one shard, token totals conserved, and each shard's pre-overflow
-    start offset inside its group stays under the budget."""
-    from datamunging_spark.ml_ops import pack_shards
+    """Packing must be a partition of the corpus (every doc in exactly
+    one shard, token totals conserved) AND must actually pack: every
+    shard except each group's last must reach the budget, and no shard
+    may exceed budget + the largest single document (the greedy
+    overflow bound)."""
+    from datamunging_spark.ml_ops import PACK_BUDGET, pack_shards
 
     shards = pack_shards(spark, SF_DIR).collect()
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
@@ -327,8 +329,29 @@ def test_pack_shards_conserves_docs_and_tokens(spark):
     total_tokens = docs.select(
         F.sum(F.size(F.split(F.col("text"), " ")))
     ).collect()[0][0]
+    max_doc = docs.select(
+        F.max(F.size(F.split(F.col("text"), " ")))
+    ).collect()[0][0]
     assert sum(r.n_docs for r in shards) == total_docs
     assert sum(r.tokens for r in shards) == total_tokens
+    by_group: dict = {}
+    for r in shards:
+        by_group.setdefault(r.shard >> 40, []).append(r)
+    assert len(by_group) > 1  # groups actually spread
+    assert max_doc < PACK_BUDGET  # precondition for the bounds below
+    for g, rows in by_group.items():
+        rows.sort(key=lambda r: r.shard)
+        # contiguous local shard ids from 0 (no doc spans a whole budget)
+        assert [r.shard & ((1 << 40) - 1) for r in rows] == list(
+            range(len(rows))
+        )
+        # greedy bounds: every non-final shard holds at least
+        # budget - max_doc tokens (a predecessor may overflow into its
+        # range) and no shard exceeds budget + max_doc
+        for r in rows[:-1]:
+            assert r.tokens > PACK_BUDGET - max_doc
+        for r in rows:
+            assert r.tokens < PACK_BUDGET + max_doc
 
 
 def test_chunk_sequences_covers_every_token(spark):
