@@ -101,7 +101,8 @@ def entry(spark: SparkSession) -> DataFrame:
 def _catalog() -> dict[str, tuple]:
     merged = {**RELATIONAL_QUERIES, **ML_QUERIES}
     missing = [n for n in DRIVER_PRIORITY if n not in merged]
-    assert not missing, f"DRIVER_PRIORITY names not in catalog: {missing}"
+    if missing:  # not assert: must survive python -O
+        raise KeyError(f"DRIVER_PRIORITY names not in catalog: {missing}")
     ordered = {n: merged[n] for n in DRIVER_PRIORITY}
     ordered.update({n: v for n, v in merged.items() if n not in ordered})
     return ordered

@@ -289,6 +289,36 @@ def lsh_candidate_pairs(docs: DataFrame, n_bands: int = N_BANDS,
 MINHASH_THRESHOLD = 0.6
 
 
+def _verify_candidate_pairs(cands, docs, token_expr_fn, threshold: float):
+    """Exact-Jaccard verification of candidate (d1, d2) pairs — the ONE
+    verify join shared by ``dedup_minhash_lsh`` and the clustering edge
+    feed. Token/shingle sets are built ONLY for candidate documents: at
+    10^12 docs the candidate set is orders of magnitude smaller than
+    the corpus, so the broadcast-semi-join prunes the rebuild to that
+    subset instead of a second full-corpus pass (plan-asserted by
+    test_minhash_verify_scans_only_candidates)."""
+    cand_ids = (
+        cands.select(F.explode(F.array("d1", "d2")).alias("doc_id")).distinct()
+    )
+    cand_docs = (
+        docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        .select("doc_id", token_expr_fn(F.col("text")).alias("tk"))
+    )
+    jac = F.size(F.array_intersect("a.tk", "b.tk")) / F.size(
+        F.array_union("a.tk", "b.tk")
+    )
+    return (
+        cands.join(
+            F.broadcast(cand_docs.alias("a")), cands.d1 == F.col("a.doc_id")
+        )
+        .join(
+            F.broadcast(cand_docs.alias("b")), cands.d2 == F.col("b.doc_id")
+        )
+        .select("d1", "d2", F.round(jac, 4).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def dedup_minhash_lsh(spark, sf_dir, threshold: float = MINHASH_THRESHOLD):
     """LSH candidates verified by exact shingle Jaccard >= threshold."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -296,27 +326,9 @@ def dedup_minhash_lsh(spark, sf_dir, threshold: float = MINHASH_THRESHOLD):
     # localCheckpoint materializes the (small) pair set exactly once
     # instead of re-running the full LSH per consumer.
     cands = lsh_candidate_pairs(docs).localCheckpoint()
-    # Verify ONLY candidate documents: at 10^12 docs the candidate set is
-    # orders of magnitude smaller than the corpus, so shingles for
-    # verification are recomputed for a broadcast-semi-joined subset
-    # instead of a second full-corpus pass.
-    cand_ids = (
-        cands.select(F.explode(F.array("d1", "d2")).alias("doc_id")).distinct()
-    )
-    cand_docs = docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
-    sh = cand_docs.select(
-        "doc_id", word_shingles(F.col("text"), 3).alias("sh")
-    )
-    jac = F.size(F.array_intersect("a.sh", "b.sh")) / F.size(
-        F.array_union("a.sh", "b.sh")
-    )
-    return (
-        cands.join(F.broadcast(sh.alias("a")), cands.d1 == F.col("a.doc_id"))
-        .join(F.broadcast(sh.alias("b")), cands.d2 == F.col("b.doc_id"))
-        .select("d1", "d2", F.round(jac, 4).alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
-        .orderBy("d1", "d2")
-    )
+    return _verify_candidate_pairs(
+        cands, docs, lambda c: word_shingles(c, 3), threshold
+    ).orderBy("d1", "d2")
 
 
 def _shingle_sql(k: int, src: str = "documents") -> str:
@@ -1999,9 +2011,6 @@ _UNSET = object()  # convergence-probe sentinel (None is a valid sum)
 N_PAIR_BUCKETS = 8  # B: all-pairs work spreads over B(B+1)/2 cells/block
 
 
-_LSH_PROBE_CACHE: dict[tuple, bool] = {}
-
-
 def _lsh_worthwhile(docs: DataFrame) -> bool:
     """Selectivity probe: decide whether LSH candidate generation can
     actually prune. MinHash-LSH beats the exact all-pairs join only when
@@ -2061,14 +2070,20 @@ def _jaccard_edges(
     executable spec and the oracle's formulation; ``True`` forces LSH.
     """
     if use_lsh == "auto":
-        # probe once per documents table per session: dedup_clusters,
-        # dedup_representatives and curate_corpus all route through here
-        cache_key = (id(spark), sf_dir)
-        if cache_key not in _LSH_PROBE_CACHE:
-            _LSH_PROBE_CACHE[cache_key] = _lsh_worthwhile(
+        # memoize once per documents table on the SESSION OBJECT (like
+        # broadcast_rulesets): dedup_clusters, dedup_representatives and
+        # curate_corpus all route through here. Keying a module dict by
+        # id(spark) would let a garbage-collected session's decision
+        # leak into a new session allocated at the same address.
+        cache = getattr(spark, "_dm_lsh_probe_cache", None)
+        if cache is None:
+            cache = {}
+            setattr(spark, "_dm_lsh_probe_cache", cache)
+        if sf_dir not in cache:
+            cache[sf_dir] = _lsh_worthwhile(
                 t(spark, sf_dir, "documents").select("doc_id", "text")
             )
-        use_lsh = _LSH_PROBE_CACHE[cache_key]
+        use_lsh = cache[sf_dir]
     if use_lsh:
         docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
         # Blocking col joins the LSH bucket key: cross-source candidates
@@ -2076,32 +2091,9 @@ def _jaccard_edges(
         cands = lsh_candidate_pairs(
             docs, n_bands=16, shingle_k=1, block_cols=("source",)
         ).localCheckpoint()
-        cand_ids = (
-            cands.select(F.explode(F.array("d1", "d2")).alias("doc_id"))
-            .distinct()
-        )
-        # Exact verification only touches candidate docs (semi-join), so
-        # at 10^12 docs the token arrays are built for a vanishing
-        # fraction of the corpus.
-        cand_docs = (
-            docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
-            .select("doc_id", tokens_distinct(F.col("text")).alias("tk"))
-        )
-        jac = F.size(F.array_intersect("a.tk", "b.tk")) / F.size(
-            F.array_union("a.tk", "b.tk")
-        )
-        return (
-            cands.join(
-                F.broadcast(cand_docs.alias("a")),
-                cands.d1 == F.col("a.doc_id"),
-            )
-            .join(
-                F.broadcast(cand_docs.alias("b")),
-                cands.d2 == F.col("b.doc_id"),
-            )
-            .where(F.round(jac, 4) >= threshold)
-            .select("d1", "d2")
-        )
+        return _verify_candidate_pairs(
+            cands, docs, tokens_distinct, threshold
+        ).select("d1", "d2")
 
     # -- exact all-pairs triangle join (the spec path) ---------------------
     # The naive self-join on the blocking key parallelizes by DISTINCT

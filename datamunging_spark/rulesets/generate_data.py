@@ -253,7 +253,7 @@ NO_INFLECT_VERBS = {
     "catch", "draw", "choose", "wear", "fight", "throw", "sleep", "wake",
     "ride", "drive", "swim", "sink", "flee", "hide", "seize", "tear",
     "burst", "arise", "bear", "steal", "slay", "feed", "drink", "swallow",
-    "deal", "lend", "owe", "shut", "bind", "spin", "fly", "hit",
+    "deal", "lend", "owe", "shut", "bind", "spin", "fly", "hit", "forbid",
 }
 
 IRREGULAR_VERB_FORMS = """
@@ -265,7 +265,7 @@ won bought sent fell fallen sold broke broken ate eaten caught drew
 drawn chose chosen wore worn fought threw thrown slept woke woken rode
 ridden drove driven swam swum sank sunk fled hid hidden seized tore
 torn burst arose arisen bore borne stole stolen slew slain fed drank
-drunk dealt lent shut bound spun flew flown
+drunk dealt lent shut bound spun flew flown forbade forbidden
 """.split()
 
 
@@ -281,16 +281,41 @@ def pluralize(n: str) -> str | None:
     return n + "s"
 
 
+# Multi-syllable verbs that stress the FINAL syllable and therefore DO
+# double (admitted, permitted); every other multi-syllable CVC verb
+# takes plain -ed (offered, listened, visited).
+DOUBLE_FINAL = {
+    "admit", "permit", "submit", "omit", "commit", "emit", "transmit",
+    "refer", "prefer", "defer", "confer", "infer", "occur", "incur",
+    "regret", "equip", "compel", "propel", "expel", "rebel", "patrol",
+    "control", "forget", "begin", "allot", "acquit",
+}
+
+
+def _n_vowel_groups(w: str) -> int:
+    n, prev = 0, False
+    for ch in w:
+        cur = ch in VOWELS
+        if cur and not prev:
+            n += 1
+        prev = cur
+    return n
+
+
 def _is_cvc(w: str) -> bool:
-    """Final consonant-vowel-consonant syllable ⇒ double the last
-    consonant before a vowel-initial suffix (stop→stopped/stopping)."""
-    return (
+    """Double the final consonant before a vowel-initial suffix only
+    when the final syllable is stressed: monosyllables (stop→stopped)
+    and the explicit DOUBLE_FINAL list (admit→admitted). A stress-blind
+    shape test would also double offer/listen/visit and ship
+    'offerred'-class junk (found by review)."""
+    shape = (
         len(w) >= 3
         and w[-1] not in VOWELS
         and w[-1] not in "wxy"
         and w[-2] in VOWELS
         and w[-3] not in VOWELS
     )
+    return shape and (_n_vowel_groups(w) == 1 or w in DOUBLE_FINAL)
 
 
 def verb_forms(v: str) -> list[str]:
@@ -318,14 +343,30 @@ def verb_forms(v: str) -> list[str]:
     return [f for f in out if f]
 
 
+# adjective → adverb exceptions; None = no usable regular adverb
+ADVERB_EXCEPTIONS = {
+    "whole": "wholly", "true": "truly", "due": "duly", "full": "fully",
+    "dull": "dully", "shrill": "shrilly", "little": None, "ill": None,
+    "well": None, "fast": None, "hard": None, "late": "lately",
+    "good": None, "still": None, "low": None, "high": "highly",
+}
+
+
 def adjective_forms(a: str) -> list[str]:
     out = []
     if a.endswith("ly"):
         return out
-    if a.endswith("le"):
+    if a in ADVERB_EXCEPTIONS:
+        if ADVERB_EXCEPTIONS[a]:
+            out.append(ADVERB_EXCEPTIONS[a])
+    elif a.endswith("le") and len(a) > 2 and a[-3] not in VOWELS:
         out.append(a[:-1] + "y")  # gentle→gently, noble→nobly
+    elif a.endswith("ll"):
+        out.append(a + "y")  # shrill-class handled above; e.g. droll→drolly
     elif a.endswith("y"):
-        out.append(a[:-1] + "ily")
+        if len(a) > 2 and a[-2] not in VOWELS:
+            out.append(a[:-1] + "ily")  # happy→happily
+        # vowel+y (gray, coy): no reliable regular adverb — skip
     else:
         out.append(a + "ly")
     # -er/-est only for short (≤2 syllable heuristic: ≤6 chars) regulars
@@ -586,32 +627,102 @@ Middlesex Hertfordshire Cumberland Northumberland Westmorland
 # --------------------------------------------------------------------------
 
 
-def _existing_lines(name: str) -> list[str]:
-    p = DATA_DIR / name
-    if not p.exists():
-        return []
-    return [ln for ln in p.read_text(encoding="utf-8").splitlines() if ln.strip()]
+# --------------------------------------------------------------------------
+# Round-1 hand-curated seeds, embedded VERBATIM so regeneration is a
+# pure function of this file (an earlier merge-preserve that unioned the
+# previously SHIPPED files back in meant a generator bugfix could never
+# actually remove a bad generated entry — found by review). These seed
+# entries win on key conflicts; the executable spec's tests pin several
+# of them.
+# --------------------------------------------------------------------------
+
+SEED_DICTIONARY = """
+a absence absent account after against air all america an ancient and
+another any anything are as at author autumn be before behavior believe
+believed best between body book books boston but by called came can case
+cast century certain chapter church circumstance circumstances city
+color come comes common company complete connection consideration
+corporation cost could country critic critics dark day death did do down
+duke during each earth east eight england europe evening ever every
+expressed eyes face fact fail fame fast favor fear feast few field find
+finds fine fire first five for forest found four france from fun garden
+gave general give given gives go goes gone good government great had
+hand hands has have he head heart her here his history honor hope house
+how hundred i if in india information into is it its joined joy just
+king know labor lady language large last learned least letter letters
+life light like little lived logic london long lord love loved madam
+made magic make man manner many matter may men mind modern more morning
+most mountain much music must nature never new next night nine no north
+not now observation of old on only or order other our out over own page
+pages pain part parts passed passion past people performed person
+persons physic pleasant please pleasure possession post power praise
+presence present presented presently press prince printed private public
+published queen read reader reading reads reason received remarkable
+rest river road said sail salt same satisfaction say says sea season
+second see seek self sense serve session seven shall she should show
+showed silence sine sir sister six sleep small smile smoke snow so
+society soft some son sons soon sorrow sort sought soul sound south
+space speak special speech spirit spring stand star start state states
+stay step still stone stop store story strange street strength strong
+study subject success such sudden suffer suggest summer sun supply
+support suppose sure surface surprise sweet sympathy system take taken
+takes ten than that the their them then there these they think thinks
+third this those thought thousand three through time tis to today
+tomorrow took town twas two uncertain uncommon understanding up upon
+valley very voice volume was water we well went were west what when
+where which who whole will winter with word words work works would write
+writes writing written year years york you young
+""".split()
+
+SEED_CORRECTIONS = {
+    "tbe": "the", "tbat": "that", "wbich": "which", "bave": "have",
+    "tben": "then", "tbis": "this", "wben": "when", "witb": "with",
+    "anotber": "another", "cbapter": "chapter", "tlie": "the",
+    "arid": "and", "aud": "and", "iu": "in", "fhall": "shall",
+    "fhe": "she",
+}
+
+SEED_VARIANTS = {
+    "musick": "music", "publick": "public", "logick": "logic",
+    "magick": "magic", "physick": "physic", "criticks": "critics",
+    "critick": "critic", "shew": "show", "shewed": "showed",
+    "compleat": "complete", "connexion": "connection", "honour": "honor",
+    "colour": "color", "labour": "labor", "favour": "favor",
+    "behaviour": "behavior", "euery": "every", "onely": "only",
+}
+
+SEED_SYNCOPE = {
+    "join'd": "joined", "receiv'd": "received", "perform'd": "performed",
+    "pass'd": "passed", "express'd": "expressed", "'tis": "it is",
+    "'twas": "it was", "o'er": "over", "e'er": "ever", "ne'er": "never",
+    "call'd": "called", "liv'd": "lived", "lov'd": "loved",
+    "learn'd": "learned",
+}
+
+SEED_PERSONAL_NAMES = """
+Johnson Boswell Dryden Pope Swift Addison Milton Shakespeare Chaucer
+Spenser Wordsworth Coleridge Gibbon Hume Burke Locke Newton
+""".split()
+
+SEED_PLACE_NAMES = """
+London Oxford Cambridge Edinburgh Dublin Paris Rome Athens Boston
+Philadelphia Westminster
+""".split()
 
 
 def main() -> None:
-    # Merge-preserve the original hand-curated tables: every word and
-    # rule that was already shipped (and is pinned by the executable
-    # spec's tests) survives regeneration; curated entries win on key
-    # conflicts. Re-running is idempotent.
     dictionary = build_dictionary()
-    dictionary |= {w.lower() for w in _existing_lines("main_dictionary.txt")}
+    dictionary |= {w.lower() for w in SEED_DICTIONARY}
     dictionary -= FORBIDDEN
     corrections = build_corrections(dictionary)
     variants = build_variants(dictionary)
     syncope = build_syncope(dictionary)
-    for name, tbl in (
-        ("correction_rules.tsv", corrections),
-        ("variant_spellings.tsv", variants),
-        ("syncope_rules.tsv", syncope),
+    for tbl, seed in (
+        (corrections, SEED_CORRECTIONS),
+        (variants, SEED_VARIANTS),
+        (syncope, SEED_SYNCOPE),
     ):
-        for ln in _existing_lines(name):
-            k, v = ln.split("\t")
-            tbl[k.lower()] = v
+        tbl.update(seed)
 
     # tables must only fire on out-of-dictionary tokens; enforce key
     # disjointness so load order can never matter
@@ -635,8 +746,8 @@ def main() -> None:
         "".join(f"{k}\t{v}\n" for k, v in sorted(syncope.items())),
         encoding="utf-8",
     )
-    names = set(PERSONAL_NAMES) | set(_existing_lines("personal_names.txt"))
-    places = set(PLACE_NAMES) | set(_existing_lines("place_names.txt"))
+    names = set(PERSONAL_NAMES) | set(SEED_PERSONAL_NAMES)
+    places = set(PLACE_NAMES) | set(SEED_PLACE_NAMES)
     (DATA_DIR / "personal_names.txt").write_text(
         "\n".join(sorted(names)) + "\n", encoding="utf-8"
     )
