@@ -265,7 +265,8 @@ won bought sent fell fallen sold broke broken ate eaten caught drew
 drawn chose chosen wore worn fought threw thrown slept woke woken rode
 ridden drove driven swam swum sank sunk fled hid hidden seized tore
 torn burst arose arisen bore borne stole stolen slew slain fed drank
-drunk dealt lent shut bound spun flew flown forbade forbidden
+drunk dealt lent shut bound spun flew flown forbade forbidden forbids
+forbidding hits hitting
 """.split()
 
 
@@ -343,12 +344,16 @@ def verb_forms(v: str) -> list[str]:
     return [f for f in out if f]
 
 
-# adjective → adverb exceptions; None = no usable regular adverb
+# adjective → adverb exceptions; None = no usable derived adverb
+# (None must mean "the derived word does not exist", NOT "irregular":
+# dropping a real word like hardly from the dictionary is worse than
+# missing a rare one)
 ADVERB_EXCEPTIONS = {
     "whole": "wholly", "true": "truly", "due": "duly", "full": "fully",
     "dull": "dully", "shrill": "shrilly", "little": None, "ill": None,
-    "well": None, "fast": None, "hard": None, "late": "lately",
-    "good": None, "still": None, "low": None, "high": "highly",
+    "well": None, "fast": None, "hard": "hardly", "late": "lately",
+    "good": "goodly", "still": None, "low": "lowly", "high": "highly",
+    "small": None,
 }
 
 
@@ -362,7 +367,7 @@ def adjective_forms(a: str) -> list[str]:
     elif a.endswith("le") and len(a) > 2 and a[-3] not in VOWELS:
         out.append(a[:-1] + "y")  # gentle→gently, noble→nobly
     elif a.endswith("ll"):
-        out.append(a + "y")  # shrill-class handled above; e.g. droll→drolly
+        pass  # every real ll-adverb is in the exceptions map
     elif a.endswith("y"):
         if len(a) > 2 and a[-2] not in VOWELS:
             out.append(a[:-1] + "ily")  # happy→happily
@@ -375,10 +380,9 @@ def adjective_forms(a: str) -> list[str]:
             out += [a + "r", a + "st"]
         elif a.endswith("y") and len(a) > 2 and a[-2] not in VOWELS:
             out += [a[:-1] + "ier", a[:-1] + "iest"]
-        elif (len(a) >= 3 and a[-1] not in VOWELS and a[-1] not in "wxy"
-              and a[-2] in VOWELS and a[-3] not in VOWELS):
-            out += [a + a[-1] + "er", a + a[-1] + "est"]  # big→bigger
-        else:
+        elif _is_cvc(a):  # stress-aware: big→bigger but NOT open→openner
+            out += [a + a[-1] + "er", a + a[-1] + "est"]
+        elif _n_vowel_groups(a) == 1:  # strong→stronger; skip eager/rigid
             out += [a + "er", a + "est"]
     return out
 
