@@ -1690,6 +1690,85 @@ ML_QUERIES["chunk_sequences"] = (chunk_sequences, CHUNK_SEQUENCES_SQL)
 
 
 # --------------------------------------------------------------------------
+# Bigram language-model scoring — the CCNet-style LM-perplexity quality
+# filter: fit add-one-smoothed bigram probabilities on the corpus
+# itself, score each document by its mean log P(w_i | w_{i-1}), flag
+# the tail. Two aggregations (bigram + unigram counts — both shuffle
+# counts, not text) and ONE corpus scan for scoring with the count
+# tables broadcast (an n-gram LM is tiny next to a 100 TB corpus; a
+# 5-gram KenLM swap would broadcast its binary and score in a pandas
+# UDF with the same plan shape). Deterministic, fully oracle-checked.
+# --------------------------------------------------------------------------
+
+
+def lm_bigram_score(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.lower(F.col("text")), " ")
+    m = F.size(words) - 1
+    bigrams = F.when(
+        m >= 1,
+        F.zip_with(
+            F.slice(words, 1, m),
+            F.slice(words, 2, m),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array())
+    pairs = docs.select("doc_id", F.explode(bigrams).alias("bg")).withColumn(
+        "w1", F.split(F.col("bg"), " ")[0]
+    )
+    bg_counts = pairs.groupBy("bg").agg(F.count("*").alias("c_bg"))
+    w1_counts = pairs.groupBy("w1").agg(F.count("*").alias("c_w1"))
+    vocab = pairs.select(
+        F.explode(F.split(F.col("bg"), " ")).alias("w")
+    ).agg(F.countDistinct("w").alias("v"))
+    v = vocab.collect()[0].v  # scalar model constant (driver-side, tiny)
+    logp = F.log(
+        (F.col("c_bg") + 1) / (F.col("c_w1") + F.lit(float(v)))
+    )
+    return (
+        pairs.join(F.broadcast(bg_counts), "bg")
+        .join(F.broadcast(w1_counts), "w1")
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(logp), 4).alias("avg_logp"))
+        .orderBy("doc_id")
+    )
+
+
+LM_BIGRAM_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w,
+         len(string_split(lower(text), ' ')) AS n
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, n),
+                i -> concat_ws(' ', w[i], w[i + 1]))) AS bg
+  FROM toks WHERE n >= 2
+),
+pairs_w1 AS (
+  SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM pairs
+),
+bg_counts AS (SELECT bg, count(*) AS c_bg FROM pairs_w1 GROUP BY bg),
+w1_counts AS (SELECT w1, count(*) AS c_w1 FROM pairs_w1 GROUP BY w1),
+v AS (
+  SELECT count(DISTINCT tok) AS v FROM (
+    SELECT unnest(string_split(bg, ' ')) AS tok FROM pairs_w1
+  )
+)
+SELECT p.doc_id,
+       round(avg(ln((b.c_bg + 1) / (u.c_w1 + (SELECT v FROM v)))), 4)
+         AS avg_logp
+FROM pairs_w1 p
+JOIN bg_counts b USING (bg)
+JOIN w1_counts u USING (w1)
+GROUP BY p.doc_id ORDER BY p.doc_id
+"""
+
+ML_QUERIES["lm_bigram_score"] = (lm_bigram_score, LM_BIGRAM_SQL)
+
+
+# --------------------------------------------------------------------------
 # Multimodal part II (task brief: "decode / feature-extract / resize /
 # frame-sample"): resize and frame sampling. Both run as Arrow-batched
 # mapInPandas over the opaque binary payload (the real decode is stubbed
