@@ -72,8 +72,9 @@ def merge_upsert(
     corrected batch of volumes supersedes its previous output).
 
     Parquet backend: read target → anti-join out the updated keys →
-    union the updates → overwrite. Correct but rewrites the table, so
-    it is for LOCAL/test use and small state tables only.
+    union the updates → write to a temp path → swap into place.
+    Correct but rewrites the table, so it is for LOCAL/test use and
+    small state tables only.
 
     Iceberg backend (real cluster) does this as one transactional
     row-level command — no table rewrite, snapshot-isolated:
@@ -129,8 +130,31 @@ def merge_upsert(
         merged = kept.unionByName(updates)
     else:
         merged = updates
-    # the parquet overwrite reads its own input: materialize first
-    io.overwrite(merged.localCheckpoint(eager=True), target)
+    # Crash-safe swap: the merged result is fully written to a TEMP
+    # directory first (reading the live target while writing elsewhere —
+    # no localCheckpoint needed, no window where the target is truncated
+    # mid-job), then moved into place with two directory renames. An
+    # executor/driver loss during the write leaves the target untouched;
+    # the only remaining non-atomic window is between the two renames
+    # below (two syscalls, no Spark work), vs. the entire merge job
+    # under the old read-truncate-overwrite. True single-rename
+    # atomicity is the Iceberg branch's job (snapshot commit).
+    import shutil
+    import uuid
+
+    nonce = uuid.uuid4().hex
+    tmp, trash = f"{target}.__tmp_{nonce}", f"{target}.__old_{nonce}"
+    io.overwrite(merged, tmp)
+    try:
+        had_old = os.path.isdir(target)
+        if had_old:
+            os.rename(target, trash)
+        os.rename(tmp, target)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    if had_old:
+        shutil.rmtree(trash, ignore_errors=True)
 
 
 def default_io() -> ParquetTableIO:

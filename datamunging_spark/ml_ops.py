@@ -296,7 +296,16 @@ def _verify_candidate_pairs(cands, docs, token_expr_fn, threshold: float):
     10^12 docs the candidate set is orders of magnitude smaller than
     the corpus, so the broadcast-semi-join prunes the rebuild to that
     subset instead of a second full-corpus pass (plan-asserted by
-    test_minhash_verify_scans_only_candidates)."""
+    test_minhash_verify_scans_only_candidates).
+
+    The broadcast hint stays ONLY on the id semi-join (ids are a few
+    bytes per candidate — broadcastable far past 10^9 candidates). The
+    verify joins against the token ARRAYS carry no hint: at 10^12 docs
+    the candidate-doc shingle sets, while orders of magnitude smaller
+    than the corpus, can still exceed broadcast limits, and a hard hint
+    would OOM the driver instead of degrading; un-hinted, AQE picks
+    broadcast when the rebuilt side is actually small (it is at sandbox
+    scale) and shuffle joins otherwise."""
     cand_ids = (
         cands.select(F.explode(F.array("d1", "d2")).alias("doc_id")).distinct()
     )
@@ -308,12 +317,8 @@ def _verify_candidate_pairs(cands, docs, token_expr_fn, threshold: float):
         F.array_union("a.tk", "b.tk")
     )
     return (
-        cands.join(
-            F.broadcast(cand_docs.alias("a")), cands.d1 == F.col("a.doc_id")
-        )
-        .join(
-            F.broadcast(cand_docs.alias("b")), cands.d2 == F.col("b.doc_id")
-        )
+        cands.join(cand_docs.alias("a"), cands.d1 == F.col("a.doc_id"))
+        .join(cand_docs.alias("b"), cands.d2 == F.col("b.doc_id"))
         .select("d1", "d2", F.round(jac, 4).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
@@ -1103,11 +1108,14 @@ ML_QUERIES: dict[str, tuple] = {
 # buckets — an equi-join on bucket id, not a cross join, so at 10^9
 # vectors the corpus scan emits each row into exactly one bucket and
 # probes touch ~1/2^H of it. Probes multi-probe their Hamming-1 neighbor
-# buckets (standard multi-probe LSH) so a perturbation that crosses one
-# hyperplane cannot lose the pair. The DuckDB oracle replicates the
-# bucketing exactly (like ann_ivf_topk's cluster assignment), and pytest
-# separately asserts the bucketed output equals the brute-force cross
-# join on the test corpus.
+# buckets (standard multi-probe LSH), which recovers any pair whose
+# perturbation flips exactly ONE hyperplane sign; a perturbation that
+# flips two or more signs would be missed, so recall is probabilistic by
+# design (raise probe radius / add tables to trade cost for recall).
+# On this corpus recall is VERIFIED, not assumed: pytest asserts the
+# bucketed output equals the brute-force cross join exactly. The DuckDB
+# oracle replicates the bucketing (like ann_ivf_topk's cluster
+# assignment), so it checks the bucketed semantics, not recall.
 # --------------------------------------------------------------------------
 
 
@@ -1454,21 +1462,33 @@ ML_QUERIES["kmeans_embeddings"] = (kmeans_embeddings, _kmeans_sql())
 # --------------------------------------------------------------------------
 
 PACK_BUDGET = 2000  # tokens per shard
-PACK_GROUPS = 8
+PACK_GROUPS = 8  # driver-query/oracle pin; the API defaults to cluster width
 
 
-def pack_shards(spark, sf_dir):
+def pack_shards(spark, sf_dir, n_groups: int | None = None,
+                budget: int = PACK_BUDGET):
+    """``n_groups`` is the packing parallelism: None (the API default)
+    uses ``sparkContext.defaultParallelism`` so the cumsum windows track
+    cluster width — at 10^12 docs the packing stage runs as one windowed
+    task per core, not a fixed 8. The driver query pins
+    ``n_groups=PACK_GROUPS`` so the DuckDB oracle (which bakes the
+    constant into its SQL) replays the identical grouping. Group count
+    changes WHICH shard a doc lands in, never the invariants: token
+    conservation and the per-shard bound ``tokens < budget + max_doc``
+    hold for any n_groups (pytest at 64)."""
+    if n_groups is None:
+        n_groups = spark.sparkContext.defaultParallelism
     docs = t(spark, sf_dir, "documents").select(
         "doc_id", F.size(F.split(F.col("text"), " ")).alias("nt")
     )
     key = md5_long(F.concat(F.lit("pack:"), F.col("doc_id").cast("string")))
     grouped = docs.select(
-        "doc_id", "nt", F.pmod(key, F.lit(PACK_GROUPS)).cast("int").alias("g"),
+        "doc_id", "nt", F.pmod(key, F.lit(n_groups)).cast("int").alias("g"),
         key.alias("k"),
     )
     w = W.partitionBy("g").orderBy("k")
     cum = F.sum("nt").over(w)
-    local_shard = F.floor((cum - F.col("nt")) / PACK_BUDGET)
+    local_shard = F.floor((cum - F.col("nt")) / budget)
     # group id in the top bits (2^40 local shards ≈ 2×10^15 tokens per
     # group before collision — beyond any group at 10^12 docs; a plain
     # g*1e5 namespace would alias across groups at ~2×10^8 tokens)
@@ -1502,7 +1522,12 @@ SELECT shard, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS tokens
 FROM packed GROUP BY shard ORDER BY shard
 """
 
-ML_QUERIES["pack_shards"] = (pack_shards, PACK_SHARDS_SQL)
+def _pack_shards_driver(spark, sf_dir):
+    """Driver/oracle entry: group count pinned to the SQL's constant."""
+    return pack_shards(spark, sf_dir, n_groups=PACK_GROUPS)
+
+
+ML_QUERIES["pack_shards"] = (_pack_shards_driver, PACK_SHARDS_SQL)
 
 
 # --------------------------------------------------------------------------
@@ -1694,14 +1719,25 @@ ML_QUERIES["chunk_sequences"] = (chunk_sequences, CHUNK_SEQUENCES_SQL)
 # filter: fit add-one-smoothed bigram probabilities on the corpus
 # itself, score each document by its mean log P(w_i | w_{i-1}), flag
 # the tail. Two aggregations (bigram + unigram counts — both shuffle
-# counts, not text) and ONE corpus scan for scoring with the count
-# tables broadcast (an n-gram LM is tiny next to a 100 TB corpus; a
-# 5-gram KenLM swap would broadcast its binary and score in a pandas
-# UDF with the same plan shape). Deterministic, fully oracle-checked.
+# counts, not text) and ONE corpus scan for scoring.
+#
+# Scale guard: an n-gram LM fit on the corpus ITSELF is not
+# automatically broadcastable — distinct-bigram count grows ~O(vocab²)
+# and reaches billions of rows on a web corpus, where a hard broadcast
+# hint would OOM the driver. The model-size stats pass (one aggregation,
+# shared with the smoothing scalar) therefore decides the scoring-join
+# strategy: broadcast when the model fits (<= max_model_rows), an
+# explicit shuffle-hash join otherwise — identical results either way
+# (pytest-asserted), only the physical join moves. The production swap
+# is a PRUNED/pre-trained model (top-K bigrams or a KenLM binary)
+# broadcast to a pandas UDF; this built-in path stays exact instead.
 # --------------------------------------------------------------------------
 
+LM_BROADCAST_MAX_ROWS = 5_000_000  # ~ a few hundred MB of (bigram, count)
 
-def lm_bigram_score(spark, sf_dir):
+
+def lm_bigram_score(spark, sf_dir,
+                    max_model_rows: int = LM_BROADCAST_MAX_ROWS):
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     words = F.split(F.lower(F.col("text")), " ")
     m = F.size(words) - 1
@@ -1718,16 +1754,27 @@ def lm_bigram_score(spark, sf_dir):
     )
     bg_counts = pairs.groupBy("bg").agg(F.count("*").alias("c_bg"))
     w1_counts = pairs.groupBy("w1").agg(F.count("*").alias("c_w1"))
-    vocab = pairs.select(
-        F.explode(F.split(F.col("bg"), " ")).alias("w")
-    ).agg(F.countDistinct("w").alias("v"))
-    v = vocab.collect()[0].v  # scalar model constant (driver-side, tiny)
-    logp = F.log(
-        (F.col("c_bg") + 1) / (F.col("c_w1") + F.lit(float(v)))
+    # ONE model-stats job: smoothing vocabulary scalar + the
+    # distinct-bigram count that picks the join strategy (driver-side
+    # data = two longs, regardless of corpus size)
+    stats = (
+        pairs.select("bg", F.explode(F.split(F.col("bg"), " ")).alias("w"))
+        .agg(
+            F.countDistinct("w").alias("v"),
+            F.countDistinct("bg").alias("n_bg"),
+        )
+        .collect()[0]
     )
+    logp = F.log(
+        (F.col("c_bg") + 1) / (F.col("c_w1") + F.lit(float(stats.v)))
+    )
+    if stats.n_bg <= max_model_rows:
+        bg_j, w1_j = F.broadcast(bg_counts), F.broadcast(w1_counts)
+    else:  # model too big to ship — shuffle the counts, never the driver
+        bg_j, w1_j = bg_counts.hint("shuffle_hash"), w1_counts.hint("shuffle_hash")
     return (
-        pairs.join(F.broadcast(bg_counts), "bg")
-        .join(F.broadcast(w1_counts), "w1")
+        pairs.join(bg_j, "bg")
+        .join(w1_j, "w1")
         .groupBy("doc_id")
         .agg(F.round(F.avg(logp), 4).alias("avg_logp"))
         .orderBy("doc_id")

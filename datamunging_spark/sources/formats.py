@@ -59,11 +59,33 @@ def read_csv(
     )
 
 
+_AVRO_PROBED: dict[int, bool] = {}
+
+
 def _require_avro(spark: SparkSession) -> None:
-    if not spark.conf.get("spark.jars.packages", "").count("spark-avro") and not any(
-        "spark-avro" in j
-        for j in spark.sparkContext._jsc.sc().listJars().toList().toString().split(",")
-    ):
+    """Capability probe: try to RESOLVE the avro data source instead of
+    string-parsing private JVM state (listJars().toString() abbreviates
+    long collections and jar URIs may contain commas — both misreport).
+    A load on a nonexistent path forces DataSource resolution: if the
+    module is absent Spark raises its dedicated 'Failed to find data
+    source: avro' analysis error (mapped to NotImplementedError here);
+    any OTHER error (path not found) proves the module resolved, and
+    the real read/write proceeds. Probed once per SparkSession."""
+    key = id(spark)
+    if key not in _AVRO_PROBED:
+        try:
+            spark.read.format("avro").load(
+                "/__datamunging_avro_capability_probe__"
+            )
+            _AVRO_PROBED[key] = True  # pragma: no cover — empty-glob success
+        except Exception as e:  # noqa: BLE001 — classify by message
+            msg = str(e)
+            _AVRO_PROBED[key] = not (
+                "Failed to find data source" in msg
+                or "FAILED_TO_LOAD_DATA_SOURCE" in msg
+                or "ClassNotFoundException" in msg
+            )
+    if not _AVRO_PROBED[key]:
         raise NotImplementedError(
             "Avro IO needs the spark-avro external module, which is not "
             "bundled in this sandbox (no network). On a cluster: "

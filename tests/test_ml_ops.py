@@ -315,15 +315,19 @@ def test_kmeans_inertia_monotone_and_deterministic(spark):
     assert c1 == c2
 
 
-def test_pack_shards_conserves_docs_and_tokens(spark):
+@pytest.mark.parametrize("n_groups", [None, 64])
+def test_pack_shards_conserves_docs_and_tokens(spark, n_groups):
     """Packing must be a partition of the corpus (every doc in exactly
     one shard, token totals conserved) AND must actually pack: every
     shard except each group's last must reach the budget, and no shard
     may exceed budget + the largest single document (the greedy
-    overflow bound)."""
+    overflow bound). Parametrized over the group count — None exercises
+    the API default (defaultParallelism-wide packing) and 64 pins a
+    width no driver query uses, proving the invariants are
+    group-count-independent."""
     from datamunging_spark.ml_ops import PACK_BUDGET, pack_shards
 
-    shards = pack_shards(spark, SF_DIR).collect()
+    shards = pack_shards(spark, SF_DIR, n_groups=n_groups).collect()
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     total_docs = docs.count()
     total_tokens = docs.select(
@@ -352,6 +356,17 @@ def test_pack_shards_conserves_docs_and_tokens(spark):
             assert r.tokens > PACK_BUDGET - max_doc
         for r in rows:
             assert r.tokens < PACK_BUDGET + max_doc
+
+
+def test_lm_bigram_join_strategies_agree(spark):
+    """The broadcast-vs-shuffle gate in lm_bigram_score is a physical
+    choice only: forcing the over-cap shuffle path (cap=0) must produce
+    byte-identical scores to the broadcast default."""
+    from datamunging_spark.ml_ops import lm_bigram_score
+
+    a = lm_bigram_score(spark, SF_DIR).collect()
+    b = lm_bigram_score(spark, SF_DIR, max_model_rows=0).collect()
+    assert a == b and len(a) > 0
 
 
 def test_chunk_sequences_covers_every_token(spark):

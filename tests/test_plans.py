@@ -104,6 +104,22 @@ def test_minhash_verify_scans_only_candidates(spark, sf_dir):
     assert "LeftSemi" in plan
 
 
+def test_lm_bigram_model_join_is_bounded(spark, sf_dir):
+    """The LM scoring join must never ship an unbounded model: below
+    the row cap the count tables broadcast (sandbox scale — the default
+    path), above it (forced with cap=0) they flow through explicit
+    shuffle-hash joins with NO broadcast anywhere, so a web-scale
+    bigram table can't OOM the driver."""
+    from datamunging_spark.ml_ops import lm_bigram_score
+
+    plan = plan_of(lm_bigram_score(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    plan0 = plan_of(lm_bigram_score(spark, sf_dir, max_model_rows=0))
+    assert "ShuffledHashJoin" in plan0
+    assert "BroadcastHashJoin" not in plan0
+    assert "Broadcast" not in plan0  # no exchange ships the model
+
+
 def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
     """Decontamination must broadcast the (small-by-definition) eval
     n-gram set and scan the corpus once — no sort-merge join, no
