@@ -1339,6 +1339,84 @@ def _kmeans_assign(v, centroids):
     return assign(v)
 
 
+def _kmeans_parallel_seeds(
+    df: DataFrame,
+    v,
+    id_col: str,
+    k: int,
+    rounds: int = 3,
+    oversample: int | None = None,
+) -> list[list[float]]:
+    """k-means‖ init (Bahmani et al., VLDB 2012) made DETERMINISTIC:
+    every 'coin flip' is an md5-derived uniform in [0,1) keyed on
+    (round, id), so re-runs — and the inertia pytest — replay the exact
+    seed set with no RNG state.
+
+    Shape per round: one pass computes the total cost Σd² (driver gets
+    ONE double), a second pass samples points with
+    u(id, round) < l·d²/Σd² and collects only the sampled vectors —
+    O(l) ≈ 2k expected per round, driver-side data stays
+    rounds·l·dim floats. A final pass weights each candidate by its
+    Voronoi population, then a local numpy weighted Lloyd reduces the
+    ~rounds·l candidates to k seeds. This is the production init for
+    clustered/sorted inputs where first-k seeding collapses into one
+    true cluster (the MLlib default for the same reason); first-k stays
+    the driver-query/oracle spec path because DuckDB can replay it."""
+    import numpy as np
+
+    l = oversample or 2 * k
+    first = (
+        df.select(v.alias("v"),
+                  md5_long(F.concat(F.lit("kmpp:seed:"),
+                                    F.col(id_col).cast("string"))).alias("h"))
+        .orderBy("h")
+        .limit(1)
+        .collect()
+    )
+    cand: list[list[float]] = [list(first[0].v)]
+    u = md5_long(
+        F.concat(F.lit("kmpp:"), F.col("r").cast("string"), F.lit(":"),
+                 F.col(id_col).cast("string"))
+    ) / F.lit(float(1 << 60))
+    for r in range(rounds):
+        a = df.select(F.col(id_col), v.alias("v"),
+                      _kmeans_assign(v, cand).dist2.alias("d2"))
+        total = a.agg(F.sum("d2")).collect()[0][0]
+        if not total:  # all points already coincide with a candidate
+            break
+        picked = (
+            a.withColumn("r", F.lit(r))
+            .where(u < F.col("d2") * (float(l) / total))
+            .select("v")
+            .collect()
+        )
+        cand.extend(list(p.v) for p in picked)
+    if len(cand) < k:  # degenerate corpus (< k distinct points sampled)
+        pad = df.select(v.alias("v")).orderBy(id_col).limit(k).collect()
+        cand.extend(list(r.v) for r in pad[: k - len(cand)])
+    # Voronoi weights for the candidate set (one pass, k'-sized result)
+    wrows = (
+        df.select(_kmeans_assign(v, cand).cluster.alias("c"))
+        .groupBy("c").count().collect()
+    )
+    weights = np.zeros(len(cand))
+    for row in wrows:
+        weights[row.c] = row["count"]
+    C = np.array(cand, dtype=np.float64)
+    # local weighted Lloyd on the tiny candidate set: start from the k
+    # heaviest candidates (deterministic tie-break by index)
+    order = np.lexsort((np.arange(len(cand)), -weights))
+    seeds = C[np.sort(order[:k])]
+    for _ in range(20):
+        d = ((C[:, None, :] - seeds[None, :, :]) ** 2).sum(axis=2)
+        asg = d.argmin(axis=1)
+        for j in range(k):
+            m = asg == j
+            if weights[m].sum() > 0:
+                seeds[j] = (C[m] * weights[m, None]).sum(0) / weights[m].sum()
+    return [list(map(float, s)) for s in seeds]
+
+
 def kmeans_fit(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -1346,15 +1424,23 @@ def kmeans_fit(
     k: int = KMEANS_K,
     iters: int = KMEANS_ITERS,
     dim: int = KMEANS_DIM,
+    init: str = "first-k",
 ) -> tuple[list[list[float]], list[float]]:
     """Lloyd's algorithm; returns (centroids, per-iteration inertia).
 
-    The only driver-side data is k×dim floats per round; inertia is the
+    ``init='first-k'`` (spec/oracle path — DuckDB replays it) seeds with
+    the k lowest-id vectors; ``init='parallel'`` uses the deterministic
+    k-means‖ oversampling init (see _kmeans_parallel_seeds) — the
+    production choice when ids correlate with cluster structure. The
+    only driver-side data is k×dim floats per round; inertia is the
     SSE of the assignment each round and is non-increasing
     (pytest-asserted)."""
     v = F.col(vec_col).cast("array<double>")
-    seeds = df.select(v.alias("v")).orderBy(id_col).limit(k).collect()
-    centroids = [list(r.v) for r in seeds]
+    if init == "parallel":
+        centroids = _kmeans_parallel_seeds(df, v, id_col, k)
+    else:
+        seeds = df.select(v.alias("v")).orderBy(id_col).limit(k).collect()
+        centroids = [list(r.v) for r in seeds]
     inertia: list[float] = []
     for _ in range(iters):
         rows = (
@@ -2936,3 +3022,234 @@ ORDER BY doc_id, idx
 
 
 ML_QUERIES["posexplode_sentences"] = (posexplode_sentences, POSEXPLODE_SQL)
+
+
+# --------------------------------------------------------------------------
+# PII redaction — the compliance pass every training-data pipeline runs
+# before packing (emails / IPv4 / phone-shaped strings → typed
+# placeholders). The synthetic corpus carries no PII, so the query
+# INJECTS it deterministically (like dedup_embedding_cosine synthesizes
+# its near-dups): every 7th doc gains an email, every 5th an IP, every
+# 3rd a phone. Detection + redaction are pure regexp projections
+# (codegen, no shuffle, no Python); patterns stay inside the
+# RE2 ∩ java.util.regex common dialect so Spark and DuckDB agree
+# byte-for-byte, and the oracle hash-checks the REDACTED TEXT itself
+# via md5 — not just the counts.
+# --------------------------------------------------------------------------
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b555-\d{4}\b"
+
+
+def redact_pii(spark, sf_dir):
+    d = F.col("doc_id")
+    inject = F.concat(
+        F.col("text"),
+        F.when(d % 7 == 0, F.concat(F.lit(" contact user"),
+                                    d.cast("string"),
+                                    F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.concat(F.lit(" node 10.0."),
+                                    (d % 256).cast("string"), F.lit("."),
+                                    ((d * 7) % 256).cast("string"))).otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.concat(F.lit(" call 555-"),
+                                    (d % 9000 + 1000).cast("string"))).otherwise(F.lit("")),
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", inject.alias("pii"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("pii"), PII_EMAIL, "<EMAIL>"),
+            PII_IPV4, "<IP>"),
+        PII_PHONE, "<PHONE>")
+    return (
+        docs.where((d % 7 == 0) | (d % 5 == 0) | (d % 3 == 0))
+        .select(
+            "doc_id",
+            F.regexp_count(F.col("pii"), F.lit(PII_EMAIL)).alias("n_emails"),
+            F.regexp_count(F.col("pii"), F.lit(PII_IPV4)).alias("n_ips"),
+            F.regexp_count(F.col("pii"), F.lit(PII_PHONE)).alias("n_phones"),
+            F.md5(redacted).alias("redacted_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+REDACT_PII_SQL = rf"""
+WITH pii AS (
+  SELECT doc_id,
+         concat(text,
+           CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END,
+           CASE WHEN doc_id % 5 = 0 THEN ' node 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END,
+           CASE WHEN doc_id % 3 = 0 THEN ' call 555-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END
+         ) AS pii
+  FROM documents
+  WHERE doc_id % 7 = 0 OR doc_id % 5 = 0 OR doc_id % 3 = 0
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(pii, '{PII_EMAIL}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(pii, '{PII_IPV4}')) AS INT) AS n_ips,
+       CAST(len(regexp_extract_all(pii, '{PII_PHONE}')) AS INT) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(pii,
+           '{PII_EMAIL}', '<EMAIL>', 'g'),
+           '{PII_IPV4}', '<IP>', 'g'),
+           '{PII_PHONE}', '<PHONE>', 'g')) AS redacted_md5
+FROM pii ORDER BY doc_id
+"""
+
+ML_QUERIES["redact_pii"] = (redact_pii, REDACT_PII_SQL)
+
+
+# --------------------------------------------------------------------------
+# TF-IDF top terms — the classic relevance/keyword-extraction primitive
+# (domain labeling, near-dup triage, topic seeds). Document frequency is
+# a VOCAB-SIZED model table, so — same rule as lm_bigram_score — the
+# tf↔df join carries NO broadcast hint: AQE broadcasts when the vocab is
+# actually small and shuffle-joins otherwise. The per-doc top-k runs as
+# row_number over (doc_id), which Spark executes with WindowGroupLimit
+# (partial top-k before the shuffle). Output restricted to doc_id < 50
+# AFTER df is fit corpus-wide (the restriction prunes the tf side of
+# the join and the window input, not the model).
+# --------------------------------------------------------------------------
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(spark, sf_dir, k: int = TFIDF_TOP_K):
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()  # model scalar (like lm_bigram's vocab size)
+    terms = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.where(F.col("doc_id") < 50)
+        .join(dfreq, "term")
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", F.col("rank").cast("int").alias("rank"),
+                "score")
+        .orderBy("doc_id", "rank")
+    )
+
+
+TFIDF_SQL = f"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term,
+         round(t.tf * ln((SELECT n_docs FROM n)::DOUBLE / d.df), 4) AS score
+  FROM tf t JOIN dfreq d USING (term)
+  WHERE t.doc_id < 50
+)
+SELECT doc_id, term, rank, score FROM (
+  SELECT doc_id, term, score,
+         CAST(row_number() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, term
+         ) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {TFIDF_TOP_K}
+ORDER BY doc_id, rank
+"""
+
+ML_QUERIES["tfidf_top_terms"] = (tfidf_top_terms, TFIDF_SQL)
+
+
+# --------------------------------------------------------------------------
+# Repeated-passage mining — the cross-document half of substring dedup
+# (Lee et al., "Deduplicating Training Data Makes Language Models
+# Better"): find verbatim k-token passages occurring in 2+ documents.
+# One explode + one aggregation — the shape that holds at 10^12 docs
+# (partial counts map-side; no pairwise anything). Passages are
+# reported by md5 so the output stays narrow regardless of k.
+# --------------------------------------------------------------------------
+
+PASSAGE_K = 10
+PASSAGE_TOP = 20
+
+
+def common_passages(spark, sf_dir, k: int = PASSAGE_K, top: int = PASSAGE_TOP):
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), k)).alias("g")
+    )
+    # md5 BEFORE the shuffle: the aggregation key is 32 hex chars, not a
+    # ~100-byte passage string — at 10^12 docs the exploded gram shuffle
+    # is the op's entire cost and this ~3×-narrows it
+    return (
+        grams.groupBy(F.md5("g").alias("passage_md5"))
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), "passage_md5")
+        .limit(top)
+    )
+
+
+COMMON_PASSAGES_SQL = f"""
+WITH sh AS ({_shingle_sql(PASSAGE_K)}),
+grams AS (SELECT doc_id, unnest(sh) AS g FROM sh)
+SELECT md5(g) AS passage_md5, count(DISTINCT doc_id) AS n_docs
+FROM grams GROUP BY md5(g)
+HAVING count(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, passage_md5 LIMIT {PASSAGE_TOP}
+"""
+
+ML_QUERIES["common_passages"] = (common_passages, COMMON_PASSAGES_SQL)
+
+
+# --------------------------------------------------------------------------
+# Domain-mixture weights — the sampling-weight computation behind every
+# "X% web, Y% books, Z% code" training mix: per-source token shares vs
+# a (here uniform) target mixture, weight = target_share / actual_share.
+# The windowed totals run over the ALREADY-AGGREGATED per-source table
+# (a handful of rows at any corpus size), so the single-partition
+# window is free; the corpus-sized work is one map-side-combined
+# aggregation.
+# --------------------------------------------------------------------------
+
+
+def mixture_weights(spark, sf_dir):
+    per = (
+        t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split(F.col("text"), " "))).alias("tokens"),
+        )
+    )
+    w = W.partitionBy()
+    share = F.col("tokens") / F.sum("tokens").over(w)
+    weight = (F.lit(1.0) / F.count("*").over(w)) / share
+    return per.select(
+        "source", "n_docs", F.col("tokens").cast("long").alias("tokens"),
+        F.round(share, 6).alias("share"),
+        F.round(weight, 6).alias("weight"),
+    ).orderBy("source")
+
+
+MIXTURE_WEIGHTS_SQL = """
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, tokens,
+       round(tokens / sum(tokens) OVER (), 6) AS share,
+       round((1.0 / count(*) OVER ())
+             / (tokens / sum(tokens) OVER ()), 6) AS weight
+FROM per ORDER BY source
+"""
+
+ML_QUERIES["mixture_weights"] = (mixture_weights, MIXTURE_WEIGHTS_SQL)

@@ -315,6 +315,57 @@ def test_kmeans_inertia_monotone_and_deterministic(spark):
     assert c1 == c2
 
 
+def test_lsh_probe_routes_by_vocabulary_sparsity(spark):
+    """The adaptive selectivity probe must pick the exact triangle join
+    on the dense-vocabulary synthetic bench corpus (LSH can't prune
+    there) and MinHash-LSH on a realistic sparse-vocabulary corpus
+    (sample vocab ≫ tokens per doc) — the routing decision itself, not
+    just the already-asserted equality of both paths' outputs."""
+    import numpy as np
+
+    from datamunging_spark.ml_ops import _lsh_worthwhile
+
+    dense = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    assert _lsh_worthwhile(dense) is False
+    rng = np.random.default_rng(5)
+    rows = [
+        (i, " ".join(f"w{x}" for x in rng.integers(0, 20000, 60)))
+        for i in range(300)
+    ]
+    sparse = spark.createDataFrame(rows, "doc_id long, text string")
+    assert _lsh_worthwhile(sparse) is True
+
+
+def test_kmeans_parallel_init_beats_first_k_on_clustered_ids(spark):
+    """k-means‖ init must rescue exactly the case first-k seeding is
+    known to fail: ids sorted by true cluster, so the first k vectors
+    all sit in ONE cluster. With the same Lloyd budget the parallel
+    init's final inertia must be no worse — and materially better on
+    this well-separated synthetic — and byte-identical across runs
+    (the md5-derived sampling has no RNG state)."""
+    import numpy as np
+
+    from datamunging_spark.ml_ops import kmeans_fit
+
+    rng = np.random.default_rng(11)
+    k = dim = 4
+    centers = np.eye(k) * 10.0
+    rows = [
+        (c * 60 + i, [float(x) for x in centers[c] + rng.normal(0, 0.05, dim)])
+        for c in range(k)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    _, in_first = kmeans_fit(df, k=k, iters=3, dim=dim)
+    c1, in_par = kmeans_fit(df, k=k, iters=3, dim=dim, init="parallel")
+    c2, _ = kmeans_fit(df, k=k, iters=3, dim=dim, init="parallel")
+    assert c1 == c2
+    assert in_par[-1] <= in_first[-1] * (1 + 1e-9)
+    assert in_par[-1] < 0.5 * in_first[-1]
+
+
 @pytest.mark.parametrize("n_groups", [None, 64])
 def test_pack_shards_conserves_docs_and_tokens(spark, n_groups):
     """Packing must be a partition of the corpus (every doc in exactly

@@ -104,6 +104,18 @@ def test_minhash_verify_scans_only_candidates(spark, sf_dir):
     assert "LeftSemi" in plan
 
 
+def test_curate_corpus_broadcasts_drop_list(spark, sf_dir):
+    """curate_corpus prunes dropped near-dup members with a broadcast
+    anti join — the drop list is cluster-members-minus-representatives
+    (small vs the corpus by construction), so the corpus scan must not
+    shuffle for it."""
+    from datamunging_spark.ml_ops import curate_corpus
+
+    plan = plan_of(curate_corpus(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_lm_bigram_model_join_is_bounded(spark, sf_dir):
     """The LM scoring join must never ship an unbounded model: below
     the row cap the count tables broadcast (sandbox scale — the default

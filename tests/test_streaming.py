@@ -14,6 +14,7 @@ from datamunging_spark.generator import corpus_to_rows, generate_corpus
 from datamunging_spark.operators.munge import INPUT_SCHEMA
 from datamunging_spark.pipeline import read_output, run_pipeline
 from datamunging_spark.streaming.jobs import (
+    EVENTS_SCHEMA,
     read_events_stream,
     run_streaming_munge,
     sessionize_stream,
@@ -93,6 +94,83 @@ def test_windowed_counts_match_batch(spark, sf_dir, events_dir):
     assert len(g) >= len(w) - 8 * len(
         batch.select("event_type").distinct().collect()
     )
+
+
+def test_late_data_dropped_matches_batch_emulation(spark, tmp_path_factory):
+    """Watermark-eviction equivalence: an event arriving AFTER the
+    watermark has passed its window must be dropped by the stream, and
+    the stream's closed-window output must equal a batch aggregation
+    over the on-time events restricted to closed windows — dropping the
+    late row in both worlds yields the same table.
+
+    Arrival script (mtime-ordered files, maxFilesPerTrigger=1):
+    batch 0 carries windows h0 (3 rows) / h1 (2 rows) plus a 10:00 row
+    that advances the 2-hour watermark to 08:00; batch 1 delivers an
+    11:30 row (watermark → 09:30, h0/h1 emitted + state evicted); batch
+    2 then delivers the LATE 00:40 row, which the watermark filter
+    drops (asserted via numRowsDroppedByWatermark). Emitted set =
+    {h0 n=3, h1 n=2}: the late row increments nothing, h10/h11 stay
+    open (end > final watermark 09:30). NOTE the late row must arrive
+    ≥2 batches after its window's data: Spark filters batch N's input
+    with the watermark computed before batch N-1 (one-batch lag), so a
+    row arriving in the very batch that first carries a
+    window-expiring watermark still merges before eviction."""
+    import datetime as dt
+    import glob
+    import os
+    import time as _time
+
+    out = str(tmp_path_factory.mktemp("late") / "events")
+    day = dt.datetime(2024, 1, 1)
+
+    def ev(i, h, m):
+        return (i, day + dt.timedelta(hours=h, minutes=m), 1, "e", 1.0, "{}")
+
+    file1 = [ev(1, 0, 10), ev(2, 0, 20), ev(3, 0, 30),
+             ev(4, 1, 15), ev(5, 1, 30), ev(6, 10, 0)]
+    file2 = [ev(8, 11, 30)]
+    file3 = [ev(7, 0, 40)]  # the late arrival
+    base = _time.time() - 1000
+    seen: set[str] = set()
+    for i, rows in enumerate([file1, file2, file3]):
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(out)
+        new = set(glob.glob(f"{out}/part-*.parquet")) - seen
+        for f in new:
+            os.utime(f, (base + i * 10, base + i * 10))
+        seen |= new
+
+    stream = read_events_stream(spark, out)
+    q = _drain(windowed_event_counts(stream), "late_win")
+    dropped = sum(
+        so["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        for so in p["stateOperators"]
+    )
+    assert dropped == 1  # the eviction actually fired
+    got = {tuple(r) for r in spark.sql("SELECT * FROM late_win").collect()}
+
+    final_wm = day + dt.timedelta(hours=9, minutes=30)  # 11:30 − 2h
+    batch = spark.createDataFrame(file1 + file2, EVENTS_SCHEMA)
+    on_time = batch.where(F.col("event_id") != 7)
+    want = {
+        tuple(r)
+        for r in (
+            on_time.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+            .where(F.col("w.end") <= F.lit(final_wm))
+            .select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n",
+                F.round("total", 4).alias("total"),
+            )
+        ).collect()
+    }
+    assert got == want
+    assert len(got) == 2
+    assert (day, "e", 3, 3.0) in got  # late row did NOT become n=4
 
 
 def test_sessionize_stream_emits_valid_sessions(spark, events_dir):
