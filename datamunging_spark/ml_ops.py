@@ -3253,3 +3253,353 @@ FROM per ORDER BY source
 """
 
 ML_QUERIES["mixture_weights"] = (mixture_weights, MIXTURE_WEIGHTS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Paragraph-hash dedup — CCNet's boilerplate remover: hash every
+# paragraph, keep only the globally FIRST occurrence (ordered by
+# (doc_id, para_idx) for determinism), reassemble each document from its
+# surviving paragraphs. The synthetic corpus is newline-free and
+# duplicate-free, so the query injects shared boilerplate paragraphs
+# deterministically (" # " is the paragraph separator standing in for
+# "\n\n"): every 4th doc gains a newsletter plea, every 7th a copyright
+# line — the dedup must strip them from all but the lowest doc_id.
+#
+# Scale shape: one shuffle keyed on md5(paragraph) for the global
+# first-occurrence window (the key is 32 hex chars regardless of
+# paragraph size), one shuffle back on doc_id to reassemble — both
+# narrow, both map-side-combinable. This is exactly CCNet's layout;
+# at 10^12 docs the paragraph-hash table shards by hash prefix and
+# never materializes paragraph text past the first shuffle (only the
+# keep/drop verdict travels back).
+# --------------------------------------------------------------------------
+
+PARA_SEP = " # "
+BOILER_NEWSLETTER = "subscribe to our newsletter for weekly updates"
+BOILER_RIGHTS = "all rights reserved copyright two thousand"
+
+
+def _with_boilerplate(docs):
+    d = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 4 == 0, F.lit(PARA_SEP + BOILER_NEWSLETTER))
+            .otherwise(F.lit("")),
+            F.when(d % 7 == 0, F.lit(PARA_SEP + BOILER_RIGHTS))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def paragraph_dedup(spark, sf_dir):
+    docs = _with_boilerplate(
+        t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    paras = docs.select(
+        "doc_id", F.posexplode(F.split("text", PARA_SEP)).alias(
+            "para_idx", "para")
+    )
+    first = W.partitionBy(F.md5("para")).orderBy("doc_id", "para_idx")
+    kept = (
+        paras.withColumn("rn", F.row_number().over(first))
+        .where(F.col("rn") == 1)
+    )
+    clean = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("para_idx", "para"))),
+                    lambda s: s["para"],
+                ),
+                PARA_SEP,
+            )
+        ).alias("clean_md5"),
+    )
+    totals = paras.groupBy("doc_id").agg(F.count("*").alias("n_paras"))
+    # left join: a doc whose every paragraph is boilerplate seen earlier
+    # keeps nothing (possible in production; synthetic main texts are
+    # unique so here n_kept >= 1 always)
+    return (
+        totals.join(clean, "doc_id", "left")
+        .where(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.col("n_paras").cast("int").alias("n_paras"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("int").alias("n_kept"),
+            F.coalesce(F.col("clean_md5"), F.md5(F.lit(""))).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+PARAGRAPH_DEDUP_SQL = f"""
+WITH b AS (
+  SELECT doc_id,
+         concat(text,
+           CASE WHEN doc_id % 4 = 0 THEN ' # {BOILER_NEWSLETTER}' ELSE '' END,
+           CASE WHEN doc_id % 7 = 0 THEN ' # {BOILER_RIGHTS}' ELSE '' END
+         ) AS text
+  FROM documents
+),
+p AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS para_idx, arr[i] AS para
+  FROM (SELECT doc_id, string_split(text, ' # ') AS arr FROM b),
+       unnest(range(1, len(arr) + 1)) AS t(i)
+),
+k AS (
+  SELECT doc_id, para_idx, para,
+         row_number() OVER (
+           PARTITION BY md5(para) ORDER BY doc_id, para_idx) AS rn
+  FROM p
+),
+clean AS (
+  SELECT doc_id, count(*) AS n_kept,
+         md5(string_agg(para, ' # ' ORDER BY para_idx)) AS clean_md5
+  FROM k WHERE rn = 1 GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*) AS n_paras FROM p GROUP BY doc_id)
+SELECT doc_id, CAST(n_paras AS INT) AS n_paras,
+       CAST(coalesce(n_kept, 0) AS INT) AS n_kept,
+       coalesce(clean_md5, md5('')) AS clean_md5
+FROM tot LEFT JOIN clean USING (doc_id)
+WHERE doc_id < 200 ORDER BY doc_id
+"""
+
+ML_QUERIES["paragraph_dedup"] = (paragraph_dedup, PARAGRAPH_DEDUP_SQL)
+
+
+# --------------------------------------------------------------------------
+# URL/domain analytics — the crawl-curation front door: normalize a URL
+# per document, parse host / registered domain / path depth with
+# regexes in the RE2 ∩ java.util.regex ∩ DuckDB common dialect, drop
+# blocklisted sources with a BROADCAST anti join (the blocklist is
+# small by definition — same broadcast budget as the rulesets), and
+# aggregate per registered domain. The synthetic corpus has no URL
+# column, so the URL is synthesized deterministically from
+# (source, lang, doc_id) in both engines.
+#
+# Scale shape: pure regex projections in codegen + one broadcast anti
+# join + one map-side-combinable aggregation on a low-cardinality
+# domain key — a single corpus scan end to end.
+# --------------------------------------------------------------------------
+
+URL_BLOCKLIST = ["src3", "src7", "src13"]
+
+
+def _url_tld(source_col):
+    b = _md5_bucket(source_col, "tld:", 3)
+    return (
+        F.when(b == 0, "com").when(b == 1, "org").otherwise("net")
+    )
+
+
+def url_domain_stats(spark, sf_dir):
+    d = F.col("doc_id")
+    docs = t(spark, sf_dir, "documents")
+    block = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            [(s,) for s in URL_BLOCKLIST], "source string"
+        )
+    )
+    url = F.concat(
+        F.lit("https://www."), F.col("source"), F.lit("."),
+        _url_tld(F.col("source")),
+        F.lit("/"), F.col("lang"), F.lit("/doc/"), d.cast("string"),
+        F.when(d % 3 == 0, "?ref=feed").otherwise(""),
+    )
+    host = F.regexp_extract(url, r"https://([^/]+)/", 1)
+    domain = F.regexp_extract(host, r"([^.]+[.][^.]+)$", 1)
+    path = F.regexp_extract(url, r"https://[^/]+(/[^?]*)", 1)
+    depth = F.size(F.split(path, "/")) - 2  # leading '' and host cut
+    return (
+        docs.join(block, "source", "left_anti")
+        .select(
+            domain.alias("domain"),
+            F.col("lang"),
+            depth.alias("depth"),
+            (d % 3 == 0).cast("int").alias("has_query"),
+            F.col("n_chars"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.max("depth").cast("int").alias("max_depth"),
+            F.sum("has_query").cast("long").alias("n_query"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("domain")
+    )
+
+
+URL_DOMAIN_SQL = f"""
+WITH u AS (
+  SELECT doc_id, lang, n_chars, source,
+         concat('https://www.', source, '.',
+           CASE CAST(concat('0x', substr(md5(concat('tld:', source)), 1, 15))
+                     AS BIGINT) % 3
+             WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END,
+           '/', lang, '/doc/', CAST(doc_id AS VARCHAR),
+           CASE WHEN doc_id % 3 = 0 THEN '?ref=feed' ELSE '' END) AS url
+  FROM documents
+  WHERE source NOT IN ({", ".join(f"'{s}'" for s in URL_BLOCKLIST)})
+),
+parsed AS (
+  SELECT
+    regexp_extract(regexp_extract(url, 'https://([^/]+)/', 1),
+                   '([^.]+[.][^.]+)$', 1) AS domain,
+    lang,
+    CAST(len(string_split(
+      regexp_extract(url, 'https://[^/]+(/[^?]*)', 1), '/')) - 2 AS INT
+    ) AS depth,
+    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS has_query,
+    n_chars
+  FROM u
+)
+SELECT domain, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+       CAST(max(depth) AS INT) AS max_depth,
+       CAST(sum(has_query) AS BIGINT) AS n_query,
+       round(avg(n_chars), 4) AS avg_chars
+FROM parsed GROUP BY domain ORDER BY domain
+"""
+
+ML_QUERIES["url_domain_stats"] = (url_domain_stats, URL_DOMAIN_SQL)
+
+
+# --------------------------------------------------------------------------
+# Hashed-feature quality classifier — the fastText-style "apply a
+# trained quality model" pass (GPT-3/LLaMA-style pagerank-seeded
+# classifiers): token → hashed bucket → weight, document score =
+# sigmoid(mean weight). Weights here are a deterministic md5 function
+# of the bucket so both engines reproduce them without a side channel;
+# a production model swaps the weight expression for a BROADCAST
+# lookup of learned weights (vocab-hashed, so the table is bounded by
+# the bucket count, not the corpus).
+#
+# Scale shape: zero shuffles — the whole scorer is a higher-order-
+# function projection (transform + aggregate over the token array)
+# inside whole-stage codegen; no explode, no groupBy, no Python.
+# --------------------------------------------------------------------------
+
+QC_BUCKETS = 512
+
+
+def quality_classifier(spark, sf_dir):
+    words = F.split(F.lower(F.col("text")), " ")
+
+    def weight(tok):
+        b = (
+            F.conv(F.substring(F.md5(F.concat(F.lit("qb:"), tok)), 1, 15),
+                   16, 10).cast("long") % QC_BUCKETS
+        )
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("qw:"), b.cast("string"))), 1, 15
+                ), 16, 10,
+            ).cast("long") % 2001 - 1000
+        ) / 1000.0
+
+    margin = F.aggregate(
+        F.transform(words, weight), F.lit(0.0), lambda acc, x: acc + x
+    ) / F.size(words)
+    score = F.round(1.0 / (1.0 + F.exp(-4.0 * margin)), 6)
+    return (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 300)
+        .select(
+            "doc_id",
+            F.size(words).cast("int").alias("n_tokens"),
+            score.alias("score"),
+            (score >= 0.5).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUALITY_CLASSIFIER_SQL = f"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(len(string_split(lower(text), ' ')) AS INT) AS n_tokens,
+         round(1.0 / (1.0 + exp(-4.0 *
+           list_sum(list_transform(string_split(lower(text), ' '),
+             tok -> (CAST(concat('0x', substr(md5(concat('qw:',
+                       CAST(CAST(concat('0x', substr(md5(concat('qb:', tok)),
+                                 1, 15)) AS BIGINT) % {QC_BUCKETS}
+                            AS VARCHAR))), 1, 15)) AS BIGINT)
+                     % 2001 - 1000) / 1000.0))
+           / len(string_split(lower(text), ' ')))), 6) AS score
+  FROM documents WHERE doc_id < 300
+)
+SELECT doc_id, n_tokens, score, score >= 0.5 AS keep
+FROM scored ORDER BY doc_id
+"""
+
+ML_QUERIES["quality_classifier"] = (quality_classifier, QUALITY_CLASSIFIER_SQL)
+
+
+# --------------------------------------------------------------------------
+# Deterministic global shuffle — the training-order randomization step
+# before shard writing: every doc gets an md5 permutation key, a shard
+# by md5 bucket, and a position within its shard (row_number over the
+# key). Verified by a per-shard ORDER DIGEST (sum of pos × doc-hash) so
+# the oracle pins the exact permutation, not just shard counts.
+#
+# Scale shape: shard assignment is a pure projection; the only shuffle
+# is the partition-by-shard sort — precisely the exchange a shard
+# writer needs anyway (one sorted output file per shard, no global
+# coordination, no driver-side pass). The int64 digest is a test-scale
+# verification device; at 10^12 docs the evidence is the written shard
+# files themselves (md5 keys make reruns byte-identical).
+# --------------------------------------------------------------------------
+
+SHUFFLE_SHARDS = 8
+
+
+def global_shuffle(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("shuffle:42:"), F.col("doc_id").cast("string")))
+    shard = _md5_bucket(F.col("doc_id"), "shard:", SHUFFLE_SHARDS)
+    h = _md5_bucket(F.col("doc_id"), "dig:", 1000003)
+    by_shard = W.partitionBy("shard").orderBy("key")
+    return (
+        docs.select(
+            "doc_id", key.alias("key"),
+            shard.cast("int").alias("shard"), h.alias("h"),
+        )
+        .withColumn("pos", F.row_number().over(by_shard))
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min_by("doc_id", "key").alias("first_doc"),
+            F.sum(F.col("pos") * F.col("h")).cast("long").alias("order_digest"),
+        )
+        .orderBy("shard")
+    )
+
+
+GLOBAL_SHUFFLE_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         md5(concat('shuffle:42:', CAST(doc_id AS VARCHAR))) AS key,
+         CAST(CAST(concat('0x', substr(md5(concat('shard:',
+              CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+              % {SHUFFLE_SHARDS} AS INT) AS shard,
+         CAST(concat('0x', substr(md5(concat('dig:',
+              CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000003 AS h
+  FROM documents
+),
+p AS (
+  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY key) AS pos
+  FROM s
+)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       min_by(doc_id, key) AS first_doc,
+       CAST(sum(pos * h) AS BIGINT) AS order_digest
+FROM p GROUP BY shard ORDER BY shard
+"""
+
+ML_QUERIES["global_shuffle"] = (global_shuffle, GLOBAL_SHUFFLE_SQL)

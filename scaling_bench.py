@@ -59,7 +59,7 @@ spark.stop()
 """
 
 CHILD = r"""
-import json, sys, time
+import json, os, sys, time
 sys.path.insert(0, {repo!r})
 from datamunging_spark.session import get_spark
 cores = int(sys.argv[1]); data = sys.argv[2]; job = sys.argv[3]
@@ -72,9 +72,28 @@ spark = get_spark(app_name=f"scaling-{{cores}}", master=f"local[{{cores}}]",
 vols = spark.read.parquet(data)
 # full-width warmup: spawn every Python worker once
 op(vols, spark).write.mode("overwrite").format("noop").save()
+
+
+def cpu_sample():
+    v = list(map(int, open("/proc/stat").readline().split()[1:]))
+    return sum(v), v[3] + v[4], (v[7] if len(v) > 7 else 0)
+
+
+c0 = cpu_sample()
 t0 = time.perf_counter()
 op(vols, spark).write.mode("overwrite").format("noop").save()
-print(json.dumps({{"cores": cores, "wall_s": time.perf_counter() - t0}}))
+wall = time.perf_counter() - t0
+c1 = cpu_sample()
+dt = max(c1[0] - c0[0], 1)
+ncpu = os.cpu_count()
+print(json.dumps({{
+    "cores": cores, "wall_s": wall,
+    # whole-host CPU accounting ACROSS the timed pass: this child is
+    # taskset-pinned to `cores` CPUs, so host busy beyond `cores` is
+    # foreign load, and steal is the hypervisor denying this VM cycles
+    "busy_during": ncpu * (1.0 - (c1[1] - c0[1]) / dt),
+    "steal_during": ncpu * ((c1[2] - c0[2]) / dt),
+}}))
 spark.stop()
 """
 
@@ -136,15 +155,49 @@ def _run(code: str, *args: str, cores: int | None = None) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+# In-run contamination detection (round-2 verdict item 4): the pre-run
+# gate cannot see load that ARRIVES mid-measurement (observed: bursty
+# ~20-core neighbor waves plus hypervisor steal up to ~10 cores on this
+# box), so each timed child reports whole-host busy/steal across its own
+# timed pass. The child is pinned to `cores` CPUs, so host busy beyond
+# cores + FOREIGN_SLACK — or steal beyond STEAL_SLACK — marks the repeat
+# contaminated and it is retried (up to MAX_TRIES child runs per level).
+# Every attempt, accepted or not, is carried into the output for audit.
+FOREIGN_SLACK = float(os.environ.get("SCALING_FOREIGN_SLACK", "1.5"))
+STEAL_SLACK = float(os.environ.get("SCALING_STEAL_SLACK", "1.0"))
+MAX_TRIES = int(os.environ.get("SCALING_MAX_TRIES", str(REPEATS * 3)))
+
+
 def run_level(cores: int) -> dict:
-    best = None
-    loads = []
-    for _ in range(REPEATS):
-        loads.append(round(_wait_quiet(), 2))
+    attempts: list[dict] = []
+    accepted: list[dict] = []
+    while len(accepted) < REPEATS and len(attempts) < MAX_TRIES:
+        gate_busy = _wait_quiet()
         res = _run(CHILD, str(cores), str(DATA), JOB, cores=cores)
-        if best is None or res["wall_s"] < best["wall_s"]:
-            best = res
-    best["loads_before"] = loads
+        res["gate_busy"] = round(gate_busy, 2)
+        # busy beyond the pinned width is foreign load on OTHER cpus (a
+        # lower bound on interference: a neighbor sharing the pinned
+        # cpus shows up in wall/steal, not busy)
+        res["foreign_during"] = round(max(res["busy_during"] - cores, 0.0), 2)
+        res["steal_during"] = round(res["steal_during"], 2)
+        res["busy_during"] = round(res["busy_during"], 2)
+        res["contaminated"] = (
+            res["foreign_during"] > FOREIGN_SLACK
+            or res["steal_during"] > STEAL_SLACK
+        )
+        attempts.append(res)
+        if not res["contaminated"]:
+            accepted.append(res)
+    pool = accepted or attempts  # all-contaminated: report honestly
+    best = dict(min(pool, key=lambda r: r["wall_s"]))
+    best["n_attempts"] = len(attempts)
+    best["n_clean"] = len(accepted)
+    best["attempts"] = [
+        {k: r[k] for k in (
+            "wall_s", "gate_busy", "foreign_during", "steal_during",
+            "contaminated")}
+        for r in attempts
+    ]
     return best
 
 
@@ -171,8 +224,10 @@ def main() -> None:
         "scaling_efficiency": round(eff, 3),
         "pinned": PIN,
         "load_gate": GATE or None,
-        "loads_before_8": r8["loads_before"],
-        "loads_before_32": r32["loads_before"],
+        "clean_8": f"{r8['n_clean']}/{r8['n_attempts']}",
+        "clean_32": f"{r32['n_clean']}/{r32['n_attempts']}",
+        "attempts_8": r8["attempts"],
+        "attempts_32": r32["attempts"],
         "target": 0.8,
         "meets_target": eff >= 0.8,
     }
@@ -181,8 +236,12 @@ def main() -> None:
     lines = [
         "",
         f"## Scaling run — {JOB} job ({N_DOCS} docs, {pages} {'pages' if JOB == 'munge' else 'html+pdf spans'}, seed=42, parquet input, {'pinned' if PIN else 'unpinned'}"
-        + (f", gated at ≤{GATE:g} busy cores — busy-cores before timed repeats: 8-core {result['loads_before_8']}, 32-core {result['loads_before_32']}" if GATE else "")
+        + (f", gated at ≤{GATE:g} busy cores, in-run contamination retry (foreign >{FOREIGN_SLACK:g} or steal >{STEAL_SLACK:g} cores ⇒ rerun): clean repeats 8-core {result['clean_8']}, 32-core {result['clean_32']}" if GATE else "")
         + ")",
+        "",
+        "Per-attempt audit (wall s / gate busy / foreign during / steal during / contaminated): "
+        f"8-core {[(a['wall_s'].__round__(2), a['gate_busy'], a['foreign_during'], a['steal_during'], a['contaminated']) for a in result['attempts_8']]}; "
+        f"32-core {[(a['wall_s'].__round__(2), a['gate_busy'], a['foreign_during'], a['steal_during'], a['contaminated']) for a in result['attempts_32']]}",
         "",
         "| cores | wall (s) | pages/sec |",
         "|---|---|---|",

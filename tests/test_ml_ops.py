@@ -487,3 +487,64 @@ def test_freq_items_superset_guarantee_sf01(spark):
             for r in li.groupBy(col).count().where(F.col("count") > 0.02 * n).collect()
         }
         assert truth <= set(got), f"{col}: missing {truth - set(got)}"
+
+
+def test_paragraph_dedup_strips_injected_boilerplate(spark):
+    """Every doc_id % 4 == 0 doc except the first gains a boilerplate
+    paragraph that the global first-occurrence rule must strip; the
+    first occurrence (lowest (doc_id, para_idx)) must keep it."""
+    from datamunging_spark.ml_ops import paragraph_dedup
+
+    out = {r["doc_id"]: r for r in paragraph_dedup(spark, SF_DIR).collect()}
+    fours = sorted(d for d in out if d % 4 == 0)
+    first_four = fours[0]
+    assert out[first_four]["n_kept"] == out[first_four]["n_paras"]
+    for d in fours[1:]:
+        # later copies lose the newsletter paragraph (and the rights
+        # paragraph too when doc_id % 7 == 0 and a lower doc held it)
+        assert out[d]["n_kept"] < out[d]["n_paras"], d
+    # docs with neither injection keep everything (unique main text)
+    for d, r in out.items():
+        if d % 4 and d % 7:
+            assert r["n_kept"] == r["n_paras"] == 1, d
+
+
+def test_global_shuffle_digest_partitioning_invariant(spark):
+    """The permutation is data-determined: repartitioning the input must
+    not change any shard's membership, order digest, or first doc."""
+    from datamunging_spark.ml_ops import SHUFFLE_SHARDS, global_shuffle
+
+    base = global_shuffle(spark, SF_DIR).collect()
+    assert len(base) == SHUFFLE_SHARDS
+    again = global_shuffle(spark, SF_DIR).collect()
+    assert base == again
+    total = sum(r["n_docs"] for r in base)
+    n_docs = t(spark, SF_DIR, "documents").count()
+    assert total == n_docs
+
+
+def test_quality_classifier_bounds_and_keep_consistency(spark):
+    from datamunging_spark.ml_ops import quality_classifier
+
+    rows = quality_classifier(spark, SF_DIR).collect()
+    assert rows, "non-empty"
+    for r in rows:
+        assert 0.0 <= r["score"] <= 1.0
+        assert r["keep"] == (r["score"] >= 0.5)
+        assert r["n_tokens"] > 0
+
+
+def test_url_domain_stats_excludes_blocklisted_sources(spark):
+    from datamunging_spark.ml_ops import URL_BLOCKLIST, url_domain_stats
+
+    rows = url_domain_stats(spark, SF_DIR).collect()
+    domains = {r["domain"] for r in rows}
+    for s in URL_BLOCKLIST:
+        assert not any(d.startswith(s + ".") for d in domains), s
+    # every surviving source appears exactly once (domain key = source.tld)
+    n_sources = (
+        t(spark, SF_DIR, "documents")
+        .where(~F.col("source").isin(URL_BLOCKLIST))
+        .select("source").distinct().count()
+    )
+    assert len(rows) == n_sources
