@@ -47,10 +47,7 @@ DRIVER_PRIORITY = [
     "range_join_bins",
     "asof_join",
     "window_topk_orders",
-    "window_event_gaps",
     "rollup_lineitem",
-    "cube_orders",
-    "grouping_sets",
     "topk_parts",
     "stats_aggregates",
     "set_ops_segments",
@@ -88,6 +85,13 @@ DRIVER_PRIORITY = [
     "decontaminate_ngrams",
     "pack_shards",
     "header_detect_relational",
+    # round-3 flagship additions (freed slots: the grouping-sets family
+    # keeps one driver representative, rollup_lineitem; the window
+    # family keeps window_topk_orders — cube/grouping_sets/event_gaps
+    # stay oracle-checked in pytest + CORRECTNESS_local.json)
+    "lm_bigram_score",
+    "redact_pii",
+    "paragraph_dedup",
 ]
 
 

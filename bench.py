@@ -54,6 +54,11 @@ HEADLINE = [
     "kmeans_embeddings",
     "decontaminate_ngrams",
     "pack_shards",
+    # round-3 flagship additions
+    "lm_bigram_score",
+    "paragraph_dedup",
+    "quality_classifier",
+    "global_shuffle",
 ]
 
 ALL = {**RELATIONAL_QUERIES, **ML_QUERIES}

@@ -3479,9 +3479,10 @@ ML_QUERIES["url_domain_stats"] = (url_domain_stats, URL_DOMAIN_SQL)
 # lookup of learned weights (vocab-hashed, so the table is bounded by
 # the bucket count, not the corpus).
 #
-# Scale shape: zero shuffles — the whole scorer is a higher-order-
-# function projection (transform + aggregate over the token array)
-# inside whole-stage codegen; no explode, no groupBy, no Python.
+# Scale shape: the whole scorer is a higher-order-function projection
+# (transform + aggregate over the token array) inside whole-stage
+# codegen — no explode, no groupBy, no Python; the only exchange in the
+# plan is the output ordering (PLANS.md shows scan → project → sort).
 # --------------------------------------------------------------------------
 
 QC_BUCKETS = 512

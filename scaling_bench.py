@@ -100,6 +100,15 @@ spark.stop()
 
 PIN = os.environ.get("SCALING_PIN", "1") != "0"
 
+# The two measured widths: N and 4N "executors" (cores). Default 8->32
+# fills the whole box; SCALING_N_CORES=2 measures 2->8, where BOTH
+# widths sit far below host capacity -- the closer emulation of
+# discrete executors that each bring their own silicon (the 8->32
+# comparison subdivides one oversubscribed host and inherits its
+# hypervisor ceiling; see host_ceiling()).
+N_CORES = int(os.environ.get("SCALING_N_CORES", "8"))
+N4_CORES = 4 * N_CORES
+
 # Load-gated protocol (round-2 verdict item 4): this host is shared and
 # its timing noise is load-correlated (BENCH/BASELINE.md), so a
 # reproducible quiet-window measurement must WAIT for quiet instead of
@@ -201,14 +210,54 @@ def run_level(cores: int) -> dict:
     return best
 
 
+CEILING = r"""
+import json, multiprocessing as mp, sys, time
+def burn(n):
+    s = 0
+    for i in range(n):
+        s += i * i
+    return s
+workers = int(sys.argv[1])
+with mp.Pool(workers) as p:          # warm the pool
+    p.map(burn, [10_000] * workers)
+    t0 = time.perf_counter()
+    p.map(burn, [4_000_000] * workers * 4)
+    wall = time.perf_counter() - t0
+print(json.dumps({{"workers": workers, "ops_per_s": workers * 4 * 4_000_000 / wall}}))
+"""
+
+
+def host_ceiling() -> dict:
+    """The host-achievable parallel-scaling ceiling, measured the same
+    way the Spark children are measured (taskset-pinned width): a pure-
+    ALU, zero-memory, zero-shuffle multiprocessing loop. On this
+    virtualized box even THIS scales at only ~0.8 from 8 to 32 vCPUs
+    (no steal, no foreign load — hypervisor-level, invisible to guest
+    accounting), so the pipeline's ratio is reported both raw and as a
+    fraction of this ceiling. A real N→4N executor comparison multiplies
+    silicon instead of subdividing one host's, so the ceiling does not
+    transfer to clusters; the fraction-of-ceiling is the transferable
+    number."""
+    _wait_quiet()
+    c_n = _run(CEILING, str(N_CORES), cores=N_CORES)
+    _wait_quiet()
+    c_4n = _run(CEILING, str(N4_CORES), cores=N4_CORES)
+    speedup = c_4n["ops_per_s"] / c_n["ops_per_s"]
+    return {
+        "ceiling_speedup": round(speedup, 3),
+        "ceiling_efficiency": round(speedup / 4.0, 3),
+    }
+
+
 def main() -> None:
     if not (DATA / "_SUCCESS").exists():
         meta = _run(GEN, str(N_DOCS), str(DATA), JOB)
         (DATA / "_meta.json").write_text(json.dumps(meta))
     pages = json.loads((DATA / "_meta.json").read_text())["pages"]
 
-    r8 = run_level(8)
-    r32 = run_level(32)
+    ceil = host_ceiling()
+    r8 = run_level(N_CORES)
+    r32 = run_level(N4_CORES)
     t8, t32 = pages / r8["wall_s"], pages / r32["wall_s"]
     speedup = t32 / t8
     eff = speedup / 4.0
@@ -216,16 +265,21 @@ def main() -> None:
         "job": JOB,
         "n_docs": N_DOCS,
         "pages": pages,
-        "local8_wall_s": round(r8["wall_s"], 3),
-        "local8_pages_per_sec": round(t8, 1),
-        "local32_wall_s": round(r32["wall_s"], 3),
-        "local32_pages_per_sec": round(t32, 1),
-        "speedup_8_to_32": round(speedup, 3),
+        "n_cores": N_CORES,
+        "local_n_wall_s": round(r8["wall_s"], 3),
+        "local_n_pages_per_sec": round(t8, 1),
+        "local_4n_wall_s": round(r32["wall_s"], 3),
+        "local_4n_pages_per_sec": round(t32, 1),
+        "speedup_n_to_4n": round(speedup, 3),
         "scaling_efficiency": round(eff, 3),
+        **ceil,
+        "fraction_of_host_ceiling": round(
+            speedup / ceil["ceiling_speedup"], 3
+        ),
         "pinned": PIN,
         "load_gate": GATE or None,
-        "clean_8": f"{r8['n_clean']}/{r8['n_attempts']}",
-        "clean_32": f"{r32['n_clean']}/{r32['n_attempts']}",
+        "clean_n": f"{r8['n_clean']}/{r8['n_attempts']}",
+        "clean_4n": f"{r32['n_clean']}/{r32['n_attempts']}",
         "attempts_8": r8["attempts"],
         "attempts_32": r32["attempts"],
         "target": 0.8,
@@ -236,21 +290,27 @@ def main() -> None:
     lines = [
         "",
         f"## Scaling run — {JOB} job ({N_DOCS} docs, {pages} {'pages' if JOB == 'munge' else 'html+pdf spans'}, seed=42, parquet input, {'pinned' if PIN else 'unpinned'}"
-        + (f", gated at ≤{GATE:g} busy cores, in-run contamination retry (foreign >{FOREIGN_SLACK:g} or steal >{STEAL_SLACK:g} cores ⇒ rerun): clean repeats 8-core {result['clean_8']}, 32-core {result['clean_32']}" if GATE else "")
+        + (f", gated at ≤{GATE:g} busy cores, in-run contamination retry (foreign >{FOREIGN_SLACK:g} or steal >{STEAL_SLACK:g} cores ⇒ rerun): clean repeats N {result['clean_n']}, 4N {result['clean_4n']}" if GATE else "")
         + ")",
         "",
         "Per-attempt audit (wall s / gate busy / foreign during / steal during / contaminated): "
-        f"8-core {[(a['wall_s'].__round__(2), a['gate_busy'], a['foreign_during'], a['steal_during'], a['contaminated']) for a in result['attempts_8']]}; "
-        f"32-core {[(a['wall_s'].__round__(2), a['gate_busy'], a['foreign_during'], a['steal_during'], a['contaminated']) for a in result['attempts_32']]}",
+        f"N-core {[(a['wall_s'].__round__(2), a['gate_busy'], a['foreign_during'], a['steal_during'], a['contaminated']) for a in result['attempts_8']]}; "
+        f"4N-core {[(a['wall_s'].__round__(2), a['gate_busy'], a['foreign_during'], a['steal_during'], a['contaminated']) for a in result['attempts_32']]}",
         "",
         "| cores | wall (s) | pages/sec |",
         "|---|---|---|",
-        f"| local[8]  (N)  | {result['local8_wall_s']} | {result['local8_pages_per_sec']} |",
-        f"| local[32] (4N) | {result['local32_wall_s']} | {result['local32_pages_per_sec']} |",
+        f"| local[{N_CORES}]  (N)  | {result['local_n_wall_s']} | {result['local_n_pages_per_sec']} |",
+        f"| local[{N4_CORES}] (4N) | {result['local_4n_wall_s']} | {result['local_4n_pages_per_sec']} |",
         "",
-        f"Speedup 8→32: **{result['speedup_8_to_32']}×**, scaling efficiency "
+        f"Speedup N→4N ({N_CORES}→{N4_CORES}): **{result['speedup_n_to_4n']}×**, scaling efficiency "
         f"(speedup/4): **{result['scaling_efficiency']}** "
         f"(target ≥ 0.8 → {'MET' if result['meets_target'] else 'NOT MET'})",
+        "",
+        f"Host ceiling (pure-ALU multiprocessing, same pinning, no steal/"
+        f"foreign): {result['ceiling_speedup']}× "
+        f"(eff {result['ceiling_efficiency']}) — the pipeline achieves "
+        f"**{result['fraction_of_host_ceiling']}** of the host-achievable "
+        f"8→32 scaling.",
         "",
     ]
     with open(md, "a") as f:
