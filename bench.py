@@ -59,6 +59,8 @@ HEADLINE = [
     "paragraph_dedup",
     "quality_classifier",
     "global_shuffle",
+    "semantic_dedup",
+    "bm25_search",
 ]
 
 ALL = {**RELATIONAL_QUERIES, **ML_QUERIES}

@@ -1478,8 +1478,12 @@ def kmeans_embeddings(spark, sf_dir):
 
 
 def _kmeans_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS,
-                dim: int = KMEANS_DIM) -> str:
-    """DuckDB replay of the exact Lloyd unroll."""
+                dim: int = KMEANS_DIM, vecs_sql: str | None = None,
+                final_select: str | None = None) -> str:
+    """DuckDB replay of the exact Lloyd unroll. ``vecs_sql`` overrides
+    the input CTE body (default: the embeddings table); ``final_select``
+    overrides the closing SELECT over ``afinal`` (vec_id, v, cl, dist2)
+    so consumers (semantic_dedup) can extend the chain."""
     assign = (
         "SELECT vec_id, v, cl, dist2 FROM ("
         "  SELECT e.vec_id, e.v, c.cl,"
@@ -1502,7 +1506,9 @@ def _kmeans_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS,
         ") GROUP BY cl"
     )
     ctes = [
-        "vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "vecs AS ("
+        + (vecs_sql or "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings")
+        + ")",
         f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl,"
         f" v AS cv, list_dot_product(v, v) AS cn2"
         f" FROM vecs ORDER BY vec_id LIMIT {k})",
@@ -1524,9 +1530,10 @@ def _kmeans_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS,
     ctes.append(final)
     return (
         "WITH " + ",\n".join(ctes) + "\n"
-        "SELECT CAST(cl AS INT) AS cluster, count(*) AS n,"
-        " round(sum(dist2), 3) AS sse\n"
-        "FROM afinal GROUP BY cl ORDER BY cluster"
+        + (final_select
+           or "SELECT CAST(cl AS INT) AS cluster, count(*) AS n,"
+              " round(sum(dist2), 3) AS sse"
+              " FROM afinal GROUP BY cl ORDER BY cluster")
     )
 
 
@@ -3604,3 +3611,201 @@ FROM p GROUP BY shard ORDER BY shard
 """
 
 ML_QUERIES["global_shuffle"] = (global_shuffle, GLOBAL_SHUFFLE_SQL)
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup — SemDeDup (Abbas et al., 2023): cluster the embedding
+# space, then compare pairs ONLY within a cluster; a member is dropped
+# when a more-representative member (closer to the final centroid, ties
+# by id) is within cosine >= SEMDEDUP_EPS. The input injects
+# deterministic near-duplicates (every 11th vector reappears under
+# id+200000, scaled 0.99 + 0.0005) — like dedup_exact/redact_pii — so
+# the drop rule has real work to do.
+#
+# Scale shape: this is THE reason SemDeDup exists — pairwise similarity
+# is confined to clusters (n²/k per cluster instead of n² global), and
+# clusters are exactly the IVF cells kmeans_fit already produces, so
+# the pairwise stage is a per-cluster self-join the shuffle co-locates.
+# Semantics note: the drop test is "exists a higher-ranked near-dup",
+# whether or not that near-dup itself survives — deterministic, one
+# join, no recursion (strictly ⊇ greedy-kept-only drops).
+# --------------------------------------------------------------------------
+
+SEMDEDUP_EPS = 0.99
+
+
+def _semdedup_input(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast(T.ArrayType(T.DoubleType()))
+    dups = emb.where(F.col("vec_id") % 11 == 0).select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.transform(vec, lambda x: x * 0.99 + 0.0005).alias("embedding"),
+    )
+    return emb.select("vec_id", vec.alias("embedding")).unionByName(dups)
+
+
+def semantic_dedup(spark, sf_dir):
+    aug = _semdedup_input(spark, sf_dir)
+    centroids, _ = kmeans_fit(aug)
+    v = F.col("embedding").cast("array<double>")
+    ranked = (
+        aug.select(
+            "vec_id", v.alias("v"),
+            _kmeans_assign(v, centroids).alias("a"),
+        )
+        .select(
+            "vec_id", "v",
+            F.col("a.cluster").alias("cluster"),
+            F.row_number().over(
+                W.partitionBy("a.cluster").orderBy("a.dist2", "vec_id")
+            ).alias("rk"),
+        )
+    )
+    cos = dot(F.col("a.v"), F.col("b.v")) / (
+        l2_norm(F.col("a.v")) * l2_norm(F.col("b.v"))
+    )
+    drops = (
+        ranked.alias("a")
+        .join(
+            ranked.alias("b"),
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.rk") < F.col("b.rk")),
+        )
+        .where(cos >= SEMDEDUP_EPS)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        ranked.join(drops.withColumn("dropped", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cluster").cast("int").alias("cluster"),
+            F.coalesce(~F.col("dropped"), F.lit(True)).alias("keep"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+SEMDEDUP_VECS_SQL = """
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 200000 AS vec_id,
+         list_transform(embedding::DOUBLE[], x -> x * 0.99 + 0.0005) AS v
+  FROM embeddings WHERE vec_id % 11 = 0
+"""
+
+SEMDEDUP_FINAL_SQL = f"""
+SELECT vec_id, CAST(cl AS INT) AS cluster,
+       vec_id NOT IN (
+         SELECT b.vec_id
+         FROM (SELECT vec_id, v, cl,
+                      row_number() OVER (
+                        PARTITION BY cl ORDER BY dist2, vec_id) AS rk
+               FROM afinal) a
+         JOIN (SELECT vec_id, v, cl,
+                      row_number() OVER (
+                        PARTITION BY cl ORDER BY dist2, vec_id) AS rk
+               FROM afinal) b
+           ON a.cl = b.cl AND a.rk < b.rk
+         WHERE list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))) >= {SEMDEDUP_EPS}
+       ) AS keep
+FROM afinal ORDER BY vec_id
+"""
+
+ML_QUERIES["semantic_dedup"] = (
+    semantic_dedup,
+    _kmeans_sql(vecs_sql=SEMDEDUP_VECS_SQL, final_select=SEMDEDUP_FINAL_SQL),
+)
+
+
+# --------------------------------------------------------------------------
+# BM25 retrieval — the lexical search baseline every corpus-curation /
+# eval-retrieval stack keeps next to its ANN index (Robertson/Lucene
+# formulation: k1=1.2, b=0.75, idf = ln((N - df + 0.5)/(df + 0.5) + 1)).
+# The query is a literal term set; N and avgdl are the two model
+# scalars (one tiny aggregation, same precedent as tfidf's n_docs);
+# df is a query-terms-sized table (broadcast by AQE). One corpus scan,
+# one narrow aggregation, a global top-k.
+# --------------------------------------------------------------------------
+
+BM25_QUERY_TERMS = ["spark", "merge", "filter"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 10
+
+
+def bm25_search(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("w")
+    )
+    stats = docs.agg(
+        F.count("*").alias("n"), F.avg(F.size("w")).alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = stats["n"], stats["avgdl"]
+    terms = docs.select(
+        "doc_id", F.size("w").alias("dl"), F.explode("w").alias("term")
+    ).where(F.col("term").isin(BM25_QUERY_TERMS))
+    tf = terms.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    per_term = idf * F.col("tf") * (BM25_K1 + 1) / (
+        F.col("tf")
+        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.lit(float(avgdl)))
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(per_term), 4).alias("score"))
+    )
+    # global top-k via orderBy+limit (TakeOrderedAndProject: partial
+    # top-k map-side, no single-partition window over the corpus); the
+    # rank window then runs over BM25_TOP rows only
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(BM25_TOP)
+    return (
+        top.withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy().orderBy(F.desc("score"), F.asc("doc_id"))
+            ).cast("int"),
+        )
+        .select("rank", "doc_id", "score")
+        .orderBy("rank")
+    )
+
+
+BM25_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+stats AS (SELECT count(*) AS n, avg(len(w)) AS avgdl FROM d),
+terms AS (
+  SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM d
+),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM terms
+  WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)})
+  GROUP BY doc_id, dl, term
+),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT t.doc_id,
+         round(sum(
+           ln(((SELECT n FROM stats) - f.df + 0.5) / (f.df + 0.5) + 1.0)
+           * t.tf * ({BM25_K1} + 1)
+           / (t.tf + {BM25_K1} * (1 - {BM25_B}
+              + {BM25_B} * t.dl / (SELECT avgdl FROM stats)))
+         ), 4) AS score
+  FROM tf t JOIN dfreq f USING (term) GROUP BY t.doc_id
+)
+SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+) WHERE rank <= {BM25_TOP} ORDER BY rank
+"""
+
+ML_QUERIES["bm25_search"] = (bm25_search, BM25_SQL)

@@ -548,3 +548,32 @@ def test_url_domain_stats_excludes_blocklisted_sources(spark):
         .select("source").distinct().count()
     )
     assert len(rows) == n_sources
+
+
+def test_semantic_dedup_drops_injected_near_dups(spark):
+    """Each injected near-duplicate (vec_id >= 200000) is cosine ~1 to
+    its original; whenever the pair lands in one cluster, at most one
+    of the two survives — and on this corpus every pair does co-cluster
+    (also asserted, so the invariant can't pass vacuously)."""
+    from datamunging_spark.ml_ops import semantic_dedup
+
+    rows = {r["vec_id"]: r for r in semantic_dedup(spark, SF_DIR).collect()}
+    pairs = [(i, i + 200000) for i in rows if i < 200000 and i % 11 == 0]
+    assert pairs
+    co_clustered = 0
+    for orig, dup in pairs:
+        if rows[orig]["cluster"] == rows[dup]["cluster"]:
+            co_clustered += 1
+            assert not (rows[orig]["keep"] and rows[dup]["keep"]), (orig, dup)
+    assert co_clustered == len(pairs)
+
+
+def test_bm25_ranks_monotone_and_positive(spark):
+    from datamunging_spark.ml_ops import BM25_TOP, bm25_search
+
+    rows = bm25_search(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= BM25_TOP
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    scores = [r["score"] for r in rows]
+    assert all(s > 0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
