@@ -3809,3 +3809,193 @@ SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
 """
 
 ML_QUERIES["bm25_search"] = (bm25_search, BM25_SQL)
+
+
+# --------------------------------------------------------------------------
+# T5-style span corruption — the pretraining-objective sample transform
+# (Raffel et al., 2020): mask ~15% of tokens in contiguous spans of
+# mean length 3, replace each span with a sentinel id, emit
+# (inputs, targets) pairs. All randomness is md5-derived from
+# (doc_id, token index), so samples replay bit-identically across
+# engines, retries, and epochs — the property a 10^12-doc sample
+# factory needs for resumable epoch generation.
+#
+# Span layout rule (closed-form, windowless): token i STARTS a mask
+# span iff u(doc_id, i // SPAN_LEN) < MASK_RATE / SPAN_LEN · SPAN_LEN
+# = MASK_RATE, evaluated per SPAN_LEN-aligned block — i.e. each
+# aligned block of SPAN_LEN tokens is masked as a unit with
+# probability MASK_RATE. Approximate span-corruption semantics with an
+# exact, join-free formulation: one projection per doc, no shuffle.
+# Output is md5-digested (inputs_md5/targets_md5) to stay narrow.
+# --------------------------------------------------------------------------
+
+CORRUPT_SPAN_LEN = 3
+CORRUPT_MASK_RATE = 0.15
+
+
+def span_corruption(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    words = F.split(F.col("text"), " ")
+
+    def block_masked(i):
+        # md5-uniform in [0,1) keyed on (doc_id, block index)
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("corrupt:"),
+                                   F.col("doc_id").cast("string"),
+                                   F.lit(":"),
+                                   (i / CORRUPT_SPAN_LEN).cast("int")
+                                   .cast("string"))),
+                    1, 15,
+                ), 16, 10,
+            ).cast("long") / F.lit(float(1 << 60))
+        )
+        return u < CORRUPT_MASK_RATE
+
+    idx = F.sequence(F.lit(0), F.size(words) - 1)
+    kept = F.filter(idx, lambda i: ~block_masked(i))
+    masked = F.filter(idx, lambda i: block_masked(i))
+    inputs = F.transform(kept, lambda i: F.element_at(words, i + 1))
+    targets = F.transform(masked, lambda i: F.element_at(words, i + 1))
+    return docs.select(
+        "doc_id",
+        F.size(words).cast("int").alias("n_tokens"),
+        F.size(masked).cast("int").alias("n_masked"),
+        F.md5(F.array_join(inputs, " ")).alias("inputs_md5"),
+        F.md5(F.array_join(targets, " ")).alias("targets_md5"),
+    ).orderBy("doc_id")
+
+
+SPAN_CORRUPTION_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE doc_id < 200
+),
+flags AS (
+  SELECT doc_id, w,
+         list_transform(range(0, len(w)),
+           i -> CAST(concat('0x', substr(md5(concat('corrupt:',
+                  CAST(doc_id AS VARCHAR), ':',
+                  CAST(i // {CORRUPT_SPAN_LEN} AS VARCHAR))), 1, 15))
+                AS BIGINT) / {float(1 << 60)} < {CORRUPT_MASK_RATE}
+         ) AS m
+  FROM d
+)
+SELECT doc_id,
+       CAST(len(w) AS INT) AS n_tokens,
+       CAST(len(list_filter(range(0, len(w)), i -> m[i + 1])) AS INT)
+         AS n_masked,
+       md5(coalesce(array_to_string(
+         list_transform(list_filter(range(0, len(w)), i -> NOT m[i + 1]),
+                        i -> w[i + 1]), ' '), '')) AS inputs_md5,
+       md5(coalesce(array_to_string(
+         list_transform(list_filter(range(0, len(w)), i -> m[i + 1]),
+                        i -> w[i + 1]), ' '), '')) AS targets_md5
+FROM flags ORDER BY doc_id
+"""
+
+ML_QUERIES["span_corruption"] = (span_corruption, SPAN_CORRUPTION_SQL)
+
+
+# --------------------------------------------------------------------------
+# Importance resampling — the DSIR idea (Xie et al., 2023): weight each
+# corpus document by how much its hashed-n-gram distribution looks like
+# a target domain vs the raw corpus, then keep docs whose md5 coin
+# clears the normalized weight. Target/raw unigram-bucket distributions
+# are FIT IN THE SAME QUERY (target = lang='en' docs — the in-sandbox
+# stand-in for "looks like Wikipedia"); both are bucket-count tables
+# bounded by DSIR_BUCKETS, never by the vocab — the hashing trick again.
+#
+# Scale shape: two bucket-sized aggregations (map-side combined) + one
+# scoring scan whose per-token weight lookup joins a ≤DSIR_BUCKETS-row
+# model (AQE broadcasts it); the keep decision is a pure md5 projection.
+# --------------------------------------------------------------------------
+
+DSIR_BUCKETS = 256
+
+
+def importance_resample(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = docs.select(
+        "doc_id", "lang",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),
+    ).withColumn(
+        "b",
+        F.conv(F.substring(F.md5(F.concat(F.lit("dsir:"), F.col("tok"))),
+                           1, 15), 16, 10).cast("long") % DSIR_BUCKETS,
+    )
+    # add-one-smoothed bucket log-probs for target (en) and raw corpus
+    tgt = (
+        toks.where(F.col("lang") == "en")
+        .groupBy("b").agg(F.count("*").alias("tn"))
+    )
+    raw = toks.groupBy("b").agg(F.count("*").alias("rn"))
+    tgt_total = tgt.agg(F.sum("tn")).collect()[0][0]  # model scalar
+    raw_total = raw.agg(F.sum("rn")).collect()[0][0]
+    model = (
+        raw.join(tgt, "b", "left")
+        .select(
+            "b",
+            (
+                F.log((F.coalesce(F.col("tn"), F.lit(0)) + 1.0)
+                      / (tgt_total + DSIR_BUCKETS))
+                - F.log((F.col("rn") + 1.0) / (raw_total + DSIR_BUCKETS))
+            ).alias("llr"),
+        )
+    )
+    scored = (
+        toks.join(model, "b")
+        .groupBy("doc_id")
+        .agg(F.round(F.avg("llr"), 6).alias("importance"))
+    )
+    coin = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("dsirkeep:"),
+                                          F.col("doc_id").cast("string"))),
+                           1, 15), 16, 10).cast("long")
+        / F.lit(float(1 << 60))
+    )
+    # keep rule: sigmoid(importance · 8) vs the md5 coin — deterministic,
+    # engine-replayable, monotone in the importance weight
+    keep = coin < 1.0 / (1.0 + F.exp(-8.0 * F.col("importance")))
+    return (
+        scored.select("doc_id", "importance", keep.alias("keep"))
+        .where(F.col("doc_id") < 300)
+        .orderBy("doc_id")
+    )
+
+
+IMPORTANCE_RESAMPLE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(md5(concat('dsir:', tok)), 1, 15))
+              AS BIGINT) % {DSIR_BUCKETS} AS b
+  FROM (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents)
+),
+tgt AS (SELECT b, count(*) AS tn FROM toks WHERE lang = 'en' GROUP BY b),
+raw AS (SELECT b, count(*) AS rn FROM toks GROUP BY b),
+totals AS (
+  SELECT (SELECT sum(tn) FROM tgt) AS tt, (SELECT sum(rn) FROM raw) AS rt
+),
+model AS (
+  SELECT r.b,
+         ln((coalesce(t.tn, 0) + 1.0)
+            / ((SELECT tt FROM totals) + {DSIR_BUCKETS}))
+         - ln((r.rn + 1.0) / ((SELECT rt FROM totals) + {DSIR_BUCKETS}))
+           AS llr
+  FROM raw r LEFT JOIN tgt t USING (b)
+),
+scored AS (
+  SELECT doc_id, round(avg(m.llr), 6) AS importance
+  FROM toks k JOIN model m USING (b) GROUP BY doc_id
+)
+SELECT doc_id, importance,
+       CAST(concat('0x', substr(md5(concat('dsirkeep:',
+            CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+         / {float(1 << 60)}
+         < 1.0 / (1.0 + exp(-8.0 * importance)) AS keep
+FROM scored WHERE doc_id < 300 ORDER BY doc_id
+"""
+
+ML_QUERIES["importance_resample"] = (importance_resample, IMPORTANCE_RESAMPLE_SQL)

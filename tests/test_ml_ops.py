@@ -577,3 +577,34 @@ def test_bm25_ranks_monotone_and_positive(spark):
     scores = [r["score"] for r in rows]
     assert all(s > 0 for s in scores)
     assert scores == sorted(scores, reverse=True)
+
+
+def test_span_corruption_mask_rate_and_determinism(spark):
+    """Masked-token fraction concentrates near CORRUPT_MASK_RATE over
+    the corpus, and the md5-keyed layout replays identically."""
+    from datamunging_spark.ml_ops import CORRUPT_MASK_RATE, span_corruption
+
+    rows = span_corruption(spark, SF_DIR).collect()
+    total = sum(r["n_tokens"] for r in rows)
+    masked = sum(r["n_masked"] for r in rows)
+    assert abs(masked / total - CORRUPT_MASK_RATE) < 0.05
+    assert all(0 <= r["n_masked"] <= r["n_tokens"] for r in rows)
+    assert rows == span_corruption(spark, SF_DIR).collect()
+
+
+def test_importance_resample_favors_target_language(spark):
+    """The target distribution is fit on lang='en' docs, so en docs must
+    score higher importance on average than the rest."""
+    from datamunging_spark.ml_ops import importance_resample
+    from pyspark.sql import functions as F_
+
+    imp = importance_resample(spark, SF_DIR)
+    langs = t(spark, SF_DIR, "documents").select("doc_id", "lang")
+    by_lang = {
+        r["is_en"]: r["mi"]
+        for r in imp.join(langs, "doc_id")
+        .groupBy((F_.col("lang") == "en").alias("is_en"))
+        .agg(F_.avg("importance").alias("mi"))
+        .collect()
+    }
+    assert by_lang[True] > by_lang[False]
