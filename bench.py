@@ -61,6 +61,8 @@ HEADLINE = [
     "global_shuffle",
     "semantic_dedup",
     "bm25_search",
+    "span_corruption",
+    "importance_resample",
 ]
 
 ALL = {**RELATIONAL_QUERIES, **ML_QUERIES}
