@@ -17,7 +17,16 @@ bench:
 scaling:
 	$(PY) scaling_bench.py
 
-# Reproducible quiet-window scaling evidence: waits for 1-min load <= 2
-# before every timed child (see scaling_bench.py).
+# Reproducible scaling evidence (round-3 protocol): pre-run busy gate,
+# in-run busy/steal contamination retry with per-attempt audit, and a
+# pure-ALU host-ceiling probe (see scaling_bench.py). The default pair
+# is 8->32; scaling-gated-under runs 2->8 — both widths below host
+# capacity, the honest emulation of discrete N->4N executors.
 scaling-gated:
 	SCALING_LOAD_GATE=2 SCALING_N_DOCS=24000 $(PY) scaling_bench.py
+
+scaling-gated-under:
+	SCALING_LOAD_GATE=2 SCALING_N_DOCS=24000 SCALING_N_CORES=2 $(PY) scaling_bench.py
+
+scaling-extract:
+	SCALING_LOAD_GATE=2 SCALING_JOB=extract SCALING_N_DOCS=160000 SCALING_N_CORES=2 $(PY) scaling_bench.py

@@ -608,3 +608,13 @@ def test_importance_resample_favors_target_language(spark):
         .collect()
     }
     assert by_lang[True] > by_lang[False]
+
+
+def test_semantic_dedup_numpy_backend_matches_hof(spark):
+    """The batched-matmul pair backend (scale path) must produce the
+    identical keep set as the oracle-replayable HOF self-join."""
+    from datamunging_spark.ml_ops import semantic_dedup
+
+    hof = semantic_dedup(spark, SF_DIR).collect()
+    np_ = semantic_dedup(spark, SF_DIR, pair_backend="numpy").collect()
+    assert hof == np_
