@@ -385,3 +385,42 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_round3_ops_plan_shapes(spark, sf_dir):
+    """Plan properties each round-3 op's SCALE.md claim rests on."""
+    from datamunging_spark.ml_ops import (
+        bm25_search,
+        quality_classifier,
+        semantic_dedup,
+        span_corruption,
+        url_domain_stats,
+    )
+
+    # quality classifier: pure HOF projection — the ONLY exchange is the
+    # output ordering (no aggregation/join shuffles)
+    qc = plan_of(quality_classifier(spark, sf_dir))
+    assert qc.count("Exchange") == 1 and "rangepartitioning" in qc
+    assert "HashAggregate" not in qc and "EvalPython" not in qc
+
+    # URL/domain stats: blocklist is a BROADCAST anti join; the domain
+    # aggregation partial-aggregates map-side
+    url = plan_of(url_domain_stats(spark, sf_dir))
+    assert "BroadcastHashJoin" in url and "LeftAnti" in url
+    assert "partial_count" in url
+
+    # BM25: the global top-k is TakeOrderedAndProject over the scored
+    # set, not a single-partition window over the corpus
+    bm = plan_of(bm25_search(spark, sf_dir))
+    assert "TakeOrderedAndProject" in bm
+
+    # span corruption: join-free projection — no joins at all, and the
+    # only exchange is the output ordering
+    sc = plan_of(span_corruption(spark, sf_dir))
+    assert "Join" not in sc
+    assert sc.count("Exchange") == 1
+
+    # semantic dedup numpy path: the pair stage is exactly one
+    # Arrow-grouped Python stage (no HOF self-join)
+    sd = plan_of(semantic_dedup(spark, sf_dir, pair_backend="numpy"))
+    assert sd.count("FlatMapGroupsInPandas") == 1
