@@ -72,9 +72,15 @@ def _force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def _cpu_sample():
+    v = list(map(int, open("/proc/stat").readline().split()[1:]))
+    return sum(v), v[3] + v[4], (v[7] if len(v) > 7 else 0)
+
+
 def main() -> None:
     spark = get_spark(app_name="datamunging-bench")
     sf = float(SF_DIR.rstrip("/").split("sf")[-1])
+    c0 = _cpu_sample()
 
     # warm the JVM once and the Python UDF workers once (worker spawn is
     # ~200ms/core and would otherwise be billed to the first Python query)
@@ -122,6 +128,13 @@ def main() -> None:
     timings[f"extraction_munge_{n_docs}docs"] = round(munge_s, 3)
 
     total = round(sum(timings.values()), 3)
+    # whole-host accounting across the run: busy beyond what this bench
+    # used and nonzero steal mean the numbers are inflated by neighbor /
+    # hypervisor load (see BENCH/BASELINE.md) — carried in the output so
+    # any reader can judge the conditions the run saw
+    c1 = _cpu_sample()
+    dt = max(c1[0] - c0[0], 1)
+    ncpu = os.cpu_count()
     print(
         json.dumps(
             {
@@ -132,6 +145,10 @@ def main() -> None:
                 "sf": sf,
                 "extraction_pages": n_pages,
                 "extraction_pages_per_sec": round(n_pages / munge_s, 1),
+                "host_busy_cores_during": round(
+                    ncpu * (1.0 - (c1[1] - c0[1]) / dt), 2
+                ),
+                "host_steal_cores_during": round(ncpu * (c1[2] - c0[2]) / dt, 2),
             }
         )
     )
