@@ -3742,8 +3742,15 @@ SELECT vec_id, CAST(cl AS INT) AS cluster,
 FROM afinal ORDER BY vec_id
 """
 
+def _semantic_dedup_default(spark, sf_dir):
+    """Catalog/driver entry: the batched-matmul pair backend (the scale
+    path) is the default — keep set identical to the HOF spec path
+    (pytest-asserted) and to the SQL oracle."""
+    return semantic_dedup(spark, sf_dir, pair_backend="numpy")
+
+
 ML_QUERIES["semantic_dedup"] = (
-    semantic_dedup,
+    _semantic_dedup_default,
     _kmeans_sql(vecs_sql=SEMDEDUP_VECS_SQL, final_select=SEMDEDUP_FINAL_SQL),
 )
 
