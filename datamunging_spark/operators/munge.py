@@ -69,6 +69,10 @@ _TOKEN_SPLIT_RE = re.compile(rf"^([{_PUNCT_RE}]*)(.*?)([{_PUNCT_RE}]*)$", re.DOT
 _NON_ALNUM_RE = re.compile(r"[^0-9a-z]+")
 _DIGIT_RE = re.compile(r"[0-9]+")
 _ALNUM_ONLY_RE = re.compile(r"[^0-9A-Za-z]+")
+# any alphabetic char OUTSIDE the roman-numeral alphabet (ivxlcdm)
+# disqualifies a line from being a page number before the (allocating)
+# strip-sub runs — a pure fast path, the slow path decides identically
+_NON_ROMAN_ALPHA_RE = re.compile(r"[a-be-hj-kn-uwy-z]", re.IGNORECASE)
 
 
 def _split_token(tok: str) -> tuple[str, str, str]:
@@ -149,6 +153,8 @@ class _Munger:
 
     # ---- R4 -------------------------------------------------------------
     def is_pagenum(self, line: str) -> bool:
+        if _NON_ROMAN_ALPHA_RE.search(line):
+            return False  # same verdict the sub path would reach
         r = _ALNUM_ONLY_RE.sub("", line)
         return bool(r) and (r.isdigit() or r.lower() in self._roman)
 
