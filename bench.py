@@ -67,6 +67,23 @@ HEADLINE = [
 
 ALL = {**RELATIONAL_QUERIES, **ML_QUERIES}
 
+# In-run contamination protocol (r3 verdict item 1: BENCH_r03 was recorded
+# from a window with 6.3 foreign busy cores + 1.0 steal cores — over the
+# scaling harness's own discard gate — and showed phantom 1.2-1.8x
+# regressions on untouched plans). Same defense scaling_bench.py uses,
+# adapted to an unpinned whole-host run: the bench itself may legally use
+# every core, so mid-pass foreign busy is not separable from own busy;
+# what IS separable is (a) hypervisor steal across the timed pass and
+# (b) instantaneous host busy sampled BETWEEN queries, while this process
+# is idle. Each timed repeat therefore (1) waits for the idle-time busy
+# gate, (2) runs, (3) is discarded and retried if steal across its own
+# pass exceeded the slack. Every attempt is kept in the audit output.
+BENCH_LOAD_GATE = float(os.environ.get("BENCH_LOAD_GATE", "2.0"))
+BENCH_GATE_TIMEOUT = float(os.environ.get("BENCH_GATE_TIMEOUT", "180"))
+BENCH_STEAL_SLACK = float(os.environ.get("BENCH_STEAL_SLACK", "1.0"))
+BENCH_REPEATS = int(os.environ.get("BENCH_REPEATS", "2"))
+BENCH_MAX_TRIES = int(os.environ.get("BENCH_MAX_TRIES", "5"))
+
 
 def _force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
@@ -75,6 +92,73 @@ def _force(df) -> None:
 def _cpu_sample():
     v = list(map(int, open("/proc/stat").readline().split()[1:]))
     return sum(v), v[3] + v[4], (v[7] if len(v) > 7 else 0)
+
+
+def _busy_cores(interval: float = 0.5) -> float:
+    t1, i1, _ = _cpu_sample()
+    time.sleep(interval)
+    t2, i2, _ = _cpu_sample()
+    dt = t2 - t1
+    return os.cpu_count() * (1.0 - (i2 - i1) / dt) if dt else 0.0
+
+
+def _wait_quiet() -> float:
+    busy = _busy_cores()
+    if not BENCH_LOAD_GATE:
+        return busy
+    t0 = time.time()
+    while busy > BENCH_LOAD_GATE and time.time() - t0 < BENCH_GATE_TIMEOUT:
+        time.sleep(3)
+        busy = _busy_cores()
+    return busy
+
+
+def _timed(run) -> dict:
+    """One gated, steal-audited measurement of ``run()``."""
+    gate_busy = _wait_quiet()
+    c0 = _cpu_sample()
+    t0 = time.perf_counter()
+    run()
+    wall = time.perf_counter() - t0
+    c1 = _cpu_sample()
+    dt = max(c1[0] - c0[0], 1)
+    steal = os.cpu_count() * (c1[2] - c0[2]) / dt
+    return {
+        "wall_s": wall,
+        "gate_busy": round(gate_busy, 2),
+        "steal_during": round(steal, 2),
+        "contaminated": steal > BENCH_STEAL_SLACK,
+    }
+
+
+def _best_clean(run) -> tuple[float, dict]:
+    """Best-of-REPEATS clean walls; contaminated repeats retried up to
+    MAX_TRIES, all attempts kept for audit. If every attempt was
+    contaminated the best contaminated wall is reported with clean=0 —
+    honest fallback, flagged top-level (ADVICE r3 pattern)."""
+    attempts: list[dict] = []
+    clean: list[dict] = []
+    while len(clean) < BENCH_REPEATS and len(attempts) < BENCH_MAX_TRIES:
+        res = _timed(run)
+        attempts.append(res)
+        if not res["contaminated"]:
+            clean.append(res)
+    pool = clean or attempts
+    best = min(r["wall_s"] for r in pool)
+    audit = {
+        "n_clean": len(clean),
+        "n_attempts": len(attempts),
+        "attempts": [
+            {
+                "wall_s": round(a["wall_s"], 3),
+                "gate_busy": a["gate_busy"],
+                "steal_during": a["steal_during"],
+                "contaminated": a["contaminated"],
+            }
+            for a in attempts
+        ],
+    }
+    return best, audit
 
 
 def main() -> None:
@@ -89,19 +173,17 @@ def main() -> None:
     warm_df = spark.createDataFrame(corpus_to_rows(warm), schema=INPUT_SCHEMA)
     _force(munge(warm_df.repartition(spark.sparkContext.defaultParallelism), spark))
 
-    # best-of-2 per query: a single cold pass conflates first-run codegen
-    # and neighbor-load spikes (this host varies ±2x, see
-    # BENCH/BASELINE.md) with steady-state cost; min-of-2 is the stable,
-    # still end-to-end number
+    # best-of-N clean passes per query: a single cold pass conflates
+    # first-run codegen and neighbor-load spikes (this host varies ±2x,
+    # see BENCH/BASELINE.md) with steady-state cost; min of the
+    # contamination-gated repeats is the stable, still end-to-end number
     timings: dict[str, float] = {}
+    audits: dict[str, dict] = {}
     for name in HEADLINE:
         fn = ALL[name][0]
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            _force(fn(spark, SF_DIR))
-            best = min(best, time.perf_counter() - t0)
+        best, audit = _best_clean(lambda: _force(fn(spark, SF_DIR)))
         timings[name] = round(best, 3)
+        audits[name] = audit
 
     # extraction throughput: deterministic synthetic corpus read from
     # parquet — the production input path (feeding the Python stage from
@@ -120,12 +202,9 @@ def main() -> None:
             f.write(str(n_pages))
     n_pages = int(open(f"{corpus_path}/_pages").read())
     vols = spark.read.parquet(corpus_path)
-    munge_s = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        _force(munge(vols, spark))
-        munge_s = min(munge_s, time.perf_counter() - t0)
+    munge_s, munge_audit = _best_clean(lambda: _force(munge(vols, spark)))
     timings[f"extraction_munge_{n_docs}docs"] = round(munge_s, 3)
+    audits[f"extraction_munge_{n_docs}docs"] = munge_audit
 
     total = round(sum(timings.values()), 3)
     # whole-host accounting across the run: busy beyond what this bench
@@ -135,6 +214,7 @@ def main() -> None:
     c1 = _cpu_sample()
     dt = max(c1[0] - c0[0], 1)
     ncpu = os.cpu_count()
+    dirty = sorted(n for n, a in audits.items() if a["n_clean"] == 0)
     print(
         json.dumps(
             {
@@ -149,6 +229,14 @@ def main() -> None:
                     ncpu * (1.0 - (c1[1] - c0[1]) / dt), 2
                 ),
                 "host_steal_cores_during": round(ncpu * (c1[2] - c0[2]) / dt, 2),
+                # contamination protocol summary (details per query below):
+                # a query in all_contaminated_queries never got a repeat
+                # with steal <= slack — its wall is an upper bound, not a
+                # measurement
+                "load_gate": BENCH_LOAD_GATE or None,
+                "steal_slack": BENCH_STEAL_SLACK,
+                "all_contaminated_queries": dirty,
+                "query_audit": audits,
             }
         )
     )

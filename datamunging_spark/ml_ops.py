@@ -3346,14 +3346,14 @@ PARAGRAPH_DEDUP_SQL = f"""
 WITH b AS (
   SELECT doc_id,
          concat(text,
-           CASE WHEN doc_id % 4 = 0 THEN ' # {BOILER_NEWSLETTER}' ELSE '' END,
-           CASE WHEN doc_id % 7 = 0 THEN ' # {BOILER_RIGHTS}' ELSE '' END
+           CASE WHEN doc_id % 4 = 0 THEN '{PARA_SEP}{BOILER_NEWSLETTER}' ELSE '' END,
+           CASE WHEN doc_id % 7 = 0 THEN '{PARA_SEP}{BOILER_RIGHTS}' ELSE '' END
          ) AS text
   FROM documents
 ),
 p AS (
   SELECT doc_id, CAST(i - 1 AS INT) AS para_idx, arr[i] AS para
-  FROM (SELECT doc_id, string_split(text, ' # ') AS arr FROM b),
+  FROM (SELECT doc_id, string_split(text, '{PARA_SEP}') AS arr FROM b),
        unnest(range(1, len(arr) + 1)) AS t(i)
 ),
 k AS (
@@ -3364,7 +3364,7 @@ k AS (
 ),
 clean AS (
   SELECT doc_id, count(*) AS n_kept,
-         md5(string_agg(para, ' # ' ORDER BY para_idx)) AS clean_md5
+         md5(string_agg(para, '{PARA_SEP}' ORDER BY para_idx)) AS clean_md5
   FROM k WHERE rn = 1 GROUP BY doc_id
 ),
 tot AS (SELECT doc_id, count(*) AS n_paras FROM p GROUP BY doc_id)
@@ -3779,9 +3779,18 @@ def bm25_search(spark, sf_dir):
         F.count("*").alias("n"), F.avg(F.size("w")).alias("avgdl")
     ).collect()[0]
     n_docs, avgdl = stats["n"], stats["avgdl"]
+    # HOF-filter the token array to the query terms BEFORE exploding: a
+    # post-explode .where() cannot push above the Generate, so at corpus
+    # scale the generate would emit |all tokens| rows only to discard all
+    # but the query terms (r3 verdict item 2). Per-occurrence counts are
+    # identical — filter keeps duplicates, explode of [] yields no rows.
     terms = docs.select(
-        "doc_id", F.size("w").alias("dl"), F.explode("w").alias("term")
-    ).where(F.col("term").isin(BM25_QUERY_TERMS))
+        "doc_id",
+        F.size("w").alias("dl"),
+        F.explode(
+            F.filter("w", lambda tok: tok.isin(BM25_QUERY_TERMS))
+        ).alias("term"),
+    )
     tf = terms.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     idf = F.log(

@@ -69,10 +69,15 @@ _TOKEN_SPLIT_RE = re.compile(rf"^([{_PUNCT_RE}]*)(.*?)([{_PUNCT_RE}]*)$", re.DOT
 _NON_ALNUM_RE = re.compile(r"[^0-9a-z]+")
 _DIGIT_RE = re.compile(r"[0-9]+")
 _ALNUM_ONLY_RE = re.compile(r"[^0-9A-Za-z]+")
-# any alphabetic char OUTSIDE the roman-numeral alphabet (ivxlcdm)
+# any ASCII alphabetic char OUTSIDE the roman-numeral alphabet (ivxlcdm)
 # disqualifies a line from being a page number before the (allocating)
-# strip-sub runs — a pure fast path, the slow path decides identically
-_NON_ROMAN_ALPHA_RE = re.compile(r"[a-be-hj-kn-uwy-z]", re.IGNORECASE)
+# residue path runs — a pure fast path: a residue containing such a char
+# can be neither all-digits nor a roman-numeral string, so the slow path
+# reaches the same False. re.ASCII is load-bearing (ADVICE r3): without
+# it IGNORECASE folds Unicode chars (KELVIN SIGN U+212A → 'k', LONG S
+# U+017F → 's') into this class and the fast path would answer for
+# characters the residue logic treats differently.
+_NON_ROMAN_ALPHA_RE = re.compile(r"[a-be-hj-kn-uwy-z]", re.IGNORECASE | re.ASCII)
 
 
 def _split_token(tok: str) -> tuple[str, str, str]:
@@ -154,8 +159,14 @@ class _Munger:
     # ---- R4 -------------------------------------------------------------
     def is_pagenum(self, line: str) -> bool:
         if _NON_ROMAN_ALPHA_RE.search(line):
-            return False  # same verdict the sub path would reach
-        r = _ALNUM_ONLY_RE.sub("", line)
+            return False  # same verdict the residue path would reach
+        # exact oracle semantics (oracle/munge.py:_is_pagenum_line):
+        # Unicode-alnum residue, NOT the ASCII [0-9A-Za-z] regex this
+        # used to be — '12' + KELVIN SIGN must stay "12K"-like and fail
+        # isdigit(), matching the spec (r3 ADVICE divergence, fixed at
+        # the root). Per-char join is fine here: lines with ordinary
+        # letters already exited via the fast path above.
+        r = "".join(c for c in line if c.isalnum())
         return bool(r) and (r.isdigit() or r.lower() in self._roman)
 
     # ---- R6 -------------------------------------------------------------

@@ -280,10 +280,18 @@ def main() -> None:
         "load_gate": GATE or None,
         "clean_n": f"{r8['n_clean']}/{r8['n_attempts']}",
         "clean_4n": f"{r32['n_clean']}/{r32['n_attempts']}",
-        "attempts_8": r8["attempts"],
-        "attempts_32": r32["attempts"],
+        "attempts_n": r8["attempts"],
+        "attempts_4n": r32["attempts"],
         "target": 0.8,
-        "meets_target": eff >= 0.8,
+        # a level whose every repeat was contaminated fell back to the
+        # contaminated pool (run_level reports honestly) — flag it at the
+        # top level and refuse to claim the target either way (ADVICE r3)
+        "all_contaminated": r8["n_clean"] == 0 or r32["n_clean"] == 0,
+        "meets_target": (
+            None
+            if r8["n_clean"] == 0 or r32["n_clean"] == 0
+            else eff >= 0.8
+        ),
     }
     md = REPO / "BENCH" / "BASELINE.md"
     md.parent.mkdir(exist_ok=True)
@@ -294,8 +302,8 @@ def main() -> None:
         + ")",
         "",
         "Per-attempt audit (wall s / gate busy / foreign during / steal during / contaminated): "
-        f"N-core {[(a['wall_s'].__round__(2), a['gate_busy'], a['foreign_during'], a['steal_during'], a['contaminated']) for a in result['attempts_8']]}; "
-        f"4N-core {[(a['wall_s'].__round__(2), a['gate_busy'], a['foreign_during'], a['steal_during'], a['contaminated']) for a in result['attempts_32']]}",
+        f"N-core {[(a['wall_s'].__round__(2), a['gate_busy'], a['foreign_during'], a['steal_during'], a['contaminated']) for a in result['attempts_n']]}; "
+        f"4N-core {[(a['wall_s'].__round__(2), a['gate_busy'], a['foreign_during'], a['steal_during'], a['contaminated']) for a in result['attempts_4n']]}",
         "",
         "| cores | wall (s) | pages/sec |",
         "|---|---|---|",
@@ -304,7 +312,8 @@ def main() -> None:
         "",
         f"Speedup N→4N ({N_CORES}→{N4_CORES}): **{result['speedup_n_to_4n']}×**, scaling efficiency "
         f"(speedup/4): **{result['scaling_efficiency']}** "
-        f"(target ≥ 0.8 → {'MET' if result['meets_target'] else 'NOT MET'})",
+        f"(target ≥ 0.8 → "
+        f"{'UNVERIFIABLE: every repeat at some level was contaminated' if result['all_contaminated'] else ('MET' if result['meets_target'] else 'NOT MET')})",
         "",
         f"Host ceiling (pure-ALU multiprocessing, same pinning, no steal/"
         f"foreign): {result['ceiling_speedup']}× "

@@ -64,6 +64,26 @@ def test_pagenum_lines_dropped():
     assert m.pagenum_lines_removed == 3
 
 
+def test_pagenum_unicode_casefold_parity():
+    """r3 ADVICE regression: chars that IGNORECASE-fold into ASCII
+    (KELVIN SIGN U+212A → k, LONG S U+017F → s) and non-decimal digits
+    (SUPERSCRIPT TWO) must get the SAME verdict from the engine fast
+    path, the engine residue path, and the oracle spec."""
+    from datamunging_spark.operators.munge import _Munger
+    from datamunging_spark.oracle.munge import _is_pagenum_line
+
+    eng = _Munger(RS)
+    cases = [
+        "12K",      # '12K' with KELVIN: alnum residue → not digits
+        "42ſ",      # '42' + LONG S (raw, pre-translate)
+        "²",        # SUPERSCRIPT TWO: isdigit() true → pagenum
+        "1ª",       # FEMININE ORDINAL: alpha, no ASCII fold match
+        "42", "xii", "[ 7 ]", "page 42", "",
+    ]
+    for line in cases:
+        assert eng.is_pagenum(line) == _is_pagenum_line(line, RS), line
+
+
 def test_hyphen_rejoin_dictionary_gated():
     rs = RS
     lines = ["a remark-", "able thing"]

@@ -413,6 +413,11 @@ def test_round3_ops_plan_shapes(spark, sf_dir):
     # set, not a single-partition window over the corpus
     bm = plan_of(bm25_search(spark, sf_dir))
     assert "TakeOrderedAndProject" in bm
+    # ... and the term filter runs INSIDE the Generate's explode input
+    # (HOF filter before explode) — a post-explode Filter cannot push
+    # above the Generate and would emit |all tokens| rows at corpus
+    # scale (r4 fix, verdict r3 item 2)
+    assert "explode(filter(" in bm.replace(" ", "")
 
     # span corruption: join-free projection — no joins at all, and the
     # only exchange is the output ordering

@@ -22,6 +22,10 @@ ALPHABET = (
     "0123456789"
     " \n-.,;:'\"!?()[]"
     "ﬁﬂﬀſæœ“”‘’—–…"
+    # adversarial case-folding chars (r3 ADVICE): KELVIN SIGN folds to
+    # 'k', ANGSTROM to 'å', SUPERSCRIPT TWO is isdigit()-true
+    # but isdecimal()-false — all probe the is_pagenum fast-path/residue split
+    "KÅ²ª"
 )
 
 WORDS = st.sampled_from(
