@@ -3,10 +3,14 @@ PY ?= python
 
 .PHONY: test correctness bench scaling scaling-gated
 
+# pytest + the full-catalog correctness artifact: regenerating
+# CORRECTNESS_local.json in the default flow keeps the artifact from
+# going stale vs the catalog (r3 verdict item 9)
 test:
 	$(PY) -m pytest tests/ -x -q
+	$(PY) tools/gen_correctness.py
 
-# Full-catalog correctness artifact (all 80+ queries, not just the
+# Full-catalog correctness artifact (all 90+ queries, not just the
 # driver's 50-slot window) -> CORRECTNESS_local.json
 correctness:
 	$(PY) tools/gen_correctness.py

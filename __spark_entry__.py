@@ -52,10 +52,8 @@ DRIVER_PRIORITY = [
     "stats_aggregates",
     "set_ops_segments",
     "string_funcs",
-    "date_funcs",
     "array_funcs",
     "hof_embeddings",
-    "json_extract",
     "pivot_status",
     "sessionize_events",
     "scalar_subquery",
@@ -70,7 +68,10 @@ DRIVER_PRIORITY = [
     "curate_corpus",
     "dedup_embedding_cosine",
     "ann_cosine_topk",
-    "ann_lsh_buckets",
+    # (ann_lsh_buckets moved past the window in r4: LSH bucketing stays
+    # driver-exercised via dedup_minhash_lsh banding and
+    # dedup_embedding_cosine hyperplane buckets; the op itself remains
+    # oracle-checked in pytest + CORRECTNESS_local.json)
     "ann_ivf_topk",
     "kmeans_embeddings",
     "knn_join_topk",
@@ -92,6 +93,16 @@ DRIVER_PRIORITY = [
     "lm_bigram_score",
     "redact_pii",
     "paragraph_dedup",
+    # round-4 flagship additions (freed slots: date_funcs/json_extract —
+    # scalar-function families whose exact-value oracles keep running in
+    # pytest + CORRECTNESS_local.json; string_funcs/array_funcs/
+    # hof_embeddings keep the function families driver-exercised). The
+    # external driver has no per-name expectations — it records whatever
+    # the first 50 catalog entries are (verified against the r1-r3
+    # CORRECTNESS artifacts, whose keys simply follow this list).
+    "substring_dedup",
+    "gopher_quality",
+    "bpe_learn",
 ]
 
 

@@ -63,6 +63,10 @@ HEADLINE = [
     "bm25_search",
     "span_corruption",
     "importance_resample",
+    # round-4 flagship additions
+    "substring_dedup",
+    "gopher_quality",
+    "bpe_learn",
 ]
 
 ALL = {**RELATIONAL_QUERIES, **ML_QUERIES}

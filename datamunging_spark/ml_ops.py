@@ -4043,3 +4043,439 @@ FROM scored WHERE doc_id < 300 ORDER BY doc_id
 """
 
 ML_QUERIES["importance_resample"] = (importance_resample, IMPORTANCE_RESAMPLE_SQL)
+
+
+# --------------------------------------------------------------------------
+# Gopher/C4-style composite quality filter (r4; Rae et al. 2021 §A1.1,
+# Raffel et al. 2020 C4): the standard pre-training document gates as ONE
+# documented operator with per-rule hit metrics. text_quality /
+# repetition_ratio / char_entropy cover single signals; production
+# filters apply the composite and report per-rule kill counts so a
+# curation run can be audited (which rule ate the corpus?).
+#
+# Rules (thresholds tuned to the synthetic corpus so every rule actually
+# fires; production values in comments):
+#   word_count     — 25 <= n_words <= 90         (Gopher: 50..100k)
+#   mean_word_len  — 4.0 <= mean <= 5.0          (Gopher: 3..10)
+#   stopword_frac  — >= 0.05 of tokens           (Gopher: >=2 stopwords)
+#   distinct_ratio — distinct/total >= 0.35      (repetition gate)
+#   symbol_ratio   — non-[a-z0-9 ] chars <= 0.10 (C4 '#'/'…' gates)
+#
+# Scale shape: ONE corpus scan, all five signals computed in a single
+# whole-stage-codegen projection (built-in exprs only), one map-side-
+# combined global aggregate (output = 7 rows), then a 7-element explode.
+# No joins, no window, no Python. At 100 TB this is the cheapest op in
+# the pipeline — scan-bound, shuffle payload is 7 longs per partition.
+# --------------------------------------------------------------------------
+
+GOPHER_RULES = [
+    "word_count", "mean_word_len", "stopword_frac",
+    "distinct_ratio", "symbol_ratio",
+]
+
+
+def gopher_quality(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("text")
+    )
+    w = F.split("text", " ")
+    n = F.size(w)
+    mean_wl = (
+        F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
+        .cast("double") / n
+    )
+    stop_frac = (
+        F.size(F.filter(w, lambda x: x.isin(STOPWORDS_EN))).cast("double") / n
+    )
+    distinct_ratio = F.size(F.array_distinct(w)).cast("double") / n
+    symbol_ratio = (
+        F.length(F.regexp_replace("text", "[a-z0-9 ]", "")).cast("double")
+        / F.length("text")
+    )
+    flags = docs.select(
+        ((n < 25) | (n > 90)).alias("f_wc"),
+        ((mean_wl < 4.0) | (mean_wl > 5.0)).alias("f_mwl"),
+        (stop_frac < 0.05).alias("f_stop"),
+        (distinct_ratio < 0.35).alias("f_dr"),
+        (symbol_ratio > 0.10).alias("f_sym"),
+    )
+    kept = ~F.col("f_wc") & ~F.col("f_mwl") & ~F.col("f_stop") \
+        & ~F.col("f_dr") & ~F.col("f_sym")
+    agg = flags.agg(
+        F.count("*").alias("n_docs"),
+        *[
+            F.sum(F.col(c).cast("long")).alias(c)
+            for c in ("f_wc", "f_mwl", "f_stop", "f_dr", "f_sym")
+        ],
+        F.sum(kept.cast("long")).alias("n_kept"),
+    )
+    pairs = list(zip(GOPHER_RULES, ("f_wc", "f_mwl", "f_stop", "f_dr", "f_sym")))
+    return (
+        agg.select(
+            "n_docs",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(rule).alias("rule"),
+                            F.col(c).alias("n_failed"),
+                        )
+                        for rule, c in pairs
+                    ]
+                    + [
+                        F.struct(
+                            F.lit("all_rules_kept").alias("rule"),
+                            F.col("n_kept").alias("n_failed"),
+                        )
+                    ]
+                )
+            ).alias("r"),
+        )
+        .select(
+            F.col("r.rule").alias("rule"),
+            F.col("r.n_failed").alias("n_docs_hit"),
+            F.round(F.col("r.n_failed") / F.col("n_docs"), 6).alias("frac"),
+        )
+        .orderBy("rule")
+    )
+
+
+GOPHER_QUALITY_SQL = f"""
+WITH w AS (
+  SELECT doc_id, lower(text) AS text, string_split(lower(text), ' ') AS ws
+  FROM documents
+),
+sig AS (
+  SELECT
+    len(ws) AS n,
+    list_aggregate(list_transform(ws, x -> length(x)), 'sum')::DOUBLE
+      / len(ws) AS mwl,
+    len(list_filter(ws, x -> x IN
+      ({", ".join(f"'{s}'" for s in STOPWORDS_EN)})))::DOUBLE
+      / len(ws) AS stopf,
+    len(list_distinct(ws))::DOUBLE / len(ws) AS dr,
+    length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE
+      / length(text) AS symr
+  FROM w
+),
+flags AS (
+  SELECT (n < 25 OR n > 90) AS f_wc,
+         (mwl < 4.0 OR mwl > 5.0) AS f_mwl,
+         (stopf < 0.05) AS f_stop,
+         (dr < 0.35) AS f_dr,
+         (symr > 0.10) AS f_sym
+  FROM sig
+),
+agg AS (
+  SELECT count(*) AS n_docs,
+         sum(CASE WHEN f_wc THEN 1 ELSE 0 END) AS f_wc,
+         sum(CASE WHEN f_mwl THEN 1 ELSE 0 END) AS f_mwl,
+         sum(CASE WHEN f_stop THEN 1 ELSE 0 END) AS f_stop,
+         sum(CASE WHEN f_dr THEN 1 ELSE 0 END) AS f_dr,
+         sum(CASE WHEN f_sym THEN 1 ELSE 0 END) AS f_sym,
+         sum(CASE WHEN NOT f_wc AND NOT f_mwl AND NOT f_stop
+                   AND NOT f_dr AND NOT f_sym THEN 1 ELSE 0 END) AS n_kept
+  FROM flags
+)
+SELECT rule, n_docs_hit::BIGINT AS n_docs_hit,
+       round(n_docs_hit::DOUBLE / n_docs, 6) AS frac
+FROM (
+  SELECT n_docs, 'word_count' AS rule, f_wc AS n_docs_hit FROM agg
+  UNION ALL SELECT n_docs, 'mean_word_len', f_mwl FROM agg
+  UNION ALL SELECT n_docs, 'stopword_frac', f_stop FROM agg
+  UNION ALL SELECT n_docs, 'distinct_ratio', f_dr FROM agg
+  UNION ALL SELECT n_docs, 'symbol_ratio', f_sym FROM agg
+  UNION ALL SELECT n_docs, 'all_rules_kept', n_kept FROM agg
+)
+ORDER BY rule
+"""
+
+ML_QUERIES["gopher_quality"] = (gopher_quality, GOPHER_QUALITY_SQL)
+
+
+# --------------------------------------------------------------------------
+# Exact substring dedup (r4; Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better"): remove every token covered by a
+# K-token sequence that occurs elsewhere in the corpus, keeping the
+# globally FIRST occurrence (ordered by doc_id, position).
+#
+# Lee et al. build one suffix array over the concatenated corpus — a
+# single-machine layout that does not shard. The Spark-shaped
+# equivalent used here (and by SlimPajama-style pipelines) is K-gram
+# anchoring: every K-token window becomes an md5 anchor key; a window
+# keyed on the anchor finds repeats; each non-first occurrence marks its
+# K positions dropped; overlapping marks union at the token level, which
+# IS the extend-and-merge step (a duplicated run of L >= K tokens is
+# covered by its L-K+1 anchors end to end).
+#
+# Scale shape: the only wide shuffles are (1) the anchor window, keyed
+# on a 32-hex md5 — bounded width regardless of text size, the
+# paragraph_dedup layout — and (2) the (doc_id, idx) coverage anti-join
+# + doc reassembly, both keyed on narrow ints. Coverage explode emits
+# K rows per DUPLICATE occurrence only, not per token. No Python.
+#
+# The synthetic corpus is duplicate-free, so the op injects a shared
+# 12-token passage into every doc_id % 6 == 0 (the paragraph_dedup
+# precedent); the tiny vocabulary also yields natural K-gram repeats —
+# both engines see identical text, so the oracle replays exactly.
+# --------------------------------------------------------------------------
+
+SUBSTR_K = 8
+SUBSTR_PASSAGE = (
+    "shared verbatim passage tokens repeated across documents must be "
+    "dropped from later copies"
+)  # 13 tokens > K: covered end-to-end by 6 anchors
+
+
+def substring_dedup(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat("text", F.lit(" " + SUBSTR_PASSAGE)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    w = docs.select("doc_id", F.split(F.lower("text"), " ").alias("w"))
+    toks = w.select(
+        "doc_id", F.posexplode("w").alias("idx", "tok")
+    )
+    # anchor table: md5 of each K-token window; docs shorter than K emit
+    # nothing (sequence(0, size-K) is empty when size < K)
+    grams = w.where(F.size("w") >= SUBSTR_K).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - SUBSTR_K),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(
+                        F.array_join(F.slice("w", i + 1, SUBSTR_K), " ")
+                    ).alias("gh"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.pos", "g.gh")
+    first = W.partitionBy("gh").orderBy("doc_id", "pos")
+    dup_occ = (
+        grams.withColumn("rn", F.row_number().over(first))
+        .where(F.col("rn") > 1)
+    )
+    covered = dup_occ.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + SUBSTR_K - 1)
+        ).alias("idx"),
+    ).distinct()
+    kept = toks.join(covered, ["doc_id", "idx"], "left_anti")
+    per_doc = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            )
+        ).alias("kept_md5"),
+    )
+    totals = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    # left join: a doc whose every token is covered keeps nothing
+    return (
+        totals.join(per_doc, "doc_id", "left")
+        .where(F.col("doc_id") < 150)
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("int")
+            .alias("n_dropped"),
+            F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SUBSTRING_DEDUP_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 6 = 0
+              THEN concat(text, ' {SUBSTR_PASSAGE}') ELSE text END AS text
+  FROM documents
+),
+w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM d),
+toks AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS idx, w[i] AS tok
+  FROM w, unnest(range(1, len(w) + 1)) AS u(i)
+),
+grams AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         md5(array_to_string(w[i:i + {SUBSTR_K} - 1], ' ')) AS gh
+  FROM w, unnest(range(1, len(w) - {SUBSTR_K} + 2)) AS u(i)
+  WHERE len(w) >= {SUBSTR_K}
+),
+dup_occ AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn
+    FROM grams
+  ) WHERE rn > 1
+),
+covered AS (
+  SELECT DISTINCT doc_id, CAST(i AS INT) AS idx
+  FROM dup_occ, unnest(range(pos, pos + {SUBSTR_K})) AS u(i)
+),
+kept AS (
+  SELECT t.doc_id, t.idx, t.tok FROM toks t
+  ANTI JOIN covered c ON t.doc_id = c.doc_id AND t.idx = c.idx
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_kept,
+         md5(string_agg(tok, ' ' ORDER BY idx)) AS kept_md5
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(n_tokens - coalesce(n_kept, 0) AS INT) AS n_dropped,
+       coalesce(kept_md5, md5('')) AS kept_md5
+FROM tot LEFT JOIN per_doc USING (doc_id)
+WHERE doc_id < 150 ORDER BY doc_id
+"""
+
+ML_QUERIES["substring_dedup"] = (substring_dedup, SUBSTRING_DEDUP_SQL)
+
+
+# --------------------------------------------------------------------------
+# BPE merge LEARNING (r4; Sennrich et al. 2016): token_stats_bpe covers
+# only the GPT-2-style pretokenizer; this learns the merge table itself.
+# Distributed loop, K_MERGES rounds: count adjacent symbol pairs over
+# the (word, freq) vocabulary, pick the (count desc, left, right)
+# argmax, merge it everywhere, repeat. Fully deterministic.
+#
+# Representation: a word's symbols are a DOUBLE-SPACE-joined string
+# ('l  o  w  </w>'). Merging pair (l, r) is then one literal
+# replace(' l  r ' -> ' lr ') over '  ' + sym + '  ': each token keeps
+# one space on each side of the match, so back-to-back occurrences
+# ('a  b  a  b') still merge greedily left-to-right — the exact scan
+# semantics of reference BPE, in ONE whole-stage-codegen expression,
+# identically in Spark and DuckDB (both replace() scan left-to-right,
+# non-overlapping). No Python in the loop body.
+#
+# Scale shape: the corpus scan + groupBy(word) happens ONCE (the only
+# corpus-sized shuffle); each round is a map-side-combined pair count
+# over the VOCABULARY (|V| rows, millions at web scale — trivially
+# distributed) plus a 1-row argmax collect, the k-means driver-scalar
+# precedent. Vocab is cached between rounds. The oracle unrolls the
+# same K_MERGES rounds as chained CTEs (the k-means full-unroll
+# precedent).
+# --------------------------------------------------------------------------
+
+BPE_MERGES = 8
+BPE_SEP = "  "  # double space: tokens never contain spaces
+
+
+def _bpe_vocab(spark, sf_dir):
+    words = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    sym = F.concat(
+        F.array_join(F.split("word", ""), BPE_SEP), F.lit(BPE_SEP + "</w>")
+    )
+    return words.select("word", "freq", sym.alias("sym"))
+
+
+def bpe_learn(spark, sf_dir, n_merges: int = BPE_MERGES):
+    vocab = _bpe_vocab(spark, sf_dir).persist()
+    merges = []
+    for step in range(1, n_merges + 1):
+        s = F.split("sym", BPE_SEP)
+        pairs = (
+            vocab.select(
+                "freq",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(s) - 2),
+                        lambda i: F.struct(
+                            F.get(s, i).alias("l"), F.get(s, i + 1).alias("r")
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).collect()
+        if not best:
+            break
+        l, r, cnt = best[0]["l"], best[0]["r"], best[0]["cnt"]
+        merges.append((step, l, r, int(cnt)))
+        merged = F.trim(
+            F.replace(
+                F.concat(F.lit(BPE_SEP), F.col("sym"), F.lit(BPE_SEP)),
+                F.lit(f" {l}{BPE_SEP}{r} "),
+                F.lit(f" {l}{r} "),
+            )
+        )
+        nxt = vocab.select("word", "freq", merged.alias("sym")).persist()
+        nxt.count()  # materialize before dropping the parent
+        vocab.unpersist()
+        vocab = nxt
+    vocab.unpersist()
+    return spark.createDataFrame(
+        merges, "step int, lft string, rgt string, pair_count bigint"
+    ).orderBy("step")
+
+
+def _bpe_sql(n_merges: int = BPE_MERGES) -> str:
+    sep = BPE_SEP
+    # AS MATERIALIZED is load-bearing: v{k} references v{k-1} and m{k}
+    # several times; inlined CTEs would re-expand the whole chain on
+    # every reference (exponential scans — observed as fd exhaustion)
+    ctes = [
+        f"""v0 AS MATERIALIZED (
+  SELECT word, freq,
+         array_to_string(list_transform(range(1, length(word) + 1),
+                         i -> substr(word, i::INT, 1)), '{sep}')
+           || '{sep}</w>' AS sym
+  FROM (SELECT word, count(*) AS freq
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+              FROM documents)
+        GROUP BY word)
+)"""
+    ]
+    for k in range(1, n_merges + 1):
+        ctes.append(f"""p{k} AS (
+  SELECT s[i] AS l, s[i + 1] AS r, sum(freq) AS cnt
+  FROM (SELECT freq, string_split(sym, '{sep}') AS s FROM v{k - 1}),
+       unnest(range(1, len(s))) AS u(i)
+  GROUP BY l, r
+),
+m{k} AS MATERIALIZED (SELECT {k} AS step, l, r, cnt FROM p{k}
+         ORDER BY cnt DESC, l, r LIMIT 1),
+v{k} AS MATERIALIZED (
+  SELECT word, freq,
+         trim(replace('{sep}' || sym || '{sep}',
+              ' ' || (SELECT l FROM m{k}) || '{sep}'
+                  || (SELECT r FROM m{k}) || ' ',
+              ' ' || (SELECT l FROM m{k})
+                  || (SELECT r FROM m{k}) || ' ')) AS sym
+  FROM v{k - 1}
+)""")
+    unions = "\nUNION ALL ".join(
+        f"SELECT step, l, r, cnt FROM m{k}" for k in range(1, n_merges + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT step, l AS lft, r AS rgt, CAST(cnt AS BIGINT) AS"
+        f" pair_count FROM ({unions}) ORDER BY step"
+    )
+
+
+BPE_LEARN_SQL = _bpe_sql()
+
+ML_QUERIES["bpe_learn"] = (bpe_learn, BPE_LEARN_SQL)

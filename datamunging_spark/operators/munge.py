@@ -119,8 +119,20 @@ class _Munger:
 
     # ---- R3 -------------------------------------------------------------
     def _header_key(self, line: str) -> frozenset[str]:
-        s = _DIGIT_RE.sub("", line.lower())
-        toks = _NON_ALNUM_RE.sub(" ", s).split()
+        # ASCII fast path (real OCR zone lines are overwhelmingly ASCII
+        # after R5 translation): the two C-speed regex subs are exactly
+        # the oracle's per-char lower/digit-drop/alnum-split on ASCII.
+        # Non-ASCII lines take the oracle's own Unicode path — same
+        # divergence family as is_pagenum (r4 property-test find: 'Å'
+        # is isalnum-true but outside [0-9a-z], so the regex key went
+        # empty and a repeated 'Å' header was never stripped).
+        if line.isascii():
+            s = _DIGIT_RE.sub("", line.lower())
+            toks = _NON_ALNUM_RE.sub(" ", s).split()
+        else:
+            s = line.lower()
+            s = "".join(c for c in s if not c.isdigit())
+            toks = "".join(c if c.isalnum() else " " for c in s).split()
         return frozenset(t for t in toks if t not in self._roman)
 
     @staticmethod

@@ -265,3 +265,98 @@ def enrich_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
     return events.join(F.broadcast(dim), "user_id").select(
         "event_id", "ts", "user_id", "event_type", "value", "segment"
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end streaming curation (r4): the streaming twin of the batch
+# curate_corpus quality+dedup stages, composed in ONE foreachBatch job.
+# ---------------------------------------------------------------------------
+
+DOCS_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def run_streaming_curate(
+    spark: SparkSession,
+    docs_dir: str,
+    output_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming corpus curation: each micro-batch of newly-landed
+    documents is (1) quality-gated with the SAME thresholds the batch
+    ``curate_corpus`` uses, (2) exact-deduped within the batch (keep
+    min doc_id per sha2(text)), (3) anti-joined against everything
+    already emitted — the output table IS the dedup state
+    (output-as-checkpoint, the pipeline.py resumability pattern) — and
+    appended. The file-source checkpoint gives at-least-once per input
+    file; a crash between the append and the checkpoint commit can
+    replay a batch, so ``read_curated`` dedupes on read — together:
+    effectively exactly-once, restart-safe.
+
+    Scale shape: the anti-join is keyed on a 64-hex sha2 — bounded
+    width; at 10^12 docs the emitted-hash table lives in Iceberg,
+    bucketed by hash prefix, and the anti-join prunes to matching
+    buckets (or becomes a MERGE INTO). No Python, no unbounded state
+    store — the dedup state is the durable output, not executor memory.
+    """
+    from ..ml_ops import CURATE_MIN_DISTINCT_RATIO, CURATE_MIN_TOKENS
+    from pyspark.sql.window import Window
+
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(docs_dir)
+    )
+
+    def process_batch(df: DataFrame, epoch_id: int) -> None:
+        toks = F.split(F.col("text"), " ")
+        n_toks = F.size(toks)
+        gated = df.where(
+            (n_toks >= CURATE_MIN_TOKENS)
+            & (
+                F.size(F.array_distinct(toks)) / n_toks
+                >= CURATE_MIN_DISTINCT_RATIO
+            )
+        ).withColumn("h", F.sha2(F.col("text"), 256))
+        first = Window.partitionBy("h").orderBy("doc_id")
+        cand = (
+            gated.withColumn("rn", F.row_number().over(first))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+        try:
+            seen = spark.read.parquet(output_path).select("h")
+            cand = cand.join(seen, "h", "left_anti")
+        except Exception:
+            pass  # first batch: no output yet
+        (
+            cand.withColumn("batch_id", F.lit(epoch_id))
+            .write.mode("append")
+            .parquet(output_path)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_curated(spark: SparkSession, output_path: str) -> DataFrame:
+    """Dedupe-on-read for the streaming curation output: a replayed
+    batch (crash between append and checkpoint commit) appends the same
+    rows twice; keep min (doc_id, batch_id) per content hash — the
+    deterministic representative regardless of replay or arrival
+    interleaving."""
+    from pyspark.sql.window import Window
+
+    first = Window.partitionBy("h").orderBy("doc_id", "batch_id")
+    out = spark.read.parquet(output_path)
+    return (
+        out.withColumn("rn", F.row_number().over(first))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )

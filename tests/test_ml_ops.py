@@ -618,3 +618,145 @@ def test_semantic_dedup_numpy_backend_matches_hof(spark):
     hof = semantic_dedup(spark, SF_DIR).collect()
     np_ = semantic_dedup(spark, SF_DIR, pair_backend="numpy").collect()
     assert hof == np_
+
+
+# ---- round-4 ops: independent pure-Python invariants on top of the
+# ---- DuckDB oracle equality the parametrized test above already runs
+
+
+def _py_tokens(sf_dir):
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet").to_pylist()
+    return {r["doc_id"]: r["text"].lower().split(" ") for r in tbl}
+
+
+def test_substring_dedup_drop_span_invariant(spark):
+    """Every dropped token index lies inside some non-first duplicated
+    K-gram window, and nothing else is dropped — checked against a
+    from-scratch pure-Python implementation (no SQL, no Spark exprs)."""
+    from datamunging_spark.ml_ops import (
+        SUBSTR_K,
+        SUBSTR_PASSAGE,
+        substring_dedup,
+    )
+
+    docs = _py_tokens(SF_DIR)
+    for d in list(docs):
+        if d % 6 == 0:
+            docs[d] = docs[d] + SUBSTR_PASSAGE.split(" ")
+    seen: dict[str, tuple] = {}
+    occs: list[tuple] = []
+    for d in sorted(docs):
+        w = docs[d]
+        for p in range(len(w) - SUBSTR_K + 1):
+            g = " ".join(w[p : p + SUBSTR_K])
+            if g in seen:
+                occs.append((d, p))
+            else:
+                seen[g] = (d, p)
+    covered: dict[int, set] = {}
+    for d, p in occs:
+        covered.setdefault(d, set()).update(range(p, p + SUBSTR_K))
+    import hashlib
+
+    expect = {}
+    for d in sorted(docs):
+        if d >= 150:
+            continue
+        kept = [
+            tok for i, tok in enumerate(docs[d])
+            if i not in covered.get(d, set())
+        ]
+        expect[d] = (
+            len(docs[d]),
+            len(docs[d]) - len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_dropped"], r["kept_md5"])
+        for r in substring_dedup(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    # the injected passage is dropped from every copy but the first
+    owners = sorted(d for d in expect if d % 6 == 0)
+    assert expect[owners[0]][1] == 0 or owners[0] not in covered
+    assert all(expect[d][1] >= len(SUBSTR_PASSAGE.split(" ")) - SUBSTR_K + 1
+               for d in owners[1:])
+
+
+def test_bpe_learn_matches_reference_loop(spark):
+    """Learned merge table equals the classic Sennrich et al. reference
+    loop (dict-of-tuples, greedy left-to-right merge) run in plain
+    Python on the same vocabulary."""
+    from collections import Counter
+
+    from datamunging_spark.ml_ops import BPE_MERGES, bpe_learn
+
+    vocab = Counter()
+    for toks in _py_tokens(SF_DIR).values():
+        for w in toks:
+            vocab[tuple(w) + ("</w>",)] += 1
+
+    expect = []
+    for step in range(1, BPE_MERGES + 1):
+        counts = Counter()
+        for sym, freq in vocab.items():
+            for i in range(len(sym) - 1):
+                counts[(sym[i], sym[i + 1])] += freq
+        if not counts:
+            break
+        (l, r), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expect.append((step, l, r, cnt))
+        nv = Counter()
+        for sym, freq in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == l and sym[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            nv[tuple(out)] += freq
+        vocab = nv
+
+    got = [
+        (r["step"], r["lft"], r["rgt"], r["pair_count"])
+        for r in bpe_learn(spark, SF_DIR).collect()
+    ]
+    assert got == expect
+
+
+def test_gopher_quality_counts_recompute(spark):
+    """Per-rule hit counts equal an independent pandas recompute."""
+    from datamunging_spark.ml_ops import STOPWORDS_EN, gopher_quality
+
+    docs = _py_tokens(SF_DIR)
+    stop = set(STOPWORDS_EN)
+    hits = dict.fromkeys(
+        ["word_count", "mean_word_len", "stopword_frac",
+         "distinct_ratio", "symbol_ratio", "all_rules_kept"], 0)
+    for w in docs.values():
+        text = " ".join(w)
+        n = len(w)
+        f = {
+            "word_count": n < 25 or n > 90,
+            "mean_word_len": not (4.0 <= sum(map(len, w)) / n <= 5.0),
+            "stopword_frac": sum(x in stop for x in w) / n < 0.05,
+            "distinct_ratio": len(set(w)) / n < 0.35,
+            "symbol_ratio": sum(not (c.islower() or c.isdigit() or c == " ")
+                                for c in text) / len(text) > 0.10,
+        }
+        for k, v in f.items():
+            hits[k] += v
+        hits["all_rules_kept"] += not any(f.values())
+
+    got = {
+        r["rule"]: r["n_docs_hit"]
+        for r in gopher_quality(spark, SF_DIR).collect()
+    }
+    assert got == hits

@@ -429,3 +429,32 @@ def test_round3_ops_plan_shapes(spark, sf_dir):
     # Arrow-grouped Python stage (no HOF self-join)
     sd = plan_of(semantic_dedup(spark, sf_dir, pair_backend="numpy"))
     assert sd.count("FlatMapGroupsInPandas") == 1
+
+
+def test_round4_ops_plan_shapes(spark, sf_dir):
+    """Plan properties each round-4 op's scale claim rests on."""
+    from datamunging_spark.ml_ops import (
+        _bpe_vocab,
+        gopher_quality,
+        substring_dedup,
+    )
+
+    # composite quality filter: ONE corpus scan, no joins, no Python —
+    # all five signals in a single codegen projection, map-side partial
+    # aggregation before the 7-long shuffle
+    gq = plan_of(gopher_quality(spark, sf_dir))
+    assert "Join" not in gq and "EvalPython" not in gq
+    assert gq.count("FileScan parquet") == 1
+    assert "partial_count" in gq
+
+    # substring dedup: the anchor window shuffles on the md5 hash (not
+    # raw text), coverage removal is a LeftAnti join, no Python anywhere
+    sd = plan_of(substring_dedup(spark, sf_dir))
+    assert "hashpartitioning(gh" in sd
+    assert "LeftAnti" in sd
+    assert "EvalPython" not in sd and "FlatMapGroupsInPandas" not in sd
+
+    # BPE vocabulary build (the only corpus-sized stage of bpe_learn):
+    # map-side combined word count, no Python
+    bv = plan_of(_bpe_vocab(spark, sf_dir))
+    assert "partial_count" in bv and "EvalPython" not in bv

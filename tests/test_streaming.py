@@ -293,3 +293,77 @@ def test_streaming_extract_matches_batch(spark, tmp_path_factory):
     }
     assert got == want and len(got) == 12
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_streaming_curate_matches_batch(spark, sf_dir, tmp_path_factory):
+    """End-to-end streaming curation (quality gate + cross-batch exact
+    dedup in one foreachBatch job) equals the batch computation on the
+    same corpus — including across a mid-stream restart and a simulated
+    replayed batch (crash between append and checkpoint commit)."""
+    from pyspark.sql.window import Window as W
+
+    from datamunging_spark.ml_ops import (
+        CURATE_MIN_DISTINCT_RATIO,
+        CURATE_MIN_TOKENS,
+    )
+    from datamunging_spark.streaming.jobs import (
+        read_curated,
+        run_streaming_curate,
+    )
+
+    base = tmp_path_factory.mktemp("scurate")
+    docs_dir = str(base / "docs")
+    out = str(base / "out")
+    ckpt = str(base / "ckpt")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # inject duplicates that arrive LATER (higher doc_id => later file):
+    # keep-first must drop every one of them
+    dupes = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    full = docs.unionByName(dupes)
+    # files partitioned BY ARRIVAL ORDER (doc_id ranges): batch
+    # keep-min-doc_id == streaming keep-first-arrival
+    lo = full.where(F.col("doc_id") < 30).coalesce(1)
+    mid = full.where((F.col("doc_id") >= 30) & (F.col("doc_id") < 100000))
+    hi = full.where(F.col("doc_id") >= 100000).coalesce(1)
+
+    # phase 1: first tranche only
+    lo.write.parquet(docs_dir)
+    run_streaming_curate(spark, docs_dir, out, ckpt)
+    n_phase1 = spark.read.parquet(out).count()
+    assert n_phase1 > 0
+
+    # phase 2: rest lands; SAME checkpoint resumes without reprocessing
+    mid.coalesce(1).write.mode("append").parquet(docs_dir)
+    hi.write.mode("append").parquet(docs_dir)
+    run_streaming_curate(spark, docs_dir, out, ckpt)
+
+    # simulated replay: re-append one emitted batch verbatim
+    replay = spark.read.parquet(out).where(F.col("batch_id") == 0)
+    replay.write.mode("append").parquet(out)
+
+    got = read_curated(spark, out)
+    # batch twin: same gate, keep min doc_id per content hash
+    toks = F.split(F.col("text"), " ")
+    gated = full.where(
+        (F.size(toks) >= CURATE_MIN_TOKENS)
+        & (F.size(F.array_distinct(toks)) / F.size(toks)
+           >= CURATE_MIN_DISTINCT_RATIO)
+    ).withColumn("h", F.sha2(F.col("text"), 256))
+    first = W.partitionBy("h").orderBy("doc_id")
+    want = (
+        gated.withColumn("rn", F.row_number().over(first))
+        .where(F.col("rn") == 1)
+    )
+
+    got_ids = {r.doc_id for r in got.select("doc_id").collect()}
+    want_ids = {r.doc_id for r in want.select("doc_id").collect()}
+    assert got_ids == want_ids
+    # every late-arriving duplicate was dropped
+    assert not any(i >= 100000 for i in got_ids)
+    # replayed rows are invisible through read_curated
+    assert got.count() == len(got_ids)
+    shutil.rmtree(ckpt, ignore_errors=True)
