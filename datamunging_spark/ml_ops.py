@@ -1287,10 +1287,14 @@ ML_QUERIES["ann_ivf_topk"] = (ann_ivf_topk, _ivf_sql())
 # quantizer that replaces IVF's fixed literal centroids on a real
 # corpus. DataFrame-native in the standard Spark shape (MLlib's):
 # centroids live on the driver (k × dim floats — bytes, not data),
-# each iteration is ONE distributed job (assignment expression folded
-# into a single groupBy computing counts, SSE and all per-dimension
-# means with map-side partial aggregation), so at 10^9 vectors the cost
-# is iters × one scan+shuffle of (k × dim) partial sums per partition.
+# each iteration is ONE distributed job — assignment and the partial
+# aggregation are FUSED inside one Arrow pass (_kmeans_round): each
+# partition emits at most k rows of (count, SSE, per-dim sums) numpy
+# partials, and the only shuffle per round is k × n_partitions tiny
+# rows into an 8-group rollup. The vector column is persisted across
+# rounds (the standard Spark iterative-ML pattern — MLlib's KMeans
+# does the same), so at 10^9 vectors the cost is iters × one cached
+# scan + a shuffle of k × (dim + 2) doubles per partition.
 # Deterministic by construction: init = the k lowest-id vectors,
 # argmin ties break to the lowest cluster id, no RNG anywhere.
 #
@@ -1337,6 +1341,67 @@ def _kmeans_assign(v, centroids):
         )
 
     return assign(v)
+
+
+def _kmeans_round(vecs: DataFrame, centroids, dim: int):
+    """One Lloyd round as ONE Arrow pass + a tiny rollup.
+
+    Assignment (the V·Cᵀ affinity matmul) and the partial aggregation
+    happen inside the same mapInPandas stage: each partition
+    accumulates (count, SSE, per-dimension sums) per cluster in numpy
+    and emits at most k rows, so the shuffle moves k × n_partitions
+    rows of (dim + 2) doubles instead of every input row. This is the
+    map-side-combine shape that holds at 10⁹ vectors — and at sandbox
+    scale it replaces a pandas-UDF stage feeding a 64-column hash
+    aggregate with a single narrow Python stage (measured ~2× per
+    round). Centroid update sum/count is the same double math as the
+    previous avg() form; only summation order differs (~1e-13, inside
+    the oracle's rounding, same as the matmul note above)."""
+    import numpy as np
+
+    C = np.array(centroids, dtype=np.float64)
+    cn2 = (C * C).sum(axis=1)
+    k = len(centroids)
+
+    def partials(batches):
+        import numpy as np  # noqa: F811 — executor-side import
+
+        cnt = np.zeros(k, dtype=np.int64)
+        sse = np.zeros(k)
+        sums = np.zeros_like(C)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf["v"]]
+            )
+            aff = cn2[None, :] - 2.0 * (V @ C.T)
+            cl = aff.argmin(axis=1)
+            d2 = (V * V).sum(axis=1) + aff[np.arange(len(cl)), cl]
+            np.add.at(cnt, cl, 1)
+            np.add.at(sse, cl, d2)
+            np.add.at(sums, cl, V)
+        idx = np.nonzero(cnt)[0]
+        yield pd.DataFrame(
+            {
+                "cluster": idx.astype("int32"),
+                "n": cnt[idx],
+                "sse": sse[idx],
+                "sums": [sums[i].tolist() for i in idx],
+            }
+        )
+
+    return (
+        vecs.mapInPandas(
+            partials, schema="cluster int, n long, sse double, sums array<double>"
+        )
+        .groupBy("cluster")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sse").alias("sse"),
+            *[F.sum(F.col("sums")[i]).alias(f"s{i}") for i in range(dim)],
+        )
+    )
 
 
 def _kmeans_parallel_seeds(
@@ -1441,21 +1506,22 @@ def kmeans_fit(
     else:
         seeds = df.select(v.alias("v")).orderBy(id_col).limit(k).collect()
         centroids = [list(r.v) for r in seeds]
+    # persist the projected vector column across rounds — the standard
+    # Spark iterative-ML pattern (MEMORY_AND_DISK spills if the working
+    # set outgrows executor memory at 10^9 vectors)
+    vecs = df.select(v.alias("v")).persist()
     inertia: list[float] = []
-    for _ in range(iters):
-        rows = (
-            df.select(_kmeans_assign(v, centroids).alias("a"), v.alias("v"))
-            .groupBy(F.col("a.cluster").alias("cluster"))
-            .agg(
-                F.count("*").alias("n"),
-                F.sum("a.dist2").alias("sse"),
-                *[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dim)],
-            )
-            .collect()
-        )
-        inertia.append(sum(r.sse for r in rows))
-        new = {r.cluster: [r[f"c{i}"] for i in range(dim)] for r in rows}
-        centroids = [new.get(j, centroids[j]) for j in range(k)]
+    try:
+        for _ in range(iters):
+            rows = _kmeans_round(vecs, centroids, dim).collect()
+            inertia.append(sum(r.sse for r in rows))
+            new = {
+                r.cluster: [r[f"s{i}"] / r.n for i in range(dim)]
+                for r in rows
+            }
+            centroids = [new.get(j, centroids[j]) for j in range(k)]
+    finally:
+        vecs.unpersist()
     return centroids, inertia
 
 
@@ -4389,7 +4455,13 @@ def _bpe_vocab(spark, sf_dir):
     return words.select("word", "freq", sym.alias("sym"))
 
 
-def bpe_learn(spark, sf_dir, n_merges: int = BPE_MERGES):
+def _bpe_learn_loop(spark, sf_dir, n_merges: int = BPE_MERGES):
+    """Run the merge-learning loop; returns (merges, final_vocab).
+
+    ``final_vocab``'s ``sym`` column carries every learned merge already
+    applied — its lineage is the base vocab scan + a chain of n_merges
+    whole-stage-codegen replace() selects, so consumers (bpe_encode) can
+    recompute it in ONE job after the persisted copy is dropped."""
     vocab = _bpe_vocab(spark, sf_dir).persist()
     merges = []
     for step in range(1, n_merges + 1):
@@ -4426,12 +4498,43 @@ def bpe_learn(spark, sf_dir, n_merges: int = BPE_MERGES):
         vocab.unpersist()
         vocab = nxt
     vocab.unpersist()
+    return merges, vocab
+
+
+def bpe_learn(spark, sf_dir, n_merges: int = BPE_MERGES):
+    merges, _ = _bpe_learn_loop(spark, sf_dir, n_merges)
     return spark.createDataFrame(
         merges, "step int, lft string, rgt string, pair_count bigint"
     ).orderBy("step")
 
 
-def _bpe_sql(n_merges: int = BPE_MERGES) -> str:
+def bpe_encode(spark, sf_dir, n_merges: int = BPE_MERGES):
+    """Apply the learned merge table to the corpus: the BPE-segmented
+    corpus unigram table (piece, n_occurrences).
+
+    Scale shape: encoding is VOCABULARY-sized, never corpus-sized — the
+    learn loop's final vocab already carries every merge applied to each
+    DISTINCT word, so encoding the corpus is explode(pieces) weighted by
+    word frequency. A 100 TB corpus with a 10^7-word vocabulary does
+    10^7 rows of piece-splitting; re-attaching piece sequences to
+    documents (when a sink needs them) is a broadcast join on word. No
+    Python anywhere; the merges live in the plan as replace() literals."""
+    _, vocab = _bpe_learn_loop(spark, sf_dir, n_merges)
+    return (
+        vocab.select(
+            "freq", F.explode(F.split("sym", BPE_SEP)).alias("piece")
+        )
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "piece")
+    )
+
+
+def _bpe_sql(n_merges: int = BPE_MERGES, final_select: str | None = None) -> str:
+    """DuckDB replay of the merge-learning unroll. ``final_select``
+    overrides the closing SELECT (default: the merge table from
+    m1..mK); encode consumers select over v{n_merges}, whose sym
+    column has every merge applied."""
     sep = BPE_SEP
     # AS MATERIALIZED is load-bearing: v{k} references v{k-1} and m{k}
     # several times; inlined CTEs would re-expand the whole chain on
@@ -4469,13 +4572,24 @@ v{k} AS MATERIALIZED (
     unions = "\nUNION ALL ".join(
         f"SELECT step, l, r, cnt FROM m{k}" for k in range(1, n_merges + 1)
     )
-    return (
-        "WITH " + ",\n".join(ctes)
-        + f"\nSELECT step, l AS lft, r AS rgt, CAST(cnt AS BIGINT) AS"
+    final = final_select or (
+        f"SELECT step, l AS lft, r AS rgt, CAST(cnt AS BIGINT) AS"
         f" pair_count FROM ({unions}) ORDER BY step"
     )
+    return "WITH " + ",\n".join(ctes) + "\n" + final
 
 
 BPE_LEARN_SQL = _bpe_sql()
 
 ML_QUERIES["bpe_learn"] = (bpe_learn, BPE_LEARN_SQL)
+
+BPE_ENCODE_SQL = _bpe_sql(
+    final_select=f"""
+SELECT piece, CAST(sum(freq) AS BIGINT) AS n_occurrences
+FROM (SELECT freq, unnest(string_split(sym, '{BPE_SEP}')) AS piece
+      FROM v{BPE_MERGES})
+GROUP BY piece
+ORDER BY n_occurrences DESC, piece"""
+)
+
+ML_QUERIES["bpe_encode"] = (bpe_encode, BPE_ENCODE_SQL)

@@ -731,6 +731,55 @@ def test_bpe_learn_matches_reference_loop(spark):
     assert got == expect
 
 
+def test_bpe_encode_matches_reference_loop(spark):
+    """Corpus piece-frequency table equals the classic reference loop:
+    learn the merges in plain Python, apply them to every word, count
+    pieces weighted by word frequency."""
+    from collections import Counter
+
+    from datamunging_spark.ml_ops import BPE_MERGES, bpe_encode
+
+    vocab = Counter()
+    for toks in _py_tokens(SF_DIR).values():
+        for w in toks:
+            vocab[tuple(w) + ("</w>",)] += 1
+
+    for _ in range(BPE_MERGES):
+        counts = Counter()
+        for sym, freq in vocab.items():
+            for i in range(len(sym) - 1):
+                counts[(sym[i], sym[i + 1])] += freq
+        if not counts:
+            break
+        (l, r), _cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        nv = Counter()
+        for sym, freq in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == l and sym[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            nv[tuple(out)] += freq
+        vocab = nv
+
+    expect = Counter()
+    for sym, freq in vocab.items():
+        for piece in sym:
+            expect[piece] += freq
+
+    rows = bpe_encode(spark, SF_DIR).collect()
+    got = {r["piece"]: r["n_occurrences"] for r in rows}
+    assert got == dict(expect)
+    # ordering contract: count desc, piece asc
+    keys = [(-r["n_occurrences"], r["piece"]) for r in rows]
+    assert keys == sorted(keys)
+
+
 def test_gopher_quality_counts_recompute(spark):
     """Per-rule hit counts equal an independent pandas recompute."""
     from datamunging_spark.ml_ops import STOPWORDS_EN, gopher_quality

@@ -154,27 +154,30 @@ def test_chunk_sequences_is_shuffle_free_projection(spark, sf_dir):
     assert "Generate" in plan  # posexplode, not a join/shuffle expansion
 
 
-def test_kmeans_iteration_has_partial_aggregation(spark, sf_dir):
-    """Each Lloyd round must combine map-side: 64 per-dimension means +
-    count + SSE as partial_* before one shuffle of (k × dim) partials."""
-    from datamunging_spark.ml_ops import KMEANS_DIM, _kmeans_assign, IVF_CENTROIDS
+def test_kmeans_round_fused_single_python_stage(spark, sf_dir):
+    """Each Lloyd round is ONE Arrow pass (assignment + numpy partials
+    fused in a single MapInPandas) followed by a tiny k-group rollup:
+    the shuffle moves k × n_partitions partial rows, never the vectors."""
+    from datamunging_spark.ml_ops import (
+        KMEANS_DIM,
+        IVF_CENTROIDS,
+        _kmeans_round,
+    )
     from pyspark.sql import functions as F
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    v = F.col("embedding").cast("array<double>")
+    vecs = emb.select(F.col("embedding").cast("array<double>").alias("v"))
     centroids = [list(c) for c in IVF_CENTROIDS]
-    df = (
-        emb.select(_kmeans_assign(v, centroids).alias("a"), v.alias("v"))
-        .groupBy(F.col("a.cluster").alias("cluster"))
-        .agg(
-            F.count("*").alias("n"),
-            F.sum("a.dist2").alias("sse"),
-            *[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(KMEANS_DIM)],
-        )
-    )
-    plan = plan_of(df)
-    assert "partial_avg" in plan or "partial_average" in plan
-    assert plan.count("HashAggregate") >= 2
+    plan = plan_of(_kmeans_round(vecs, centroids, KMEANS_DIM))
+    assert plan.count("MapInPandas") == 1, plan
+    # map-side partial agg over the k-row partials, one shuffle only
+    assert plan.count("HashAggregate") >= 2, plan
+    assert plan.count("Exchange") == 1, plan
+    # the shuffle is on the partials (hashpartitioning by cluster),
+    # and it sits ABOVE the Python stage in the top-down tree — the
+    # vectors themselves never cross an Exchange
+    assert "Exchange hashpartitioning(cluster" in plan, plan
+    assert plan.index("Exchange") < plan.index("MapInPandas"), plan
 
 
 def test_munge_pipeline_single_python_stage(spark):
