@@ -1,7 +1,13 @@
 # Entry points for the datamunging_spark engine.
 PY ?= python
 
-.PHONY: test correctness bench scaling scaling-gated
+.PHONY: test correctness fuzz bench scaling scaling-gated
+
+# Differential fuzzing: engine vs DuckDB oracle on randomized HOSTILE
+# corpora (empty texts, zero vectors, duplicates, unicode) — catches
+# data-dependent divergences sf0.01 never triggers
+fuzz:
+	$(PY) tools/fuzz_correctness.py 3
 
 # pytest + the full-catalog correctness artifact: regenerating
 # CORRECTNESS_local.json in the default flow keeps the artifact from

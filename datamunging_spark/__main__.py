@@ -5,11 +5,15 @@ Cluster usage (BASELINE.json:6/14 — multi-executor, resumable):
     zip -r dm.zip datamunging_spark
     spark-submit --py-files dm.zip \
         --conf spark.sql.adaptive.enabled=true \
-        -m datamunging_spark  # or: path/to/__main__.py
+        tools/submit.py \
         --input  lake.volumes          # Iceberg table or parquet path
         --output /data/volumes_out     # output+checkpoint table
         --run-id run-2026-08-16 \
         --partitions 4096 --salt 7
+
+(``tools/submit.py`` is the primary-script shim — spark-submit runs its
+primary file without a package parent, so this module's relative imports
+can't be the entry; verified end-to-end by ``tests/test_submit.py``.)
 
 Locally (the sandbox): paths are parquet directories.
 """

@@ -5,7 +5,7 @@ from .text import (
     regex_tokens,
     normalized_fingerprint,
 )
-from .vectors import cosine_to_literal, dot, l2_norm, hyperplane_bucket
+from .vectors import cosine, cosine_to_literal, dot, l2_norm, hyperplane_bucket
 
 __all__ = [
     "tokens_distinct",
@@ -13,6 +13,7 @@ __all__ = [
     "stopword_hits",
     "regex_tokens",
     "normalized_fingerprint",
+    "cosine",
     "cosine_to_literal",
     "dot",
     "l2_norm",

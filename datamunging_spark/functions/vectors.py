@@ -25,12 +25,28 @@ def l2_norm(v: Column) -> Column:
     return F.sqrt(F.aggregate(v, F.lit(0.0), lambda s, x: s + x * x))
 
 
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity, 0.0 when either vector has zero norm.
+
+    The guard is not cosmetic: Spark 4 runs ANSI mode, so ONE zero
+    vector in 10^9 rows would otherwise kill the whole job with
+    DIVIDE_BY_ZERO (caught by tools/fuzz_correctness.py). Convention:
+    a zero vector is similar to nothing — 0.0, identically in the
+    DuckDB oracles (where 0/0 is NaN, which sorts as the LARGEST
+    similarity and silently corrupts top-k instead of crashing)."""
+    a, b = _as_double(a), _as_double(b)
+    den = l2_norm(a) * l2_norm(b)
+    return F.when(den > 0, dot(a, b) / den).otherwise(F.lit(0.0))
+
+
 def cosine_to_literal(vec_col: Column, qvec: list[float]) -> Column:
     """Cosine similarity of a vector column against a literal query vector
-    (query norm folded to a constant at plan time)."""
+    (query norm folded to a constant at plan time); 0.0 on zero norm —
+    see cosine()."""
     q = F.array(*[F.lit(float(x)) for x in qvec])
     v = _as_double(vec_col)
-    return dot(v, q) / (l2_norm(v) * F.lit(math.sqrt(sum(x * x for x in qvec))))
+    den = l2_norm(v) * F.lit(math.sqrt(sum(x * x for x in qvec)))
+    return F.when(den > 0, dot(v, q) / den).otherwise(F.lit(0.0))
 
 
 def hyperplane_bucket(vec_col: Column, hyperplanes: list[list[float]]) -> Column:

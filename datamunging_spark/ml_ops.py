@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from pyspark.sql.window import Window as W
 
 from .functions import (
+    cosine,
     cosine_to_literal,
     dot,
     hyperplane_bucket,
@@ -532,7 +533,11 @@ def text_quality(spark, sf_dir):
         .select(
             "doc_id",
             n_toks.alias("n_tokens"),
-            F.round(alpha_chars / n_chars, 4).alias("alpha_ratio"),
+            # empty-text guard: 0/0 raises under ANSI; define 0.0 (no
+            # alpha chars in no text), same CASE in the oracle
+            F.round(
+                F.when(n_chars > 0, alpha_chars / n_chars).otherwise(0.0), 4
+            ).alias("alpha_ratio"),
             F.round(n_distinct / n_toks, 4).alias("distinct_ratio"),
             F.round(stop_hits / n_distinct, 4).alias("stop_ratio"),
         )
@@ -543,8 +548,10 @@ def text_quality(spark, sf_dir):
 TEXT_QUALITY_SQL = f"""
 SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
-       round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
-             / length(text), 4) AS alpha_ratio,
+       round(CASE WHEN length(text) > 0
+                  THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                       / length(text)
+                  ELSE 0.0 END, 4) AS alpha_ratio,
        round(len(list_distinct(string_split(lower(text), ' ')))::DOUBLE
              / len(string_split(text, ' ')), 4) AS distinct_ratio,
        round(len(list_intersect(list_distinct(string_split(lower(text), ' ')),
@@ -705,9 +712,11 @@ def ann_cosine_topk(spark, sf_dir):
 
 ANN_TOPK_SQL = f"""
 SELECT vec_id, label,
-       round(list_dot_product(embedding::DOUBLE[], {QUERY_VEC!r})
-             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
-                * sqrt({sum(x * x for x in QUERY_VEC)!r})), 4) AS cos
+       CASE WHEN list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+            THEN round(list_dot_product(embedding::DOUBLE[], {QUERY_VEC!r})
+                 / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                    * sqrt({sum(x * x for x in QUERY_VEC)!r})), 4)
+            ELSE 0.0 END AS cos
 FROM embeddings
 ORDER BY cos DESC, vec_id LIMIT 20
 """
@@ -759,9 +768,7 @@ def knn_join_topk(spark, sf_dir):
         F.col("vec_id").alias("c_id"),
         F.col("embedding").cast(T.ArrayType(T.DoubleType())).alias("c_vec"),
     )
-    cos = dot(F.col("q_vec"), F.col("c_vec")) / (
-        l2_norm(F.col("q_vec")) * l2_norm(F.col("c_vec"))
-    )
+    cos = cosine(F.col("q_vec"), F.col("c_vec"))
     scored = cand.join(F.broadcast(qs), F.col("q_id") != F.col("c_id")).select(
         "q_id", "c_id", cos.alias("cos_raw")
     )
@@ -782,16 +789,19 @@ def knn_join_topk(spark, sf_dir):
 KNN_JOIN_SQL = """
 SELECT q_id, c_id, round(cos_raw, 4) AS cos, CAST(rk AS INT) AS rk
 FROM (
-  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-         list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
-           / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
-              * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS cos_raw,
-         row_number() OVER (PARTITION BY q.vec_id
-                            ORDER BY list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
-                                     / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
-                                        * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) DESC,
-                            c.vec_id) AS rk
-  FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id != q.vec_id
+  SELECT q_id, c_id, cos_raw,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_raw DESC, c_id) AS rk
+  FROM (
+    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           CASE WHEN list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]) > 0
+                 AND list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]) > 0
+                THEN list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))
+                ELSE 0.0 END AS cos_raw
+    FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id != q.vec_id
+  )
 )
 WHERE rk <= 3 ORDER BY q_id, rk
 """
@@ -1063,13 +1073,27 @@ def extract_munge_metrics(spark, sf_dir):
     )
 
 
-EXTRACT_MUNGE_METRICS_SQL = """
+def _extract_munge_metrics_sql() -> str:
+    from .rulesets.loader import PUNCT
+
+    punct = PUNCT.replace("'", "''")
+    # the cascade counts a token iff its PUNCT-stripped core is
+    # non-empty (operators/munge.py correct_line: `if not core: ...
+    # continue` skips pure-punctuation tokens), and tokenizes with
+    # Python str.split() — whitespace RUNS, empties dropped (0 tokens
+    # for empty/whitespace-only text). Both edges fuzz-caught; plain
+    # string_split(' ') counted phantom empty and punct tokens.
+    return rf"""
 SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        CAST(1 AS BIGINT) AS pages,
-       CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens_total,
+       CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                 x -> trim(x, '{punct}') != '')) AS BIGINT) AS tokens_total,
        CAST(0 AS BIGINT) AS tokens_corrected
 FROM documents ORDER BY doc_id
 """
+
+
+EXTRACT_MUNGE_METRICS_SQL = _extract_munge_metrics_sql()
 
 
 # --------------------------------------------------------------------------
@@ -1139,9 +1163,7 @@ def dedup_embedding_cosine(spark, sf_dir):
             ).alias("bucket"),
         )
     )
-    cos = dot(F.col("o_vec"), F.col("p_vec")) / (
-        l2_norm(F.col("o_vec")) * l2_norm(F.col("p_vec"))
-    )
+    cos = cosine(F.col("o_vec"), F.col("p_vec"))
     return (
         orig.join(F.broadcast(probes), "bucket")
         .select("orig_id", "probe_id", F.round(cos, 4).alias("cos"))
@@ -1179,9 +1201,12 @@ probes AS (
 )
 SELECT orig_id, probe_id, cos FROM (
   SELECT o.orig_id, p.probe_id,
-         round(list_dot_product(o.o_vec, p.p_vec)
-               / (sqrt(list_dot_product(o.o_vec, o.o_vec))
-                  * sqrt(list_dot_product(p.p_vec, p.p_vec))), 4) AS cos
+         CASE WHEN list_dot_product(o.o_vec, o.o_vec) > 0
+               AND list_dot_product(p.p_vec, p.p_vec) > 0
+              THEN round(list_dot_product(o.o_vec, p.p_vec)
+                   / (sqrt(list_dot_product(o.o_vec, o.o_vec))
+                      * sqrt(list_dot_product(p.p_vec, p.p_vec))), 4)
+              ELSE 0.0 END AS cos
   FROM orig o JOIN probes p USING (bucket)
 ) WHERE cos >= 0.99 ORDER BY orig_id, probe_id
 """
@@ -1271,9 +1296,11 @@ WITH assigned AS (
   FROM embeddings
 )
 SELECT vec_id, CAST(cluster AS INT) AS cluster,
-       round(list_dot_product(embedding::DOUBLE[], {QUERY_VEC!r})
-             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
-                * {qnorm!r}), 4) AS cos
+       CASE WHEN list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+            THEN round(list_dot_product(embedding::DOUBLE[], {QUERY_VEC!r})
+                 / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                    * {qnorm!r}), 4)
+            ELSE 0.0 END AS cos
 FROM assigned WHERE cluster IN ({probes})
 ORDER BY cos DESC, vec_id LIMIT 10
 """
@@ -3725,8 +3752,14 @@ def semantic_dedup(spark, sf_dir, pair_backend: str = "hof"):
     v = F.col("embedding").cast("array<double>")
     # normalize ONCE per row (n lambda folds), so each of the ~n²/k
     # in-cluster pairs costs a single dot instead of dot + two norms —
-    # measured 3× off the pair stage at sf0.1 (5.5k vectors)
-    nv = F.transform(F.col("v"), lambda x: x / l2_norm(F.col("v")))
+    # measured 3× off the pair stage at sf0.1 (5.5k vectors).
+    # zero-norm guard: a zero vector normalizes to itself (cos 0 with
+    # everything — never dropped, never drops); ANSI division would
+    # otherwise kill the job on one bad row (fuzz-caught)
+    nv = F.when(
+        l2_norm(F.col("v")) > 0,
+        F.transform(F.col("v"), lambda x: x / l2_norm(F.col("v"))),
+    ).otherwise(F.col("v"))
     ranked = (
         aug.select(
             "vec_id", v.alias("v"),
@@ -3735,8 +3768,15 @@ def semantic_dedup(spark, sf_dir, pair_backend: str = "hof"):
         .select(
             "vec_id", nv.alias("nv"),
             F.col("a.cluster").alias("cluster"),
+            # rank on ROUNDED dist2: engines compute it with different
+            # summation orders (~1e-14 apart), and a vector sitting at
+            # the same distance as its near-dup would rank-flip across
+            # engines on raw floats (fuzz-caught); rounding makes the
+            # near-tie an exact tie, broken deterministically by vec_id
             F.row_number().over(
-                W.partitionBy("a.cluster").orderBy("a.dist2", "vec_id")
+                W.partitionBy("a.cluster").orderBy(
+                    F.round(F.col("a.dist2"), 9), "vec_id"
+                )
             ).alias("rk"),
         )
     )
@@ -3791,16 +3831,20 @@ SELECT vec_id, CAST(cl AS INT) AS cluster,
        vec_id NOT IN (
          SELECT b.vec_id
          FROM (SELECT vec_id,
-                      list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
-                        AS nv, cl,
+                      list_transform(v, x -> CASE
+                          WHEN list_dot_product(v, v) > 0
+                          THEN x / sqrt(list_dot_product(v, v))
+                          ELSE 0.0 END) AS nv, cl,
                       row_number() OVER (
-                        PARTITION BY cl ORDER BY dist2, vec_id) AS rk
+                        PARTITION BY cl ORDER BY round(dist2, 9), vec_id) AS rk
                FROM afinal) a
          JOIN (SELECT vec_id,
-                      list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
-                        AS nv, cl,
+                      list_transform(v, x -> CASE
+                          WHEN list_dot_product(v, v) > 0
+                          THEN x / sqrt(list_dot_product(v, v))
+                          ELSE 0.0 END) AS nv, cl,
                       row_number() OVER (
-                        PARTITION BY cl ORDER BY dist2, vec_id) AS rk
+                        PARTITION BY cl ORDER BY round(dist2, 9), vec_id) AS rk
                FROM afinal) b
            ON a.cl = b.cl AND a.rk < b.rk
          WHERE list_dot_product(a.nv, b.nv) >= {SEMDEDUP_EPS}
@@ -4154,10 +4198,13 @@ def gopher_quality(spark, sf_dir):
         F.size(F.filter(w, lambda x: x.isin(STOPWORDS_EN))).cast("double") / n
     )
     distinct_ratio = F.size(F.array_distinct(w)).cast("double") / n
-    symbol_ratio = (
+    # empty-text guard: 0/0 is null in Spark but NaN (> any threshold)
+    # in DuckDB — pin both engines to 0.0 (no symbols in no text)
+    symbol_ratio = F.when(
+        F.length("text") > 0,
         F.length(F.regexp_replace("text", "[a-z0-9 ]", "")).cast("double")
-        / F.length("text")
-    )
+        / F.length("text"),
+    ).otherwise(F.lit(0.0))
     flags = docs.select(
         ((n < 25) | (n > 90)).alias("f_wc"),
         ((mean_wl < 4.0) | (mean_wl > 5.0)).alias("f_mwl"),
@@ -4220,8 +4267,10 @@ sig AS (
       ({", ".join(f"'{s}'" for s in STOPWORDS_EN)})))::DOUBLE
       / len(ws) AS stopf,
     len(list_distinct(ws))::DOUBLE / len(ws) AS dr,
-    length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE
-      / length(text) AS symr
+    CASE WHEN length(text) > 0
+         THEN length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE
+              / length(text)
+         ELSE 0.0 END AS symr
   FROM w
 ),
 flags AS (
@@ -4443,9 +4492,13 @@ BPE_SEP = "  "  # double space: tokens never contain spaces
 
 
 def _bpe_vocab(spark, sf_dir):
+    # empty strings from splitting empty/whitespace text are not words
+    # (and DuckDB's array_to_string([], sep) is NULL, so the engines
+    # would diverge on them — fuzz-caught)
     words = (
         t(spark, sf_dir, "documents")
         .select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .where(F.col("word") != "")
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
     )
@@ -4459,15 +4512,23 @@ def _bpe_learn_loop(spark, sf_dir, n_merges: int = BPE_MERGES):
     """Run the merge-learning loop; returns (merges, final_vocab).
 
     ``final_vocab``'s ``sym`` column carries every learned merge already
-    applied — its lineage is the base vocab scan + a chain of n_merges
-    whole-stage-codegen replace() selects, so consumers (bpe_encode) can
-    recompute it in ONE job after the persisted copy is dropped."""
+    applied. It is returned as an eager localCheckpoint: consumers
+    (bpe_encode) read the materialized partitions instead of re-running
+    the base scan + replace chain, and the checkpoint storage is freed
+    by the ContextCleaner once the DataFrame is garbage-collected — no
+    persist leak across catalog queries."""
     vocab = _bpe_vocab(spark, sf_dir).persist()
     merges = []
     for step in range(1, n_merges + 1):
         s = F.split("sym", BPE_SEP)
+        # size >= 2 guard is load-bearing: Spark's sequence(0, size-2)
+        # turns DESCENDING ([0, -1]) for a fully-merged single-symbol
+        # word, which would emit phantom (sym, null)/(null, sym) pairs
+        # carrying that word's full frequency — the DuckDB oracle's
+        # range(1, len(s)) is simply empty there
         pairs = (
-            vocab.select(
+            vocab.where(F.size(s) >= 2)
+            .select(
                 "freq",
                 F.explode(
                     F.transform(
@@ -4497,8 +4558,9 @@ def _bpe_learn_loop(spark, sf_dir, n_merges: int = BPE_MERGES):
         nxt.count()  # materialize before dropping the parent
         vocab.unpersist()
         vocab = nxt
+    final = vocab.localCheckpoint(eager=True)
     vocab.unpersist()
-    return merges, vocab
+    return merges, final
 
 
 def bpe_learn(spark, sf_dir, n_merges: int = BPE_MERGES):
@@ -4548,6 +4610,7 @@ def _bpe_sql(n_merges: int = BPE_MERGES, final_select: str | None = None) -> str
   FROM (SELECT word, count(*) AS freq
         FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
               FROM documents)
+        WHERE word != ''
         GROUP BY word)
 )"""
     ]

@@ -18,14 +18,27 @@ import string
 from dataclasses import dataclass, field
 from pathlib import Path
 
-DATA_DIR = Path(__file__).parent / "data"
+DATA_DIR: Path | None = None  # set by load_rulesets(data_dir=...) override
 
 PUNCT = string.punctuation + "“”‘’"  # incl. curly quotes
 
 
+def _read_text(name: str) -> str:
+    if DATA_DIR is not None:
+        return (DATA_DIR / name).read_text(encoding="utf-8")
+    # importlib.resources, not Path(__file__): the package may be
+    # imported from a spark-submit --py-files ZIP, where data files
+    # are zip members with no filesystem path
+    # (tests/test_submit.py caught exactly that)
+    from importlib import resources
+
+    return (
+        resources.files(__package__).joinpath("data", name).read_text("utf-8")
+    )
+
+
 def _read_lines(name: str) -> list[str]:
-    p = DATA_DIR / name
-    return [ln for ln in p.read_text(encoding="utf-8").splitlines() if ln.strip()]
+    return [ln for ln in _read_text(name).splitlines() if ln.strip()]
 
 
 def _read_tsv(name: str) -> list[tuple[str, ...]]:

@@ -86,6 +86,11 @@ def _ship_package(spark: SparkSession) -> None:
     if getattr(spark, key, False):
         return
     pkg_dir = Path(__file__).resolve().parent
+    if not pkg_dir.is_dir():
+        # imported from a zip — spark-submit --py-files already shipped
+        # the package to driver and executors; nothing to re-zip
+        setattr(spark, key, True)
+        return
     zpath = Path(tempfile.gettempdir()) / "datamunging_spark_pyfiles.zip"
     with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
         for f in sorted(pkg_dir.rglob("*")):

@@ -300,6 +300,7 @@ def run_streaming_curate(
     buckets (or becomes a MERGE INTO). No Python, no unbounded state
     store — the dedup state is the durable output, not executor memory.
     """
+    from ..functions.text import tokens_distinct
     from ..ml_ops import CURATE_MIN_DISTINCT_RATIO, CURATE_MIN_TOKENS
     from pyspark.sql.window import Window
 
@@ -310,12 +311,14 @@ def run_streaming_curate(
     )
 
     def process_batch(df: DataFrame, epoch_id: int) -> None:
-        toks = F.split(F.col("text"), " ")
-        n_toks = F.size(toks)
+        n_toks = F.size(F.split(F.col("text"), " "))
+        # tokens_distinct (lowercased) — the SAME expression the batch
+        # curate_corpus gate uses, so streaming and batch keep identical
+        # verdicts on mixed-case docs
         gated = df.where(
             (n_toks >= CURATE_MIN_TOKENS)
             & (
-                F.size(F.array_distinct(toks)) / n_toks
+                F.size(tokens_distinct(F.col("text"))) / n_toks
                 >= CURATE_MIN_DISTINCT_RATIO
             )
         ).withColumn("h", F.sha2(F.col("text"), 256))
@@ -325,11 +328,19 @@ def run_streaming_curate(
             .where(F.col("rn") == 1)
             .drop("rn")
         )
+        # only "no output yet" may skip the anti-join — any other read
+        # failure must surface, or duplicates would silently land
+        from pyspark.errors import AnalysisException
+
         try:
             seen = spark.read.parquet(output_path).select("h")
+        except AnalysisException as e:
+            msg = str(e)
+            if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+                raise
+            seen = None  # first batch: no output yet
+        if seen is not None:
             cand = cand.join(seen, "h", "left_anti")
-        except Exception:
-            pass  # first batch: no output yet
         (
             cand.withColumn("batch_id", F.lit(epoch_id))
             .write.mode("append")

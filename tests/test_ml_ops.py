@@ -780,6 +780,36 @@ def test_bpe_encode_matches_reference_loop(spark):
     assert keys == sorted(keys)
 
 
+def test_bpe_learn_no_phantom_pairs_after_full_merge(spark, tmp_path):
+    """Once a word fully merges to a single symbol, it must stop
+    contributing pairs: Spark's sequence(0, size-2) turns DESCENDING
+    for size-1 syms and would emit (sym, null)/(null, sym) phantom
+    pairs carrying the word's full frequency (regression guard)."""
+    from datamunging_spark.ml_ops import bpe_encode, bpe_learn
+
+    # 'ab' fully merges in 2 rounds (a+b, ab+</w>); rounds 3-4 must
+    # come from 'cd', not from phantom (ab</w>, null) pairs
+    rows = [(str(i), "ab ab ab cd") for i in range(20)]
+    spark.createDataFrame(rows, "doc_id string, text string") \
+        .write.parquet(f"{tmp_path}/documents.parquet")
+
+    got = [
+        (r["step"], r["lft"], r["rgt"], r["pair_count"])
+        for r in bpe_learn(spark, str(tmp_path), n_merges=4).collect()
+    ]
+    assert got == [
+        (1, "a", "b", 60),
+        (2, "ab", "</w>", 60),
+        (3, "c", "d", 20),
+        (4, "cd", "</w>", 20),
+    ]
+    pieces = {
+        r["piece"]: r["n_occurrences"]
+        for r in bpe_encode(spark, str(tmp_path), n_merges=4).collect()
+    }
+    assert pieces == {"ab</w>": 60, "cd</w>": 20}
+
+
 def test_gopher_quality_counts_recompute(spark):
     """Per-rule hit counts equal an independent pandas recompute."""
     from datamunging_spark.ml_ops import STOPWORDS_EN, gopher_quality
@@ -797,8 +827,9 @@ def test_gopher_quality_counts_recompute(spark):
             "mean_word_len": not (4.0 <= sum(map(len, w)) / n <= 5.0),
             "stopword_frac": sum(x in stop for x in w) / n < 0.05,
             "distinct_ratio": len(set(w)) / n < 0.35,
-            "symbol_ratio": sum(not (c.islower() or c.isdigit() or c == " ")
-                                for c in text) / len(text) > 0.10,
+            "symbol_ratio": bool(text)
+            and sum(not (c.islower() or c.isdigit() or c == " ")
+                    for c in text) / len(text) > 0.10,
         }
         for k, v in f.items():
             hits[k] += v

@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""Differential fuzzing: engine vs oracle on ADVERSARIAL corpora.
+
+`make correctness` checks every (queries(), oracle_sql()) pair on the
+driver's well-behaved sf0.01 tables. This harness re-checks the pairs
+on randomized hostile inputs — the bug class it targets is
+data-dependent engine/oracle divergence that benign data never
+triggers (two round-4 examples caught by review, now regression-fuzzed
+here: Spark's descending sequence() on fully-merged BPE words; Spark
+null vs DuckDB NaN on 0/0 symbol_ratio for empty text).
+
+Each trial synthesizes documents + embeddings parquet with hostile
+features (empty texts, single-char words, exact duplicate docs,
+repeated paragraphs, curly-quote/long-s unicode, mixed case, zero and
+duplicate vectors), registers them as DuckDB views, and compares every
+catalog query that reads only those tables using the same canonical
+rows + hash as tools/gen_correctness.py. Queries needing other tables
+are skipped by detection, not by a hand-kept list.
+
+Usage:  python tools/fuzz_correctness.py [n_trials] [base_seed]
+Exit 1 on any divergence (per-query detail printed).
+"""
+
+from __future__ import annotations
+
+import random
+import shutil
+import sys
+import tempfile
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from datamunging_spark.session import get_spark  # noqa: E402
+from tests.test_queries_oracle import _rows  # noqa: E402
+
+N_TRIALS = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+BASE_SEED = int(sys.argv[2]) if len(sys.argv) > 2 else 20260817
+
+WORDS = (
+    "the of and a to in is it key row scan merge batch value table part "
+    "fast slow hash sort window spark line agg"
+).split()
+HOSTILE_TEXTS = [
+    "",  # empty — 0/0 ratio class
+    " ",  # whitespace only — split() gives ['', '']
+    "a",  # fully-merges in BPE within 2 rounds
+    "a a a a a a a a a a a a",  # extreme repetition, single char
+    "ſoft “curly” ‘quotes’ Kelvin",  # unicode fold hazards
+    "MiXeD CaSe MIXED case mixed CASE",  # case-normalization class
+    "x # y # z # x # y",  # contains the paragraph separator token
+    "tab\there newline\\n literal",
+]
+
+
+def make_tables(tmp: Path, seed: int, spark) -> None:
+    rng = random.Random(seed)
+    docs = []
+    n = rng.randint(25, 45)
+    for i in range(n):
+        roll = rng.random()
+        if roll < 0.25:
+            text = rng.choice(HOSTILE_TEXTS)
+        elif roll < 0.35 and docs:
+            text = docs[rng.randrange(len(docs))][1]  # exact duplicate
+        else:
+            k = rng.randint(1, 60)
+            toks = [rng.choice(WORDS) for _ in range(k)]
+            if rng.random() < 0.3:  # repeated paragraph
+                toks = toks + toks
+            text = " ".join(toks)
+        docs.append(
+            (i, text, rng.choice(["en", "de", "xx"]),
+             f"src{rng.randrange(3)}", len(text))
+        )
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(2).write.parquet(str(tmp / "documents.parquet"))
+
+    dim = 64
+    vecs = []
+    for i in range(rng.randint(20, 40)):
+        roll = rng.random()
+        if roll < 0.1:
+            v = [0.0] * dim  # zero vector — cosine 0/0 class
+        elif roll < 0.25 and vecs:
+            v = vecs[rng.randrange(len(vecs))][1]  # duplicate vector
+        else:
+            v = [round(rng.uniform(-1, 1), 3) for _ in range(dim)]
+        vecs.append((i, v, rng.randrange(4)))
+    spark.createDataFrame(
+        vecs, "vec_id bigint, embedding array<float>, label int"
+    ).coalesce(2).write.parquet(str(tmp / "embeddings.parquet"))
+
+
+def main() -> int:
+    spark = get_spark(app_name="fuzz-correctness")
+    qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
+    failures: list[str] = []
+    n_checked = n_skipped = 0
+    for trial in range(N_TRIALS):
+        seed = BASE_SEED + trial
+        tmp = Path(tempfile.mkdtemp(prefix=f"fuzz_{seed}_"))
+        try:
+            make_tables(tmp, seed, spark)
+            con = duckdb.connect()
+            for tbl in ("documents", "embeddings"):
+                # Spark writes a directory of part files — glob for DuckDB
+                con.sql(
+                    f"CREATE VIEW {tbl} AS SELECT * FROM "
+                    f"read_parquet('{tmp}/{tbl}.parquet/*.parquet')"
+                )
+            for name, fn in qs.items():
+                if name not in osql:
+                    continue  # rows-only: no oracle to diverge from
+                try:
+                    got = fn(spark, str(tmp)).toPandas()
+                except Exception as e:  # needs tables we didn't make
+                    if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                        n_skipped += 1
+                        continue
+                    failures.append(f"[seed {seed}] {name}: spark raised {e!r:.300}")
+                    continue
+                try:
+                    want = con.sql(osql[name]).df()
+                except Exception as e:
+                    if "does not exist" in str(e) or "Table" in str(e):
+                        n_skipped += 1
+                        continue
+                    failures.append(f"[seed {seed}] {name}: oracle raised {e!r:.300}")
+                    continue
+                n_checked += 1
+                gc, gr = _rows(got)
+                wc, wr = _rows(want)
+                if gc != wc:
+                    failures.append(f"[seed {seed}] {name}: columns {gc} vs {wc}")
+                elif gr != wr:
+                    bad = next(i for i, (a, b) in enumerate(
+                        zip(gr, wr)) if a != b) if len(gr) == len(wr) else -1
+                    detail = (
+                        f"row {bad}: {gr[bad]} vs {wr[bad]}" if bad >= 0
+                        else f"row counts {len(gr)} vs {len(wr)}"
+                    )
+                    failures.append(f"[seed {seed}] {name}: {detail}")
+                print(f"[seed {seed}] {name}: "
+                      f"{'DIVERGED' if failures and failures[-1].startswith(f'[seed {seed}] {name}:') else 'ok'}")
+            con.close()
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    print(f"\nchecked {n_checked} query-runs over {N_TRIALS} trials "
+          f"({n_skipped} skipped: need relational tables)")
+    if failures:
+        print(f"{len(failures)} DIVERGENCES:")
+        for f in failures:
+            print("  " + f)
+        return 1
+    print("all checked pairs agree")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
