@@ -12,10 +12,11 @@ null vs DuckDB NaN on 0/0 symbol_ratio for empty text).
 Each trial synthesizes documents + embeddings parquet with hostile
 features (empty texts, single-char words, exact duplicate docs,
 repeated paragraphs, curly-quote/long-s unicode, mixed case, zero and
-duplicate vectors), registers them as DuckDB views, and compares every
-catalog query that reads only those tables using the same canonical
-rows + hash as tools/gen_correctness.py. Queries needing other tables
-are skipped by detection, not by a hand-kept list.
+duplicate vectors), plus tiny TPC-H-shaped relational tables (duplicate keys, orphan
+foreign keys, zero prices, boundary/tie dates, empty + unicode
+strings, burst/tie event timestamps), registers them as DuckDB views,
+and compares EVERY oracle-paired catalog query using the same
+canonical rows + hash as tools/gen_correctness.py.
 
 Usage:  python tools/fuzz_correctness.py [n_trials] [base_seed]
 Exit 1 on any divergence (per-query detail printed).
@@ -96,6 +97,125 @@ def make_tables(tmp: Path, seed: int, spark) -> None:
         vecs, "vec_id bigint, embedding array<float>, label int"
     ).coalesce(2).write.parquet(str(tmp / "embeddings.parquet"))
 
+    make_relational_tables(tmp, rng, spark)
+
+
+def make_relational_tables(tmp: Path, rng: random.Random, spark) -> None:
+    """Tiny TPC-H-shaped + events tables with hostile-but-valid values:
+    duplicate keys where legal, zero/negative prices, boundary dates,
+    empty and unicode strings, orphan foreign keys, ties everywhere
+    (ties + row_number is the classic cross-engine instability)."""
+    from datetime import datetime, timedelta
+
+    def dt(days: float) -> datetime:
+        return datetime(1995, 1, 1) + timedelta(days=days)
+
+    regions = [(i, n) for i, n in enumerate(
+        ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"])]
+    spark.createDataFrame(regions, "r_regionkey int, r_name string") \
+        .coalesce(1).write.parquet(str(tmp / "region.parquet"))
+    nations = [(i, f"NATION {i}", i % 5) for i in range(10)]
+    spark.createDataFrame(nations, "n_nationkey int, n_name string, n_regionkey int") \
+        .coalesce(1).write.parquet(str(tmp / "nation.parquet"))
+
+    segs = ["MACHINERY", "AUTOMOBILE", "HOUSEHOLD", "BUILDING", "FURNITURE"]
+    hostile_names = ["", " ", "Ünïcode Ltd", "O'Brien & Sons", "a#b%c_d"]
+    cust = [
+        (i,
+         rng.choice(hostile_names) if rng.random() < 0.2
+         else f"Customer#{i:09d}",
+         rng.randrange(10),
+         round(rng.choice([0.0, -999.99, rng.uniform(-1000, 10000)]), 2),
+         rng.choice(segs))
+        for i in range(30)
+    ]
+    spark.createDataFrame(
+        cust,
+        "c_custkey bigint, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    ).coalesce(1).write.parquet(str(tmp / "customer.parquet"))
+
+    supp = [(i, f"Supplier#{i:09d}", rng.randrange(10),
+             round(rng.uniform(-1000, 10000), 2)) for i in range(8)]
+    spark.createDataFrame(
+        supp, "s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double"
+    ).coalesce(1).write.parquet(str(tmp / "supplier.parquet"))
+
+    types = ["ECONOMY BRASS", "STANDARD COPPER", "PROMO STEEL", "LARGE TIN"]
+    part = [
+        (i,
+         rng.choice(hostile_names) if rng.random() < 0.15 else f"part {i}",
+         f"Brand#{rng.randrange(1, 6)}{rng.randrange(1, 6)}",
+         rng.choice(types),
+         rng.choice([0, 1, 50, 50, rng.randrange(1, 51)]),  # ties
+         round(rng.choice([0.0, rng.uniform(100, 2000)]), 2))
+        for i in range(20)
+    ]
+    spark.createDataFrame(
+        part,
+        "p_partkey bigint, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).coalesce(1).write.parquet(str(tmp / "part.parquet"))
+
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    orders = [
+        (i,
+         rng.randrange(35),  # some custkeys are orphans (no such customer)
+         rng.choice("POF"),
+         round(rng.choice([0.0, rng.uniform(1000, 300000)]), 2),
+         dt(rng.choice([0, 0, 2400, rng.uniform(0, 2400)])),  # boundary+tie
+         rng.choice(prios))
+        for i in range(40)
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.parquet(str(tmp / "orders.parquet"))
+
+    li = []
+    for i in range(120):
+        li.append((
+            rng.randrange(45),  # some orderkeys orphaned
+            rng.randrange(25),
+            rng.randrange(10),
+            rng.randrange(1, 8),
+            float(rng.choice([0, 1, 25, 25, rng.randrange(1, 51)])),
+            round(rng.choice([0.0, rng.uniform(900, 100000)]), 2),
+            rng.choice([0.0, 0.05, 0.1]),
+            rng.choice([0.0, 0.04, 0.08]),
+            rng.choice("ANR"),
+            rng.choice("OF"),
+            dt(rng.choice([0, 2400, rng.uniform(0, 2400)])),
+        ))
+    spark.createDataFrame(
+        li,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp",
+    ).coalesce(2).write.parquet(str(tmp / "lineitem.parquet"))
+
+    etypes = ["signup", "click", "error", "view", "purchase"]
+    ev = []
+    base = datetime(2024, 1, 1)
+    t = 0.0
+    for i in range(80):
+        # bursts + gaps + exact-tie timestamps stress sessionize/windows
+        t += rng.choice([0.0, 0.0, 1.0, 60.0, 3600.0, rng.uniform(0, 900)])
+        ev.append((
+            i, base + timedelta(seconds=t), rng.randrange(6),
+            rng.choice(etypes),
+            round(rng.choice([0.0, rng.uniform(0, 500)]), 2),
+            rng.choice(['{"k": 0}', f'{{"k": {rng.randrange(100)}}}',
+                        '{}', '{"k": null}']),
+        ))
+    spark.createDataFrame(
+        ev,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    ).coalesce(1).write.parquet(str(tmp / "events.parquet"))
+
 
 def main() -> int:
     spark = get_spark(app_name="fuzz-correctness")
@@ -108,7 +228,9 @@ def main() -> int:
         try:
             make_tables(tmp, seed, spark)
             con = duckdb.connect()
-            for tbl in ("documents", "embeddings"):
+            for tbl in ("documents", "embeddings", "region", "nation",
+                        "customer", "supplier", "part", "orders",
+                        "lineitem", "events"):
                 # Spark writes a directory of part files — glob for DuckDB
                 con.sql(
                     f"CREATE VIEW {tbl} AS SELECT * FROM "
@@ -152,7 +274,7 @@ def main() -> int:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
     print(f"\nchecked {n_checked} query-runs over {N_TRIALS} trials "
-          f"({n_skipped} skipped: need relational tables)")
+          f"({n_skipped} skipped)")
     if failures:
         print(f"{len(failures)} DIVERGENCES:")
         for f in failures:
