@@ -4656,3 +4656,54 @@ ORDER BY n_occurrences DESC, piece"""
 )
 
 ML_QUERIES["bpe_encode"] = (bpe_encode, BPE_ENCODE_SQL)
+
+
+def bpe_tokenize_docs(spark, sf_dir, n_merges: int = BPE_MERGES):
+    """Per-document BPE token counts — what a sequence-packing pipeline
+    actually consumes downstream of the tokenizer.
+
+    The re-attachment shape SCALE.md promises, made concrete: the
+    word→n_pieces map is VOCABULARY-sized (10^7 rows at web scale) and
+    broadcasts, so the corpus-sized token stream joins without a
+    shuffle — one scan, one broadcast hash join, then the per-doc
+    aggregate. Documents with no words (empty text) have no token rows
+    and drop out, identically in the oracle's inner join."""
+    _, vocab = _bpe_learn_loop(spark, sf_dir, n_merges)
+    wp = vocab.select(
+        "word", F.size(F.split("sym", BPE_SEP)).alias("n_pieces")
+    )
+    words = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), " ")).alias("word"),
+        )
+        .where(F.col("word") != "")
+    )
+    return (
+        words.join(F.broadcast(wp), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_pieces").alias("n_tokens_bpe"),
+            F.count("*").alias("n_words"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BPE_TOKENIZE_DOCS_SQL = _bpe_sql(
+    final_select=f"""
+SELECT doc_id,
+       CAST(sum(len(string_split(sym, '{BPE_SEP}'))) AS BIGINT)
+         AS n_tokens_bpe,
+       CAST(count(*) AS BIGINT) AS n_words
+FROM (SELECT doc_id, word
+      FROM (SELECT doc_id,
+                   unnest(string_split(lower(text), ' ')) AS word
+            FROM documents)
+      WHERE word != '') d
+JOIN v{BPE_MERGES} USING (word)
+GROUP BY doc_id ORDER BY doc_id"""
+)
+
+ML_QUERIES["bpe_tokenize_docs"] = (bpe_tokenize_docs, BPE_TOKENIZE_DOCS_SQL)

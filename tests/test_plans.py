@@ -461,3 +461,14 @@ def test_round4_ops_plan_shapes(spark, sf_dir):
     # map-side combined word count, no Python
     bv = plan_of(_bpe_vocab(spark, sf_dir))
     assert "partial_count" in bv and "EvalPython" not in bv
+
+
+def test_bpe_tokenize_docs_broadcast_join(spark, sf_dir):
+    """The word->pieces re-attachment must be a broadcast hash join —
+    the corpus-sized token stream never shuffles for it (the only
+    Exchanges are the per-doc aggregate + output sort)."""
+    from datamunging_spark.ml_ops import bpe_tokenize_docs
+
+    plan = plan_of(bpe_tokenize_docs(spark, sf_dir, n_merges=2))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
