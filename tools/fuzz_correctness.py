@@ -55,6 +55,9 @@ HOSTILE_TEXTS = [
     "MiXeD CaSe MIXED case mixed CASE",  # case-normalization class
     "x # y # z # x # y",  # contains the paragraph separator token
     "tab\there newline\\n literal",
+    "line one\nline two\nline one",  # REAL newlines: sentence/para ops
+    "ends with dot. two. sentences.",  # sentence-split edges
+    "word. \n . \n mixed\nterminators. ",
 ]
 
 
@@ -69,7 +72,7 @@ def make_tables(tmp: Path, seed: int, spark) -> None:
         elif roll < 0.35 and docs:
             text = docs[rng.randrange(len(docs))][1]  # exact duplicate
         else:
-            k = rng.randint(1, 60)
+            k = rng.choice([2000]) if rng.random() < 0.05 else rng.randint(1, 60)
             toks = [rng.choice(WORDS) for _ in range(k)]
             if rng.random() < 0.3:  # repeated paragraph
                 toks = toks + toks
