@@ -33,45 +33,75 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 with EXACT money arithmetic.
+
+    Money/discount/tax columns are scaled to integer ten-thousandths
+    (they carry ≤4 decimal digits by construction) and summed as
+    decimal(38,0) — exact and ORDER-INDEPENDENT, so the result is
+    invariant under partitioning/AQE re-planning and bit-identical to
+    the DuckDB oracle (whose BIGINT sums promote to HUGEINT). Summing
+    raw doubles is order-dependent: at a rounding boundary the 4-digit
+    round flips between runs and engines (caught by
+    tools/fuzz_correctness.py on avg_disc at 0.05625). The final
+    single divisions and rounds operate on identical IEEE inputs in
+    both engines, so they agree deterministically. l_quantity is
+    integral (TPC-H spec), so its double sum is already exact."""
     li = t(spark, sf_dir, "lineitem")
+    price_i = F.round(F.col("l_extendedprice") * 10000).cast("long")
+    disc_i = F.round(F.col("l_discount") * 10000).cast("long")
+    tax_i = F.round(F.col("l_tax") * 10000).cast("long")
+    big = "decimal(38,0)"
+    n = F.count("*")
+    sum_price = F.sum(price_i.cast(big))
+    sum_disc = F.sum(disc_i.cast(big))
+    # per-row integer products fit int64 (price ≤ 1e5 → price_i ≤ 1e9;
+    # ×2e4 ≤ 2e13; ×2e4 ≤ 4e17); the cross-row sum goes decimal(38,0)
+    sum_disc_price = F.sum((price_i * (10000 - disc_i)).cast(big))
+    sum_charge = F.sum(
+        (price_i * (10000 - disc_i) * (10000 + tax_i)).cast(big)
+    )
     return (
         li.where(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                4,
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count("*").alias("count_order"),
+            F.round(sum_price.cast("double") / 1e4, 4).alias("sum_base_price"),
+            F.round(sum_disc_price.cast("double") / 1e8, 4).alias(
+                "sum_disc_price"
+            ),
+            F.round(sum_charge.cast("double") / 1e12, 4).alias("sum_charge"),
+            F.round(F.sum("l_quantity") / n, 4).alias("avg_qty"),
+            F.round(sum_price.cast("double") / 1e4 / n, 4).alias("avg_price"),
+            F.round(sum_disc.cast("double") / 1e4 / n, 4).alias("avg_disc"),
+            n.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
 
 
 Q1_SQL = """
+-- exact-integer money arithmetic, mirroring the engine: BIGINT sums
+-- promote to HUGEINT (exact, order-independent); the single final
+-- divisions/rounds then agree with Spark bit-for-bit
+WITH s AS (
+  SELECT l_returnflag, l_linestatus, l_quantity,
+         CAST(round(l_extendedprice * 10000, 0) AS BIGINT) AS price_i,
+         CAST(round(l_discount * 10000, 0) AS BIGINT)      AS disc_i,
+         CAST(round(l_tax * 10000, 0) AS BIGINT)           AS tax_i
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+)
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 4)                                            AS sum_qty,
-       round(sum(l_extendedprice), 4)                                       AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 4)                    AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)      AS sum_charge,
-       round(avg(l_quantity), 4)                                            AS avg_qty,
-       round(avg(l_extendedprice), 4)                                       AS avg_price,
-       round(avg(l_discount), 4)                                            AS avg_disc,
+       round(CAST(sum(price_i) AS DOUBLE) / 1e4, 4)                         AS sum_base_price,
+       round(CAST(sum(price_i * (10000 - disc_i)) AS DOUBLE) / 1e8, 4)      AS sum_disc_price,
+       round(CAST(sum(price_i * (10000 - disc_i) * (10000 + tax_i))
+                  AS DOUBLE) / 1e12, 4)                                     AS sum_charge,
+       round(sum(l_quantity) / count(*), 4)                                 AS avg_qty,
+       round(CAST(sum(price_i) AS DOUBLE) / 1e4 / count(*), 4)              AS avg_price,
+       round(CAST(sum(disc_i) AS DOUBLE) / 1e4 / count(*), 4)               AS avg_disc,
        count(*)                                                             AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+FROM s
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
