@@ -173,6 +173,14 @@ def main() -> None:
     # warm the JVM once and the Python UDF workers once (worker spawn is
     # ~200ms/core and would otherwise be billed to the first Python query)
     _force(spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(1000))
+    # ...and the shuffle/agg machinery (exchange, AQE, wholestage agg
+    # codegen) — otherwise the FIRST aggregate query (q1) absorbs it
+    _force(
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .limit(5000)
+        .groupBy("l_returnflag")
+        .count()
+    )
     warm = generate_corpus(seed=1, n_docs=64, monster_frac=0.0)
     warm_df = spark.createDataFrame(corpus_to_rows(warm), schema=INPUT_SCHEMA)
     _force(munge(warm_df.repartition(spark.sparkContext.defaultParallelism), spark))
