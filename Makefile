@@ -1,13 +1,19 @@
 # Entry points for the datamunging_spark engine.
 PY ?= python
 
-.PHONY: test correctness fuzz bench scaling scaling-gated
+.PHONY: test correctness fuzz fuzz-streaming bench scaling scaling-gated
 
 # Differential fuzzing: engine vs DuckDB oracle on randomized HOSTILE
 # corpora (empty texts, zero vectors, duplicates, unicode) — catches
 # data-dependent divergences sf0.01 never triggers
 fuzz:
 	$(PY) tools/fuzz_correctness.py 3
+
+# Streaming differential fuzzing (r5): curate/munge/sessionize streaming
+# jobs vs their batch twins on hostile corpora, with a mid-stream
+# restart (checkpoint resume) + replayed batch per trial
+fuzz-streaming:
+	$(PY) tools/fuzz_streaming.py 3
 
 # pytest + the full-catalog correctness artifact: regenerating
 # CORRECTNESS_local.json in the default flow keeps the artifact from

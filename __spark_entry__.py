@@ -76,11 +76,13 @@ DRIVER_PRIORITY = [
     "kmeans_embeddings",
     "knn_join_topk",
     "multimodal_resize",
-    "multimodal_frame_sample",
     "lang_id_stopword",
     "text_quality",
     "token_stats",
-    "token_stats_bpe",
+    # (token_stats_bpe + multimodal_frame_sample moved past the window in
+    # r5 to make room for the round-5 flagships below; the BPE family
+    # keeps bpe_learn in-window and multimodal keeps multimodal_resize —
+    # both remain oracle-checked in pytest + CORRECTNESS_local.json)
     "winnow_fingerprint",
     "hash_split",
     "decontaminate_ngrams",
@@ -103,6 +105,13 @@ DRIVER_PRIORITY = [
     "substring_dedup",
     "gopher_quality",
     "bpe_learn",
+    # round-5 flagship additions: the Bloom-filter decontamination scale
+    # variant (fixed-size broadcast payload + bloom-pruned verify join)
+    # and best-fit-decreasing shard packing (quality variant of
+    # pack_shards; applyInPandas per md5 pack group, recursive-CTE
+    # oracle replaying the exact sequential placement)
+    "decontaminate_bloom",
+    "pack_shards_bfd",
 ]
 
 

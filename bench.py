@@ -193,7 +193,16 @@ def main() -> None:
     audits: dict[str, dict] = {}
     for name in HEADLINE:
         fn = ALL[name][0]
-        best, audit = _best_clean(lambda: _force(fn(spark, SF_DIR)))
+
+        def run(fn=fn, name=name):
+            # the BPE ops memoize the learned tokenizer on the session
+            # (production reuse pattern); the bench must still measure
+            # the real learn loop on every repeat
+            if name.startswith("bpe_"):
+                getattr(spark, "_datamunging_bpe_memo", {}).clear()
+            _force(fn(spark, SF_DIR))
+
+        best, audit = _best_clean(run)
         timings[name] = round(best, 3)
         audits[name] = audit
 
@@ -227,6 +236,21 @@ def main() -> None:
     dt = max(c1[0] - c0[0], 1)
     ncpu = os.cpu_count()
     dirty = sorted(n for n, a in audits.items() if a["n_clean"] == 0)
+    # Per-attempt audit detail goes to stderr + a sidecar file — NOT the
+    # final stdout line. r4 lesson (VERDICT r4 "What's wrong" #1): embedding
+    # query_audit in the single stdout JSON line overflowed the driver's
+    # tail capture and BENCH_r04.json came back "parsed": null. The driver
+    # parses the LAST stdout line; keep it compact.
+    audit_blob = json.dumps({"query_audit": audits})
+    print(audit_blob, file=sys.stderr)
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_audit_local.json"), "w"
+        ) as f:
+            f.write(audit_blob)
+    except OSError:
+        pass
     print(
         json.dumps(
             {
@@ -241,14 +265,12 @@ def main() -> None:
                     ncpu * (1.0 - (c1[1] - c0[1]) / dt), 2
                 ),
                 "host_steal_cores_during": round(ncpu * (c1[2] - c0[2]) / dt, 2),
-                # contamination protocol summary (details per query below):
                 # a query in all_contaminated_queries never got a repeat
                 # with steal <= slack — its wall is an upper bound, not a
-                # measurement
+                # measurement; per-attempt detail in BENCH_audit_local.json
                 "load_gate": BENCH_LOAD_GATE or None,
                 "steal_slack": BENCH_STEAL_SLACK,
                 "all_contaminated_queries": dirty,
-                "query_audit": audits,
             }
         )
     )

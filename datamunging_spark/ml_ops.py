@@ -1074,7 +1074,7 @@ def extract_munge_metrics(spark, sf_dir):
 
 
 def _extract_munge_metrics_sql() -> str:
-    from .rulesets.loader import PUNCT
+    from .rulesets.loader import PUNCT, load_rulesets
 
     punct = PUNCT.replace("'", "''")
     # the cascade counts a token iff its PUNCT-stripped core is
@@ -1083,10 +1083,29 @@ def _extract_munge_metrics_sql() -> str:
     # Python str.split() — whitespace RUNS, empties dropped (0 tokens
     # for empty/whitespace-only text). Both edges fuzz-caught; plain
     # string_split(' ') counted phantom empty and punct tokens.
+    #
+    # Two engine-side pre-steps the oracle must replicate (ADVICE r4):
+    # (1) the R5 char_map translate runs BEFORE tokenization — e.g.
+    #     en-dash→'-' turns a lone '–' token into pure punctuation
+    #     (skipped), while raw '–' is not in PUNCT (counted). Replayed
+    #     here as a replace() chain from the real char_map; safe to
+    #     chain sequentially because no map OUTPUT contains a map input.
+    # (2) Python str.split() splits on UNICODE whitespace (NBSP, thin
+    #     space, U+2028...), but RE2's \s is ASCII-only — the split
+    #     class below is the exact str.isspace() codepoint set.
+    tr = "text"
+    for src, dst in load_rulesets().char_map:
+        s, d = src.replace("'", "''"), dst.replace("'", "''")
+        tr = f"replace({tr}, '{s}', '{d}')"
+    pyws = (
+        r"[\t-\r\x1c-\x1f "
+        r"\x{85}\x{a0}\x{1680}\x{2000}-\x{200a}"
+        r"\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+"
+    )
     return rf"""
 SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        CAST(1 AS BIGINT) AS pages,
-       CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+       CAST(len(list_filter(regexp_split_to_array({tr}, '{pyws}'),
                  x -> trim(x, '{punct}') != '')) AS BIGINT) AS tokens_total,
        CAST(0 AS BIGINT) AS tokens_corrected
 FROM documents ORDER BY doc_id
@@ -1717,6 +1736,135 @@ ML_QUERIES["pack_shards"] = (_pack_shards_driver, PACK_SHARDS_SQL)
 
 
 # --------------------------------------------------------------------------
+# Best-fit-decreasing shard packing (r5) — the packing-QUALITY variant of
+# pack_shards. The cumsum formulation is one window pass but lets a doc
+# straddle a budget boundary (shards overshoot by up to max_doc) and
+# leaves tail waste per group; BFD sorts each group's docs by size
+# descending and places each into the fullest bin it still fits
+# (classic 11/9·OPT+6/9 guarantee), so bins never exceed the budget
+# unless a single doc alone does.
+#
+# Scale shape: the same md5 pack groups give P-way parallelism; WITHIN a
+# group BFD is inherently sequential, so it runs as one applyInPandas
+# call per group — the documented custom-operator escape hatch (brief:
+# "(b) a Pandas-UDF-backed applyInPandas ... when built-ins can't
+# express the semantics"). P is chosen so a group fits an executor
+# (10^12 docs / 10^6 groups = 10^6-doc groups ≈ 24 MB of (id, nt, key)
+# rows); this toy loop is O(docs × bins) per group — a production body
+# would keep bins in a best-fit tree, same semantics. Only (doc_id,
+# n_tokens, key) ever reaches Python, never text. The DuckDB oracle
+# replays the EXACT sequential placement with a recursive CTE carrying
+# per-group (loads, counts) list state — one iteration per placed doc.
+# --------------------------------------------------------------------------
+
+
+def pack_shards_bfd(spark, sf_dir, n_groups: int | None = None,
+                    budget: int = PACK_BUDGET):
+    if n_groups is None:
+        n_groups = spark.sparkContext.defaultParallelism
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("nt")
+    )
+    key = md5_long(F.concat(F.lit("pack:"), F.col("doc_id").cast("string")))
+    grouped = docs.select(
+        "doc_id", "nt", F.pmod(key, F.lit(n_groups)).cast("int").alias("g"),
+        key.alias("k"),
+    )
+
+    def bfd(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["nt", "k", "doc_id"], ascending=[False, True, True]
+        )
+        grp = int(pdf["g"].iloc[0])
+        loads: list[int] = []
+        counts: list[int] = []
+        for nt in pdf["nt"].tolist():
+            nt = int(nt)
+            # fullest bin that still fits; tie -> first-opened (strict >
+            # keeps the lowest index, matching the oracle's
+            # list_position-of-max rule)
+            best, best_load = -1, -1
+            for j, load in enumerate(loads):
+                if load + nt <= budget and load > best_load:
+                    best, best_load = j, load
+            if best < 0:
+                loads.append(nt)
+                counts.append(1)
+            else:
+                loads[best] += nt
+                counts[best] += 1
+        return pd.DataFrame(
+            {
+                "shard": [grp * (1 << 40) + j for j in range(len(loads))],
+                "n_docs": counts,
+                "tokens": loads,
+            }
+        )
+
+    return (
+        grouped.groupBy("g")
+        .applyInPandas(bfd, "shard long, n_docs long, tokens long")
+        .orderBy("shard")
+    )
+
+
+def _pack_shards_bfd_sql(n_groups: int = PACK_GROUPS,
+                         budget: int = PACK_BUDGET) -> str:
+    # the best-fit choice, written once: position (1-based) of the
+    # fullest bin in `loads` that still fits `nt`, NULL if none fits
+    fit = ("list_position(s.loads, list_max("
+           f"list_filter(s.loads, l -> l + it.nt <= {budget})))")
+    upd = (
+        "list_transform(range(1, len(s.{col}) + 1), "
+        "j -> CASE WHEN j = {fit} THEN s.{col}[j] + {inc} "
+        "ELSE s.{col}[j] END)"
+    )
+    return f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS nt,
+         CAST(concat('0x', substr(md5(concat('pack:',
+              CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS k
+  FROM documents
+),
+g AS (
+  SELECT doc_id, nt, k, k % {n_groups} AS grp,
+         row_number() OVER (PARTITION BY k % {n_groups}
+                            ORDER BY nt DESC, k, doc_id) AS rn
+  FROM d
+),
+sizes AS (SELECT grp, count(*) AS cnt FROM g GROUP BY grp),
+s AS (
+  SELECT grp, CAST(0 AS BIGINT) AS i,
+         CAST([] AS BIGINT[]) AS loads, CAST([] AS BIGINT[]) AS cnts
+  FROM sizes
+  UNION ALL
+  SELECT s.grp, s.i + 1,
+         CASE WHEN {fit} IS NULL THEN list_append(s.loads, CAST(it.nt AS BIGINT))
+              ELSE {upd.format(col="loads", fit=fit, inc="it.nt")} END,
+         CASE WHEN {fit} IS NULL THEN list_append(s.cnts, CAST(1 AS BIGINT))
+              ELSE {upd.format(col="cnts", fit=fit, inc="1")} END
+  FROM s JOIN g it ON it.grp = s.grp AND it.rn = s.i + 1
+),
+final AS (
+  SELECT s.grp, s.loads, s.cnts FROM s JOIN sizes USING (grp)
+  WHERE s.i = sizes.cnt
+)
+SELECT grp * {1 << 40} + (j - 1) AS shard,
+       cnts[j] AS n_docs, loads[j] AS tokens
+FROM final, unnest(range(1, len(loads) + 1)) AS u(j)
+ORDER BY shard
+"""
+
+
+def _pack_shards_bfd_driver(spark, sf_dir):
+    """Driver/oracle entry: group count pinned to the SQL's constant."""
+    return pack_shards_bfd(spark, sf_dir, n_groups=PACK_GROUPS)
+
+
+ML_QUERIES["pack_shards_bfd"] = (_pack_shards_bfd_driver, _pack_shards_bfd_sql())
+
+
+# --------------------------------------------------------------------------
 # Benchmark decontamination — the canonical pretraining hygiene op:
 # find training documents sharing verbatim n-grams with an evaluation
 # set (every serious LLM data pipeline runs some form of this). The
@@ -1780,6 +1928,159 @@ SELECT doc_id, hits, n_grams, ratio FROM (
 """
 
 ML_QUERIES["decontaminate_ngrams"] = (decontaminate_ngrams, DECONTAMINATE_SQL)
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter decontamination (r5; the SCALE.md §"Decontamination" seam):
+# decontaminate_ngrams broadcasts the eval n-gram SET, which stops
+# scaling when eval suites grow (10^8 grams ≈ several GB of strings).
+# This variant broadcasts a fixed-size Bloom BITMAP instead — the
+# payload is BLOOM_M_BITS/8 bytes no matter how many grams the eval
+# suite holds — probes it map-side in pure codegen (md5 positions +
+# array index + bit shift, no Python), and exact-verifies the surviving
+# sliver against the real eval grams so false positives never reach the
+# output. Spark's built-in bloom_filter_agg/might_contain pair is not
+# SQL-exposed in this build (probed: UNRESOLVED_ROUTINE), so the filter
+# is built natively: positions -> bit_or per 64-bit word -> dense
+# array<long> assembled in a 1-row frame, cross-joined (broadcast) into
+# the corpus scan.
+#
+# Scale shape: one eval scan (bitmap build, output = M/64 longs), one
+# corpus scan probing K md5 positions per gram against the broadcast
+# bitmap, then the verify join — whose LEFT side is only the grams that
+# passed the bloom (expected FP rate (1-e^{-Kn/M})^K), so the shuffle
+# moves a sliver, not the corpus. The final ratio uses TRUE hits, so
+# output rows equal the exact operator's; bloom_hits is kept as a
+# column so the oracle hash-checks the bloom mechanism itself, not
+# just the verified result (pytest bounds the empirical FP rate).
+# --------------------------------------------------------------------------
+
+BLOOM_M_BITS = 1 << 16  # 8 KB bitmap (sandbox scale; 10^9 grams → ~2^34)
+BLOOM_K = 3
+
+
+def _bloom_pos(c, i: int, m_bits: int = BLOOM_M_BITS):
+    """Probe position i for gram column c — md5-derived, replayed
+    identically in DuckDB (same idiom as md5_long)."""
+    return md5_long(F.concat(F.lit(f"bloom{i}:"), c)) % m_bits
+
+
+def decontaminate_bloom(spark, sf_dir, m_bits: int = BLOOM_M_BITS):
+    """``m_bits`` sizes the bitmap (driver/oracle pin: BLOOM_M_BITS);
+    pytest shrinks it to force measurable false-positive rates and
+    verify the verify-join removes every one of them."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    is_eval = F.col("doc_id") % 50 == 0
+    eval_grams = (
+        docs.where(is_eval)
+        .select(F.explode(word_shingles(F.col("text"), DECON_NGRAM)).alias("g"))
+        .distinct()
+    )
+    # build: K positions per eval gram -> bit_or into 64-bit words ->
+    # dense array<long> (absent words = 0) in ONE row
+    n_words = m_bits // 64
+    pos = eval_grams.select(
+        F.explode(
+            F.array(
+                *[_bloom_pos(F.col("g"), i, m_bits) for i in range(BLOOM_K)]
+            )
+        ).alias("p")
+    )
+    words = pos.groupBy(F.shiftright("p", 6).cast("int").alias("w")).agg(
+        F.expr("bit_or(shiftleft(1L, CAST(p & 63 AS INT)))").alias("bits")
+    )
+    bitmap = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("bm")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("bm"), i), F.lit(0).cast("long")
+            ),
+        ).alias("bitmap")
+    )
+    train = docs.where(~is_eval).select(
+        "doc_id", word_shingles(F.col("text"), DECON_NGRAM).alias("sh")
+    )
+    probes = train.select(
+        "doc_id", F.size("sh").alias("n_grams"), F.explode("sh").alias("g")
+    ).select(
+        "doc_id", "n_grams", "g",
+        *[
+            _bloom_pos(F.col("g"), i, m_bits).alias(f"p{i}")
+            for i in range(BLOOM_K)
+        ],
+    )
+    in_bloom = " AND ".join(
+        f"((bitmap[CAST(shiftright(p{i}, 6) AS INT)]"
+        f" >> CAST(p{i} & 63 AS INT)) & 1) = 1"
+        for i in range(BLOOM_K)
+    )
+    cands = probes.crossJoin(F.broadcast(bitmap)).where(F.expr(in_bloom))
+    # exact verification: NO broadcast hint — at full eval-suite scale
+    # this is the bloom-pruned shuffle join SCALE.md describes; AQE
+    # still picks broadcast when the eval side is actually small
+    verified = cands.join(
+        eval_grams.withColumn("m", F.lit(1)), "g", "left"
+    )
+    out = verified.groupBy("doc_id", "n_grams").agg(
+        F.countDistinct("g").alias("bloom_hits"),
+        F.countDistinct(F.when(F.col("m") == 1, F.col("g"))).alias("hits"),
+    )
+    ratio = F.round(F.col("hits") / F.col("n_grams"), 4)
+    return (
+        out.select("doc_id", "bloom_hits", "hits", "n_grams",
+                   ratio.alias("ratio"))
+        .where(ratio >= DECON_THRESHOLD)
+        .orderBy("doc_id")
+    )
+
+
+def _bloom_pos_sql(col: str, i: int) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5(concat('bloom{i}:', {col})), 1, 15))"
+        f" AS BIGINT) % {BLOOM_M_BITS}"
+    )
+
+
+DECONTAMINATE_BLOOM_SQL = f"""
+WITH sh AS ({_shingle_sql(DECON_NGRAM)}),
+eval_grams AS (
+  SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 50 = 0
+),
+pos AS (
+  SELECT DISTINCT p FROM (
+    {" UNION ALL ".join(f"SELECT {_bloom_pos_sql('g', i)} AS p FROM eval_grams" for i in range(BLOOM_K))}
+  )
+),
+train AS (
+  SELECT doc_id, len(sh) AS n_grams, unnest(sh) AS g FROM sh
+  WHERE doc_id % 50 <> 0
+),
+probes AS (
+  SELECT doc_id, n_grams, g,
+         {", ".join(f"{_bloom_pos_sql('g', i)} AS p{i}" for i in range(BLOOM_K))}
+  FROM train
+),
+cands AS (
+  SELECT * FROM probes
+  WHERE {" AND ".join(f"p{i} IN (SELECT p FROM pos)" for i in range(BLOOM_K))}
+),
+agg AS (
+  SELECT doc_id, n_grams,
+         count(DISTINCT g) AS bloom_hits,
+         count(DISTINCT CASE WHEN g IN (SELECT g FROM eval_grams)
+                             THEN g END) AS hits
+  FROM cands GROUP BY doc_id, n_grams
+)
+SELECT doc_id, bloom_hits, hits, n_grams, ratio FROM (
+  SELECT doc_id, bloom_hits, hits, n_grams,
+         round(hits::DOUBLE / n_grams, 4) AS ratio
+  FROM agg
+) WHERE ratio >= {DECON_THRESHOLD} ORDER BY doc_id
+"""
+
+ML_QUERIES["decontaminate_bloom"] = (decontaminate_bloom, DECONTAMINATE_BLOOM_SQL)
 
 
 # --------------------------------------------------------------------------
@@ -4079,27 +4380,30 @@ def importance_resample(spark, sf_dir):
         F.conv(F.substring(F.md5(F.concat(F.lit("dsir:"), F.col("tok"))),
                            1, 15), 16, 10).cast("long") % DSIR_BUCKETS,
     )
-    # add-one-smoothed bucket log-probs for target (en) and raw corpus
-    tgt = (
-        toks.where(F.col("lang") == "en")
-        .groupBy("b").agg(F.count("*").alias("tn"))
+    # add-one-smoothed bucket log-probs for target (en) and raw corpus.
+    # r5 (VERDICT r4 "What's wrong" #3): the r4 shape ran TWO separate
+    # .collect() jobs just to fetch tgt_total/raw_total scalars, then a
+    # third job with two more aggregations over toks for the model join —
+    # five scans of the exploded token stream in total. Folded here into
+    # ZERO collects and one job: both bucket counts come from a single
+    # groupBy (tn = conditional sum), the totals are a 1-row aggregate of
+    # that ≤DSIR_BUCKETS-row table cross-joined back in (256×1, broadcast),
+    # and the llr math stays in Spark so engine/oracle float behavior is
+    # unchanged.
+    counts = toks.groupBy("b").agg(
+        F.count("*").alias("rn"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("tn"),
     )
-    raw = toks.groupBy("b").agg(F.count("*").alias("rn"))
-    tgt_total = tgt.agg(F.sum("tn")).collect()[0][0]  # model scalar
-    raw_total = raw.agg(F.sum("rn")).collect()[0][0]
-    model = (
-        raw.join(tgt, "b", "left")
-        .select(
-            "b",
-            (
-                F.log((F.coalesce(F.col("tn"), F.lit(0)) + 1.0)
-                      / (tgt_total + DSIR_BUCKETS))
-                - F.log((F.col("rn") + 1.0) / (raw_total + DSIR_BUCKETS))
-            ).alias("llr"),
-        )
+    totals = counts.agg(F.sum("rn").alias("rt"), F.sum("tn").alias("tt"))
+    model = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log((F.col("tn") + 1.0) / (F.col("tt") + DSIR_BUCKETS))
+            - F.log((F.col("rn") + 1.0) / (F.col("rt") + DSIR_BUCKETS))
+        ).alias("llr"),
     )
     scored = (
-        toks.join(model, "b")
+        toks.join(F.broadcast(model), "b")
         .groupBy("doc_id")
         .agg(F.round(F.avg("llr"), 6).alias("importance"))
     )
@@ -4190,8 +4494,11 @@ def gopher_quality(spark, sf_dir):
     )
     w = F.split("text", " ")
     n = F.size(w)
+    # seed the fold with a LONG: an int accumulator overflows (ANSI: job
+    # kill) on documents beyond 2^31 chars, and diverges from the oracle's
+    # BIGINT sum before that (ADVICE r4)
     mean_wl = (
-        F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
+        F.aggregate(w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
         .cast("double") / n
     )
     stop_frac = (
@@ -4516,7 +4823,22 @@ def _bpe_learn_loop(spark, sf_dir, n_merges: int = BPE_MERGES):
     (bpe_encode) read the materialized partitions instead of re-running
     the base scan + replace chain, and the checkpoint storage is freed
     by the ContextCleaner once the DataFrame is garbage-collected — no
-    persist leak across catalog queries."""
+    persist leak across catalog queries.
+
+    The result is memoized per (sf_dir, n_merges) on the SparkSession
+    (the broadcast_rulesets pattern — ADVICE r4): bpe_learn, bpe_encode
+    and bpe_tokenize_docs all consume the same learned tokenizer, so
+    running the three catalog entries previously triplicated the
+    8-round collect loop. A production pipeline learns the tokenizer
+    once and reuses it everywhere; the memo models exactly that."""
+    memo_key = "_datamunging_bpe_memo"
+    memo = getattr(spark, memo_key, None)
+    if memo is None:
+        memo = {}
+        setattr(spark, memo_key, memo)
+    mk = (str(sf_dir), int(n_merges))
+    if mk in memo:
+        return memo[mk]
     vocab = _bpe_vocab(spark, sf_dir).persist()
     merges = []
     for step in range(1, n_merges + 1):
@@ -4560,7 +4882,8 @@ def _bpe_learn_loop(spark, sf_dir, n_merges: int = BPE_MERGES):
         vocab = nxt
     final = vocab.localCheckpoint(eager=True)
     vocab.unpersist()
-    return merges, final
+    memo[mk] = (merges, final)
+    return memo[mk]
 
 
 def bpe_learn(spark, sf_dir, n_merges: int = BPE_MERGES):

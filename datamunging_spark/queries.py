@@ -33,7 +33,7 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def q1_pricing_summary(spark, sf_dir):
-    """TPC-H Q1 with EXACT money arithmetic.
+    """TPC-H Q1 with EXACT money arithmetic, rounded in integer space.
 
     Money/discount/tax columns are scaled to integer ten-thousandths
     (they carry ≤4 decimal digits by construction) and summed as
@@ -42,16 +42,24 @@ def q1_pricing_summary(spark, sf_dir):
     the DuckDB oracle (whose BIGINT sums promote to HUGEINT). Summing
     raw doubles is order-dependent: at a rounding boundary the 4-digit
     round flips between runs and engines (caught by
-    tools/fuzz_correctness.py on avg_disc at 0.05625). The final
-    single divisions and rounds operate on identical IEEE inputs in
-    both engines, so they agree deterministically. l_quantity is
-    integral (TPC-H spec), so its double sum is already exact."""
+    tools/fuzz_correctness.py on avg_disc at 0.05625).
+
+    The 4-dp ROUNDING also happens in integer space: ``round(double,
+    4)`` itself is engine-ambiguous at representable half-way points
+    (Spark rounds the shortest decimal string HALF_UP; DuckDB scales
+    the double and std::round()s it — r5 fuzz caught avg_price
+    39183.73875 flipping .7388 vs .7387). Half-up of the exact
+    rational s/d is computed as ``(2s + d) div (2d)`` on decimals —
+    integral, exact, identical in both engines — and only the final
+    ≤4-dp result is cast to double (exactly representable ÷1e4)."""
     li = t(spark, sf_dir, "lineitem")
     price_i = F.round(F.col("l_extendedprice") * 10000).cast("long")
     disc_i = F.round(F.col("l_discount") * 10000).cast("long")
     tax_i = F.round(F.col("l_tax") * 10000).cast("long")
     big = "decimal(38,0)"
     n = F.count("*")
+    qty_i = F.round(F.col("l_quantity")).cast("long")  # integral per spec
+    sum_qty = F.sum(qty_i.cast(big))
     sum_price = F.sum(price_i.cast(big))
     sum_disc = F.sum(disc_i.cast(big))
     # per-row integer products fit int64 (price ≤ 1e5 → price_i ≤ 1e9;
@@ -60,19 +68,36 @@ def q1_pricing_summary(spark, sf_dir):
     sum_charge = F.sum(
         (price_i * (10000 - disc_i) * (10000 + tax_i)).cast(big)
     )
+
+    def r4dp(s, d):
+        """Exact half-up of s/d (positive decimals) in 1e-4 units, then
+        the exactly-representable double s4/1e4. floor((2s+d)/(2d)) is
+        computed as (x - pmod(x, y)) / y — the division is then EXACT
+        (integer quotient, no scale-6 decimal rounding in play)."""
+        two = F.lit(2).cast("decimal(38,0)")
+        x, y = two * s + d, two * d
+        return (
+            ((x - F.pmod(x, y)) / y).cast("decimal(38,0)")
+            .cast("double") / 1e4
+        )
+
+    one = F.lit(1).cast("decimal(38,0)")
+    nd = n.cast("decimal(38,0)")
     return (
         li.where(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(sum_price.cast("double") / 1e4, 4).alias("sum_base_price"),
-            F.round(sum_disc_price.cast("double") / 1e8, 4).alias(
+            sum_qty.cast("double").alias("sum_qty"),
+            (sum_price.cast("double") / 1e4).alias("sum_base_price"),
+            r4dp(sum_disc_price, F.lit(10000).cast("decimal(38,0)")).alias(
                 "sum_disc_price"
             ),
-            F.round(sum_charge.cast("double") / 1e12, 4).alias("sum_charge"),
-            F.round(F.sum("l_quantity") / n, 4).alias("avg_qty"),
-            F.round(sum_price.cast("double") / 1e4 / n, 4).alias("avg_price"),
-            F.round(sum_disc.cast("double") / 1e4 / n, 4).alias("avg_disc"),
+            r4dp(sum_charge, F.lit(10**8).cast("decimal(38,0)")).alias(
+                "sum_charge"
+            ),
+            r4dp(sum_qty * 10000, nd).alias("avg_qty"),
+            r4dp(sum_price, nd).alias("avg_price"),
+            r4dp(sum_disc, nd).alias("avg_disc"),
             n.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -80,11 +105,13 @@ def q1_pricing_summary(spark, sf_dir):
 
 
 Q1_SQL = """
--- exact-integer money arithmetic, mirroring the engine: BIGINT sums
--- promote to HUGEINT (exact, order-independent); the single final
--- divisions/rounds then agree with Spark bit-for-bit
+-- exact-integer money arithmetic mirroring the engine: BIGINT sums
+-- promote to HUGEINT (exact, order-independent), and the 4-dp rounding
+-- is exact integer half-up ((2s + d) // (2d)) so no engine ever
+-- rounds an ambiguous double
 WITH s AS (
-  SELECT l_returnflag, l_linestatus, l_quantity,
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity, 0) AS BIGINT)               AS qty_i,
          CAST(round(l_extendedprice * 10000, 0) AS BIGINT) AS price_i,
          CAST(round(l_discount * 10000, 0) AS BIGINT)      AS disc_i,
          CAST(round(l_tax * 10000, 0) AS BIGINT)           AS tax_i
@@ -92,15 +119,19 @@ WITH s AS (
   WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 )
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 4)                                            AS sum_qty,
-       round(CAST(sum(price_i) AS DOUBLE) / 1e4, 4)                         AS sum_base_price,
-       round(CAST(sum(price_i * (10000 - disc_i)) AS DOUBLE) / 1e8, 4)      AS sum_disc_price,
-       round(CAST(sum(price_i * (10000 - disc_i) * (10000 + tax_i))
-                  AS DOUBLE) / 1e12, 4)                                     AS sum_charge,
-       round(sum(l_quantity) / count(*), 4)                                 AS avg_qty,
-       round(CAST(sum(price_i) AS DOUBLE) / 1e4 / count(*), 4)              AS avg_price,
-       round(CAST(sum(disc_i) AS DOUBLE) / 1e4 / count(*), 4)               AS avg_disc,
-       count(*)                                                             AS count_order
+       CAST(sum(qty_i) AS DOUBLE)                           AS sum_qty,
+       CAST(sum(price_i) AS DOUBLE) / 1e4                   AS sum_base_price,
+       CAST((2 * sum(price_i * (10000 - disc_i)) + 10000)
+            // CAST(2 * 10000 AS HUGEINT) AS DOUBLE) / 1e4  AS sum_disc_price,
+       CAST((2 * sum(price_i * (10000 - disc_i) * (10000 + tax_i)) + 100000000)
+            // CAST(200000000 AS HUGEINT) AS DOUBLE) / 1e4  AS sum_charge,
+       CAST((2 * sum(qty_i) * 10000 + count(*))
+            // (2 * count(*)) AS DOUBLE) / 1e4              AS avg_qty,
+       CAST((2 * sum(price_i) + count(*))
+            // (2 * count(*)) AS DOUBLE) / 1e4              AS avg_price,
+       CAST((2 * sum(disc_i) + count(*))
+            // (2 * count(*)) AS DOUBLE) / 1e4              AS avg_disc,
+       count(*)                                             AS count_order
 FROM s
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus

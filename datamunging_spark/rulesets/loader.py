@@ -18,14 +18,15 @@ import string
 from dataclasses import dataclass, field
 from pathlib import Path
 
-DATA_DIR: Path | None = None  # set by load_rulesets(data_dir=...) override
-
 PUNCT = string.punctuation + "“”‘’"  # incl. curly quotes
 
 
-def _read_text(name: str) -> str:
-    if DATA_DIR is not None:
-        return (DATA_DIR / name).read_text(encoding="utf-8")
+def _read_text(name: str, data_dir: Path | None = None) -> str:
+    # data_dir is threaded through per-call (NOT a sticky module global —
+    # ADVICE r4: a module-level override leaked into later no-arg
+    # load_rulesets() calls in the same process)
+    if data_dir is not None:
+        return (data_dir / name).read_text(encoding="utf-8")
     # importlib.resources, not Path(__file__): the package may be
     # imported from a spark-submit --py-files ZIP, where data files
     # are zip members with no filesystem path
@@ -37,12 +38,14 @@ def _read_text(name: str) -> str:
     )
 
 
-def _read_lines(name: str) -> list[str]:
-    return [ln for ln in _read_text(name).splitlines() if ln.strip()]
+def _read_lines(name: str, data_dir: Path | None = None) -> list[str]:
+    return [
+        ln for ln in _read_text(name, data_dir).splitlines() if ln.strip()
+    ]
 
 
-def _read_tsv(name: str) -> list[tuple[str, ...]]:
-    return [tuple(ln.split("\t")) for ln in _read_lines(name)]
+def _read_tsv(name: str, data_dir: Path | None = None) -> list[tuple[str, ...]]:
+    return [tuple(ln.split("\t")) for ln in _read_lines(name, data_dir)]
 
 
 @dataclass(frozen=True)
@@ -76,22 +79,28 @@ class Rulesets:
 
 
 def load_rulesets(data_dir: Path | None = None) -> Rulesets:
-    global DATA_DIR
-    if data_dir is not None:
-        DATA_DIR = Path(data_dir)
+    d = Path(data_dir) if data_dir is not None else None
     ctx: dict[str, list[tuple[str, str]]] = {}
-    for amb, neigh, res in _read_tsv("context_rules.tsv"):
+    for amb, neigh, res in _read_tsv("context_rules.tsv", d):
         ctx.setdefault(amb.lower(), []).append((neigh.lower(), res))
-    char_map = tuple((s, d) for s, d in _read_tsv("char_map.tsv"))
+    char_map = tuple((s, dst) for s, dst in _read_tsv("char_map.tsv", d))
     rs = Rulesets(
-        main_dictionary=frozenset(w.lower() for w in _read_lines("main_dictionary.txt")),
-        correction_rules={a.lower(): b for a, b in _read_tsv("correction_rules.tsv")},
-        variant_spellings={a.lower(): b for a, b in _read_tsv("variant_spellings.tsv")},
-        syncope_rules={a.lower(): b for a, b in _read_tsv("syncope_rules.tsv")},
+        main_dictionary=frozenset(
+            w.lower() for w in _read_lines("main_dictionary.txt", d)
+        ),
+        correction_rules={
+            a.lower(): b for a, b in _read_tsv("correction_rules.tsv", d)
+        },
+        variant_spellings={
+            a.lower(): b for a, b in _read_tsv("variant_spellings.tsv", d)
+        },
+        syncope_rules={
+            a.lower(): b for a, b in _read_tsv("syncope_rules.tsv", d)
+        },
         context_rules={k: tuple(v) for k, v in ctx.items()},
-        roman_numerals=frozenset(_read_lines("roman_numerals.txt")),
-        personal_names=frozenset(_read_lines("personal_names.txt")),
-        place_names=frozenset(_read_lines("place_names.txt")),
+        roman_numerals=frozenset(_read_lines("roman_numerals.txt", d)),
+        personal_names=frozenset(_read_lines("personal_names.txt", d)),
+        place_names=frozenset(_read_lines("place_names.txt", d)),
         char_map=char_map,
     )
     trans = {ord(s): d for s, d in char_map if len(s) == 1 and len(d) == 1}

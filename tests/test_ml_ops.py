@@ -840,3 +840,103 @@ def test_gopher_quality_counts_recompute(spark):
         for r in gopher_quality(spark, SF_DIR).collect()
     }
     assert got == hits
+
+
+def test_decontaminate_bloom_equals_exact_and_bounds_fp(spark):
+    """The Bloom variant's OUTPUT must equal the exact operator's (the
+    verify join removes every false positive), with bloom_hits >= hits
+    per row; a deliberately tiny bitmap (m=256 bits for hundreds of
+    eval-gram insertions => near-saturated filter) must STILL produce
+    the exact flagged set, and the default bitmap's empirical
+    false-positive mass must sit under 3x the theoretical
+    (1 - e^{-Kn/M})^K rate."""
+    import math
+
+    from datamunging_spark.ml_ops import (
+        BLOOM_K,
+        BLOOM_M_BITS,
+        DECON_NGRAM,
+        decontaminate_bloom,
+        decontaminate_ngrams,
+        word_shingles,
+    )
+
+    exact = {
+        r.doc_id: (r.hits, r.n_grams)
+        for r in decontaminate_ngrams(spark, SF_DIR).collect()
+    }
+    for m_bits in (BLOOM_M_BITS, 256):
+        rows = decontaminate_bloom(spark, SF_DIR, m_bits=m_bits).collect()
+        got = {r.doc_id: (r.hits, r.n_grams) for r in rows}
+        assert got == exact, f"m_bits={m_bits}"
+        for r in rows:
+            assert r.bloom_hits >= r.hits, f"m_bits={m_bits}: {r}"
+
+    # FP mass at the default size: theoretical per-probe FP rate from
+    # the real insertion count n (distinct eval grams)
+    docs = t(spark, SF_DIR, "documents").select("doc_id", "text")
+    n_ins = (
+        docs.where(F.col("doc_id") % 50 == 0)
+        .select(F.explode(word_shingles(F.col("text"), DECON_NGRAM)).alias("g"))
+        .distinct()
+        .count()
+    )
+    p_fp = (1.0 - math.exp(-BLOOM_K * n_ins / BLOOM_M_BITS)) ** BLOOM_K
+    rows = decontaminate_bloom(spark, SF_DIR).collect()
+    fp_grams = sum(r.bloom_hits - r.hits for r in rows)
+    probes = sum(r.n_grams for r in rows)
+    assert fp_grams <= 3 * p_fp * probes + 2, (
+        f"fp_grams={fp_grams} probes={probes} p_theory={p_fp:.6f}"
+    )
+
+
+def test_pack_shards_bfd_invariants_and_quality(spark):
+    """BFD packing must partition the corpus exactly (doc/token
+    conservation), NEVER exceed the budget (max_doc < budget holds on
+    this corpus), honor the per-group 11/9*OPT + 1 bin guarantee, and
+    beat-or-match the cumsum packer's mean fill — the quality metric
+    the variant exists for."""
+    from datamunging_spark.ml_ops import (
+        PACK_BUDGET,
+        PACK_GROUPS,
+        pack_shards,
+        pack_shards_bfd,
+    )
+
+    bfd = pack_shards_bfd(spark, SF_DIR, n_groups=PACK_GROUPS).collect()
+    cum = pack_shards(spark, SF_DIR, n_groups=PACK_GROUPS).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    total_docs = docs.count()
+    total_tokens = docs.select(
+        F.sum(F.size(F.split(F.col("text"), " ")))
+    ).collect()[0][0]
+    max_doc = docs.select(
+        F.max(F.size(F.split(F.col("text"), " ")))
+    ).collect()[0][0]
+    assert max_doc < PACK_BUDGET  # precondition for the hard cap below
+    assert sum(r.n_docs for r in bfd) == total_docs
+    assert sum(r.tokens for r in bfd) == total_tokens
+    for r in bfd:
+        assert 0 < r.tokens <= PACK_BUDGET  # BFD bins never overflow
+
+    by_group: dict = {}
+    for r in bfd:
+        by_group.setdefault(r.shard >> 40, []).append(r)
+    for g, rows in by_group.items():
+        # creation-order bin ids, contiguous from 0
+        assert sorted(r.shard & ((1 << 40) - 1) for r in rows) == list(
+            range(len(rows))
+        )
+        # BFD guarantee vs the trivial lower bound on optimal bins
+        g_tokens = sum(r.tokens for r in rows)
+        opt_lb = -(-g_tokens // PACK_BUDGET)
+        assert len(rows) <= (11 * opt_lb) // 9 + 1, (g, len(rows), opt_lb)
+
+    # quality: mean fill (tokens per shard / budget) must not regress
+    # vs the cumsum packer on the same corpus + groups
+    bfd_fill = total_tokens / (len(bfd) * PACK_BUDGET)
+    cum_fill = total_tokens / (len(cum) * PACK_BUDGET)
+    assert bfd_fill >= cum_fill - 1e-9, (
+        f"BFD fill {bfd_fill:.4f} vs cumsum {cum_fill:.4f} "
+        f"({len(bfd)} vs {len(cum)} shards)"
+    )

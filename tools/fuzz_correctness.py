@@ -58,6 +58,14 @@ HOSTILE_TEXTS = [
     "line one\nline two\nline one",  # REAL newlines: sentence/para ops
     "ends with dot. two. sentences.",  # sentence-split edges
     "word. \n . \n mixed\nterminators. ",
+    # Unicode whitespace (ADVICE r4): Python str.split() splits on these,
+    # RE2's \s does not — exercises the aligned extract_munge_metrics
+    # oracle split class (NBSP, thin space, line/para sep, ideographic)
+    "nb\u00a0sp thin\u2009space line\u2028sep para\u2029sep ideo\u3000sp",
+    # translate-then-count class: en/em-dash → '-', '…' → '...', ligature
+    # and long-s folds — lone '–' must count as punctuation AFTER R5
+    "– en–dash — em—dash … ellipsis ﬁrst ﬅop ſoft –",
+    "x" * 5000 + " monster single word",  # monster-length token
 ]
 
 

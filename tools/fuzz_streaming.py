@@ -1,0 +1,433 @@
+#!/usr/bin/env python
+"""Differential fuzzing for the STREAMING surface (r5; VERDICT r4 item 4).
+
+tools/fuzz_correctness.py covers the 95 batch oracle pairs; this harness
+covers the streaming jobs, which have no DuckDB twin — their oracle is
+the BATCH computation plus a faithful driver-side simulation of the
+watermark/timeout machinery. Every trial includes a MID-STREAM RESTART
+(input lands in two waves; the second run resumes the same checkpoint)
+and, for the curate job, a simulated replayed batch (crash between
+append and checkpoint commit).
+
+Per trial (seeded):
+  1. run_streaming_curate  — hostile documents (same HOSTILE_TEXTS pool
+     as fuzz_correctness, so MiXeD-case/unicode/empty docs hit the
+     quality gate) + later-arriving duplicates, two waves + restart +
+     replay; read_curated must equal the batch gate+keep-first twin.
+  2. run_streaming_munge   — randomized spans corpus (monster fraction,
+     body size drawn per trial) in two waves + restart + an idempotent
+     third run; read_output must equal the batch pipeline goldens.
+  3. sessionize_stream     — burst/tie/boundary-gap events (gaps of
+     exactly SESSION_GAP_S land on the strict-> boundary) + clearly-late
+     rows, four chronological files + restart. Emitted sessions are
+     sandwiched between two driver simulations of the
+     applyInPandasWithState machine: LOWER = sessions certainly emitted
+     (gap-rule closures + timeouts that fired before the last batch),
+     UPPER = lower + final sessions whose timeout passed the final
+     watermark (whether Spark runs a timeout-only batch after the last
+     file is version-dependent; both bounds are exact session rows, so
+     any content divergence still fails).
+
+Usage:  python tools/fuzz_streaming.py [n_trials] [base_seed]
+Exit 1 on any divergence (per-trial detail printed).
+"""
+
+from __future__ import annotations
+
+import datetime
+import glob
+import os
+import random
+import shutil
+import sys
+import tempfile
+import time as _time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from datamunging_spark.session import get_spark  # noqa: E402
+from tools.fuzz_correctness import HOSTILE_TEXTS, WORDS  # noqa: E402
+
+N_TRIALS = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+BASE_SEED = int(sys.argv[2]) if len(sys.argv) > 2 else 20260818
+
+DOCS_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+
+
+def _write_wave(spark, rows, schema, out_dir: str, mtime: float,
+                sort_cols=None) -> None:
+    """One parquet file per wave with a pinned mtime — the file source
+    orders micro-batches by modification time, so this IS the arrival
+    order."""
+    df = spark.createDataFrame(rows, schema)
+    if sort_cols:
+        df = df.sort(*sort_cols)
+    before = set(glob.glob(f"{out_dir}/part-*.parquet"))
+    df.coalesce(1).write.mode("append").parquet(out_dir)
+    for f in set(glob.glob(f"{out_dir}/part-*.parquet")) - before:
+        os.utime(f, (mtime, mtime))
+
+
+def _hostile_docs(rng: random.Random, n: int, id0: int = 0):
+    docs = []
+    for i in range(n):
+        roll = rng.random()
+        if roll < 0.3:
+            text = rng.choice(HOSTILE_TEXTS)
+        elif roll < 0.4 and docs:
+            text = docs[rng.randrange(len(docs))][1]
+        else:
+            toks = [rng.choice(WORDS) for _ in range(rng.randint(1, 60))]
+            if rng.random() < 0.3:
+                toks = toks + toks
+            text = " ".join(toks)
+        docs.append((id0 + i, text, rng.choice(["en", "de", "xx"]),
+                     f"src{rng.randrange(3)}", len(text)))
+    return docs
+
+
+# ---------------------------------------------------------------------------
+# 1. streaming curate vs batch twin
+# ---------------------------------------------------------------------------
+
+
+def fuzz_curate(spark, tmp: Path, rng: random.Random) -> list[str]:
+    from datamunging_spark.functions.text import tokens_distinct
+    from datamunging_spark.ml_ops import (
+        CURATE_MIN_DISTINCT_RATIO,
+        CURATE_MIN_TOKENS,
+    )
+    from datamunging_spark.streaming.jobs import (
+        read_curated,
+        run_streaming_curate,
+    )
+    from pyspark.sql.window import Window as W
+
+    docs_dir, out, ckpt = str(tmp / "docs"), str(tmp / "out"), str(tmp / "ck")
+    n = rng.randint(20, 40)
+    docs = _hostile_docs(rng, n)
+    cut = rng.randint(5, n - 5)
+    # later-arriving duplicates of earlier docs (higher ids, later wave):
+    # streaming keep-first-arrival == batch keep-min-doc_id because waves
+    # and files are doc_id-ordered
+    dupes = [
+        (100000 + j, docs[rng.randrange(cut)][1], "en", "dup", 0)
+        for j in range(rng.randint(1, 5))
+    ]
+    base = _time.time() - 1000
+    _write_wave(spark, docs[:cut], DOCS_SCHEMA, docs_dir, base, ["doc_id"])
+    run_streaming_curate(spark, docs_dir, out, ckpt)
+
+    _write_wave(spark, docs[cut:], DOCS_SCHEMA, docs_dir, base + 10,
+                ["doc_id"])
+    _write_wave(spark, dupes, DOCS_SCHEMA, docs_dir, base + 20, ["doc_id"])
+    run_streaming_curate(spark, docs_dir, out, ckpt)  # restart + resume
+
+    # simulated replay: crash between append and checkpoint commit
+    replay = spark.read.parquet(out).where(F.col("batch_id") == 0)
+    if replay.count():
+        replay.write.mode("append").parquet(out)
+
+    try:
+        got = {
+            (r.doc_id, r.h) for r in read_curated(spark, out).collect()
+        }
+    except Exception as e:  # no output at all is legal if nothing passed
+        if "PATH_NOT_FOUND" not in str(e):
+            return [f"curate: read_curated raised {e!r:.200}"]
+        got = set()
+
+    full = spark.createDataFrame(docs + dupes, DOCS_SCHEMA)
+    n_toks = F.size(F.split(F.col("text"), " "))
+    gated = full.where(
+        (n_toks >= CURATE_MIN_TOKENS)
+        & (F.size(tokens_distinct(F.col("text"))) / n_toks
+           >= CURATE_MIN_DISTINCT_RATIO)
+    ).withColumn("h", F.sha2(F.col("text"), 256))
+    first = W.partitionBy("h").orderBy("doc_id")
+    want = {
+        (r.doc_id, r.h)
+        for r in gated.withColumn("rn", F.row_number().over(first))
+        .where(F.col("rn") == 1).select("doc_id", "h").collect()
+    }
+    if got != want:
+        return [
+            f"curate: emitted {sorted(i for i, _ in got)} "
+            f"!= batch twin {sorted(i for i, _ in want)}"
+        ]
+    return []
+
+
+# ---------------------------------------------------------------------------
+# 2. streaming munge vs batch pipeline
+# ---------------------------------------------------------------------------
+
+
+def fuzz_munge(spark, tmp: Path, rng: random.Random) -> list[str]:
+    from datamunging_spark.generator import corpus_to_rows, generate_corpus
+    from datamunging_spark.operators.munge import INPUT_SCHEMA
+    from datamunging_spark.pipeline import read_output, run_pipeline
+    from datamunging_spark.streaming.jobs import run_streaming_munge
+
+    spans_dir = str(tmp / "spans")
+    out_s, out_b, ckpt = str(tmp / "os"), str(tmp / "ob"), str(tmp / "ckm")
+    n_docs = rng.randint(8, 16)
+    docs = generate_corpus(
+        seed=rng.randrange(1 << 30),
+        n_docs=n_docs,
+        monster_frac=rng.choice([0.0, 0.1, 0.3]),
+        body_lines=rng.choice([(2, 6), (6, 12), (20, 30)]),
+    )
+    rows = corpus_to_rows(docs)
+    cut = rng.randint(2, n_docs - 2)
+    base = _time.time() - 1000
+    _write_wave(spark, rows[:cut], INPUT_SCHEMA, spans_dir, base)
+    run_streaming_munge(spark, spans_dir, out_s, ckpt)
+    _write_wave(spark, rows[cut:], INPUT_SCHEMA, spans_dir, base + 10)
+    run_streaming_munge(spark, spans_dir, out_s, ckpt)  # restart + resume
+    run_streaming_munge(spark, spans_dir, out_s, ckpt)  # idempotent re-run
+
+    df = spark.createDataFrame(rows, schema=INPUT_SCHEMA)
+    run_pipeline(spark, df, out_b, run_id="b", partitions=4)
+    got = {
+        r.doc_id: [tuple(s) for s in r.spans]
+        for r in read_output(spark, out_s).collect()
+    }
+    want = {
+        r.doc_id: [tuple(s) for s in r.spans]
+        for r in read_output(spark, out_b).collect()
+    }
+    fails = []
+    if set(got) != set(want):
+        fails.append(
+            f"munge: doc sets differ: {sorted(set(got) ^ set(want))}"
+        )
+    else:
+        bad = [d for d in got if got[d] != want[d]]
+        if bad:
+            fails.append(f"munge: span divergence on docs {bad[:3]}")
+    raw = spark.read.parquet(out_s)
+    if raw.count() != raw.select("doc_id").distinct().count():
+        fails.append("munge: idempotent re-run produced duplicates")
+    return fails
+
+
+# ---------------------------------------------------------------------------
+# 3. stateful sessionization vs driver simulation (sandwich bounds)
+# ---------------------------------------------------------------------------
+
+WM_DELAY_S = 7200  # sessionize_stream's withWatermark("ts", "2 hours")
+
+
+def _simulate_sessions(batches, gap_s: int):
+    """Replay the applyInPandasWithState machine over per-file batches.
+
+    Returns (lower, upper): session sets as (user, start_us, end_us, n).
+    lower = emissions guaranteed by any conforming engine (gap-rule
+    closures + timeouts fired before the final batch); upper adds final
+    sessions whose timeout passed the final watermark (fired only if the
+    engine runs a timeout-only batch after the last file)."""
+    state: dict[int, tuple[int, int, int]] = {}
+    emitted: list[tuple] = []
+    wm_us = None  # watermark, microseconds
+    max_seen_us = None
+    gap_us = gap_s * 1_000_000
+    for rows in batches:
+        # (a) fire timeouts for keys with no data this batch
+        users_with_data = {u for u, _ in rows}
+        for u in list(state):
+            if u in users_with_data:
+                continue
+            s, last, n = state[u]
+            if wm_us is not None and wm_us > last + gap_us:
+                emitted.append((u, s, last, n))
+                del state[u]
+        # (b) late filter + fold, per user in event-time order
+        for u in sorted(users_with_data):
+            ts_list = sorted(
+                ts for uu, ts in rows
+                if uu == u and (wm_us is None or ts >= wm_us)
+            )
+            if not ts_list:
+                continue
+            if u in state:
+                s, last, n = state[u]
+            else:
+                s, last, n = ts_list[0], ts_list[0], 0
+            for ts in ts_list:
+                if ts - last > gap_us:
+                    emitted.append((u, s, last, n))
+                    s, n = ts, 0
+                last = ts
+                n += 1
+            state[u] = (s, last, n)
+        # (c) watermark update from the batch's raw max event time
+        batch_max = max((ts for _, ts in rows), default=None)
+        if batch_max is not None:
+            max_seen_us = (
+                batch_max if max_seen_us is None
+                else max(max_seen_us, batch_max)
+            )
+            wm_us = max_seen_us - WM_DELAY_S * 1_000_000
+    lower = set(emitted)
+    upper = set(emitted)
+    if wm_us is not None:
+        for u, (s, last, n) in state.items():
+            if wm_us > last + gap_us:
+                upper.add((u, s, last, n))
+    return lower, upper
+
+
+def fuzz_sessionize(spark, tmp: Path, rng: random.Random) -> list[str]:
+    from datamunging_spark.streaming.jobs import (
+        SESSION_GAP_S,
+        read_events_stream,
+        sessionize_stream,
+    )
+
+    events_dir, out, ckpt = (
+        str(tmp / "ev"), str(tmp / "sess_out"), str(tmp / "cks")
+    )
+    base_dt = datetime.datetime(2024, 1, 1)
+    base_us = int(base_dt.timestamp() * 1e6)
+    n_users = rng.randint(3, 6)
+    rows = []
+    eid = 0
+    for u in range(n_users):
+        t_us = rng.randint(0, 600) * 1_000_000
+        for _ in range(rng.randint(5, 25)):
+            # boundary-hostile gaps: exact ties, exactly-at-gap (1800 s),
+            # one-past-gap, plus bursts and long jumps
+            t_us += rng.choice(
+                [0, 0, 1_000_000, SESSION_GAP_S * 1_000_000,
+                 SESSION_GAP_S * 1_000_000 + 1,
+                 (SESSION_GAP_S - 1) * 1_000_000,
+                 (SESSION_GAP_S + 1) * 1_000_000,
+                 3 * 3600 * 1_000_000,
+                 rng.randint(1, 900) * 1_000_000]
+            )
+            rows.append((eid, base_us + t_us, u))
+            eid += 1
+    rows.sort(key=lambda r: r[1])
+    # one clearly-late row per trial: 5 h behind the stream tail, landing
+    # in the final file — must be dropped by the watermark filter
+    late_ts = rows[-1][1] - 5 * 3600 * 1_000_000
+    if late_ts > rows[0][1]:
+        rows_late = [(eid, late_ts, rng.randrange(n_users))]
+    else:
+        rows_late = []
+
+    k = 4
+    per = (len(rows) + k - 1) // k
+    files = [rows[i * per:(i + 1) * per] for i in range(k)]
+    files = [f for f in files if f]
+    files[-1] = files[-1] + rows_late
+
+    def to_spark_rows(chunk):
+        return [
+            (e, datetime.datetime.utcfromtimestamp(ts / 1e6), u,
+             "view", 0.0, "{}")
+            for e, ts, u in chunk
+        ]
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    base_mt = _time.time() - 1000
+    restart_after = max(1, len(files) // 2)
+
+    def drain():
+        stream = read_events_stream(spark, events_dir)
+        q = (
+            sessionize_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for i, chunk in enumerate(files[:restart_after]):
+        _write_wave(spark, to_spark_rows(chunk), schema, events_dir,
+                    base_mt + i * 10)
+    drain()
+    for i, chunk in enumerate(files[restart_after:]):
+        _write_wave(spark, to_spark_rows(chunk), schema, events_dir,
+                    base_mt + (restart_after + i) * 10)
+    drain()  # restart: state + watermark resume from the checkpoint
+
+    try:
+        got = {
+            (
+                r.user_id,
+                int(r.session_start.timestamp() * 1e6),
+                int(r.session_end.timestamp() * 1e6),
+                r.n_events,
+            )
+            for r in spark.read.parquet(out).collect()
+        }
+    except Exception as e:
+        if "PATH_NOT_FOUND" in str(e):
+            got = set()
+        else:
+            return [f"sessionize: read raised {e!r:.200}"]
+
+    batches = [[(u, ts) for _, ts, u in chunk] for chunk in files]
+    lower, upper = _simulate_sessions(batches, SESSION_GAP_S)
+    fails = []
+    if not got <= upper:
+        fails.append(
+            f"sessionize: emitted sessions outside simulation: "
+            f"{sorted(got - upper)[:3]}"
+        )
+    if not lower <= got:
+        fails.append(
+            f"sessionize: guaranteed sessions missing: "
+            f"{sorted(lower - got)[:3]}"
+        )
+    return fails
+
+
+def main() -> int:
+    spark = get_spark(app_name="fuzz-streaming")
+    failures: list[str] = []
+    n_checked = 0
+    for trial in range(N_TRIALS):
+        seed = BASE_SEED + trial
+        rng = random.Random(seed)
+        tmp = Path(tempfile.mkdtemp(prefix=f"sfuzz_{seed}_"))
+        try:
+            for name, fn in (
+                ("curate", fuzz_curate),
+                ("munge", fuzz_munge),
+                ("sessionize", fuzz_sessionize),
+            ):
+                fs = fn(spark, tmp / name, rng)
+                n_checked += 1
+                failures.extend(f"[seed {seed}] {m}" for m in fs)
+                print(f"[seed {seed}] {name}: "
+                      f"{'DIVERGED' if fs else 'ok'}")
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    print(f"\nchecked {n_checked} streaming-pair runs over "
+          f"{N_TRIALS} trials")
+    if failures:
+        print(f"{len(failures)} DIVERGENCES:")
+        for f in failures:
+            print("  " + f)
+        return 1
+    print("all streaming pairs agree")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
