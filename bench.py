@@ -85,8 +85,14 @@ ALL = {**RELATIONAL_QUERIES, **ML_QUERIES}
 BENCH_LOAD_GATE = float(os.environ.get("BENCH_LOAD_GATE", "2.0"))
 BENCH_GATE_TIMEOUT = float(os.environ.get("BENCH_GATE_TIMEOUT", "180"))
 BENCH_STEAL_SLACK = float(os.environ.get("BENCH_STEAL_SLACK", "1.0"))
-BENCH_REPEATS = int(os.environ.get("BENCH_REPEATS", "2"))
-BENCH_MAX_TRIES = int(os.environ.get("BENCH_MAX_TRIES", "5"))
+# 3 repeats since r5 (was 2): min-of-repeats is documented as the
+# steady-state estimator, but Q1's decimal/intdiv codegen measurably
+# needs two passes to JIT (audited walls 3.36 -> 1.97 -> ~1.0 s); two
+# repeats reported warm-up, not steady state. Cross-round note: r<=4
+# artifacts are min-of-2 — expect a small systematic improvement from
+# the protocol alone on JIT-heavy queries.
+BENCH_REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
+BENCH_MAX_TRIES = int(os.environ.get("BENCH_MAX_TRIES", "6"))
 
 
 def _force(df) -> None:

@@ -59,9 +59,15 @@ def q1_pricing_summary(spark, sf_dir):
     big = "decimal(38,0)"
     n = F.count("*")
     qty_i = F.round(F.col("l_quantity")).cast("long")  # integral per spec
-    sum_qty = F.sum(qty_i.cast(big))
+    # qty/disc sums stay LONG (decimal(38,0) aggregation is the
+    # measured 2x cost of this query — tools/q1_ab.py): qty ≤ 50 and
+    # disc_i ≤ 10^4 per row keep the long exact past 10^14 rows, with
+    # ANSI overflow as the backstop; the price family can exceed int64
+    # at 10^12 rows, so those three stay decimal. The post-agg rounding
+    # needs decimals, so the 6-row result casts up — free.
+    sum_qty = F.sum(qty_i).cast(big)
     sum_price = F.sum(price_i.cast(big))
-    sum_disc = F.sum(disc_i.cast(big))
+    sum_disc = F.sum(disc_i).cast(big)
     # per-row integer products fit int64 (price ≤ 1e5 → price_i ≤ 1e9;
     # ×2e4 ≤ 2e13; ×2e4 ≤ 4e17); the cross-row sum goes decimal(38,0)
     sum_disc_price = F.sum((price_i * (10000 - disc_i)).cast(big))
