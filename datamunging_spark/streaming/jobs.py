@@ -356,6 +356,150 @@ def run_streaming_curate(
     q.awaitTermination()
 
 
+# ---------------------------------------------------------------------------
+# Streaming embedding near-dup (r5): the streaming twin of the
+# embedding-space dedup family (builder handoff "streaming semantic
+# dedup").
+# ---------------------------------------------------------------------------
+
+EMB_SCHEMA = "vec_id bigint, embedding array<float>, label int"
+EMB_DEDUP_THRESHOLD = 0.92
+
+
+def run_streaming_embedding_dedup(
+    spark: SparkSession,
+    emb_dir: str,
+    output_path: str,
+    checkpoint_dir: str,
+    threshold: float = EMB_DEDUP_THRESHOLD,
+) -> None:
+    """Streaming embedding near-dup: each micro-batch of newly-landed
+    vectors is bucketed by the SAME stateless hyperplane LSH cells the
+    batch embedding near-dup uses (a streaming job must not refit
+    centroids mid-stream; a frozen k-means centroid table is a drop-in
+    for the bucket expression), then greedily deduped in vec_id order
+    against (a) this batch's earlier keepers and (b) every
+    already-emitted representative of the same bucket — the output
+    table IS the dedup state (output-as-checkpoint, the
+    run_streaming_curate pattern). A vector is dropped iff cosine >=
+    threshold against any earlier keeper in its bucket; recall across
+    bucket boundaries is probabilistic by design (multi-probe raises
+    it), but the KEEP RULE itself is exact and deterministic, which is
+    what the differential tests check.
+
+    Scale shape: bucketing is a codegen projection; the per-bucket
+    greedy runs as ONE applyInPandas call over (batch rows + that
+    bucket's emitted reps) — the same custom-operator escape hatch as
+    pack_shards_bfd, with a numpy G.G^T per group. The rep re-read is
+    pruned to the buckets present in the batch (at 10^9 vectors the
+    output lives bucket-partitioned, so this is partition pruning).
+    Restart-safe: file-source checkpoint + dedupe-on-read by vec_id.
+    """
+    import numpy as np
+
+    from ..functions.vectors import hyperplane_bucket
+    from ..ml_ops import HYPERPLANES
+
+    stream = (
+        spark.readStream.schema(EMB_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(emb_dir)
+    )
+
+    out_schema = (
+        "vec_id long, bucket int, embedding array<float>, batch_id long"
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Greedy keep in (is_rep DESC, vec_id) order: reps (earlier
+        batches) are always earlier than this batch's rows."""
+        pdf = pdf.sort_values(["is_rep", "vec_id"],
+                              ascending=[False, True])
+        mat = np.array([np.asarray(v, dtype=np.float64)
+                        for v in pdf["embedding"]])
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        kept_idx: list[int] = []
+        out_rows: list[int] = []
+        for i in range(len(pdf)):
+            if pdf["is_rep"].iloc[i]:
+                kept_idx.append(i)
+                continue
+            dup = False
+            if kept_idx and norms[i] > 0:
+                sims = mat[kept_idx] @ mat[i]
+                kn = norms[kept_idx]
+                ok = kn > 0
+                if ok.any() and (
+                    sims[ok] / (kn[ok] * norms[i]) >= threshold
+                ).any():
+                    dup = True
+            if not dup:
+                kept_idx.append(i)
+                out_rows.append(i)
+        keep = pdf.iloc[out_rows]
+        return pd.DataFrame(
+            {
+                "vec_id": keep["vec_id"].astype("int64"),
+                "bucket": keep["bucket"].astype("int32"),
+                "embedding": keep["embedding"],
+                "batch_id": keep["batch_id"].astype("int64"),
+            }
+        )
+
+    def process_batch(df: DataFrame, epoch_id: int) -> None:
+        batch = df.withColumn(
+            "bucket", hyperplane_bucket(F.col("embedding"), HYPERPLANES)
+        ).select(
+            "vec_id", "bucket", "embedding",
+            F.lit(int(epoch_id)).alias("batch_id"),
+            F.lit(False).alias("is_rep"),
+        )
+        from pyspark.errors import AnalysisException
+
+        try:
+            reps = spark.read.parquet(output_path)
+        except AnalysisException as e:
+            msg = str(e)
+            if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+                raise
+            reps = None
+        if reps is not None:
+            # prune the rep re-read to buckets present in this batch
+            bks = [r.bucket for r in batch.select("bucket").distinct().collect()]
+            reps = reps.where(F.col("bucket").isin(bks)).select(
+                "vec_id", "bucket", "embedding",
+                F.col("batch_id"), F.lit(True).alias("is_rep"),
+            )
+            batch = batch.unionByName(reps)
+        (
+            batch.groupBy("bucket")
+            .applyInPandas(greedy, out_schema)
+            .write.mode("append")
+            .parquet(output_path)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_embedding_deduped(spark: SparkSession, output_path: str) -> DataFrame:
+    """Dedupe-on-read (replayed-batch safety): min batch_id per vec_id."""
+    from pyspark.sql.window import Window
+
+    first = Window.partitionBy("vec_id").orderBy("batch_id")
+    out = spark.read.parquet(output_path)
+    return (
+        out.withColumn("rn", F.row_number().over(first))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 def read_curated(spark: SparkSession, output_path: str) -> DataFrame:
     """Dedupe-on-read for the streaming curation output: a replayed
     batch (crash between append and checkpoint commit) appends the same

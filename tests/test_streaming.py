@@ -367,3 +367,100 @@ def test_streaming_curate_matches_batch(spark, sf_dir, tmp_path_factory):
     # replayed rows are invisible through read_curated
     assert got.count() == len(got_ids)
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_streaming_embedding_dedup_matches_simulation(spark, sf_dir, tmp_path_factory):
+    """Streaming embedding near-dup (r5): greedy keep-first per
+    hyperplane bucket, cross-batch state = the output table. Checked
+    against a driver-side numpy simulation replaying the exact same
+    file-arrival order — including across a mid-stream restart and a
+    replayed batch."""
+    import glob
+    import os
+    import time as _time
+
+    import numpy as np
+
+    from datamunging_spark.functions.vectors import hyperplane_bucket
+    from datamunging_spark.ml_ops import HYPERPLANES
+    from datamunging_spark.streaming.jobs import (
+        EMB_DEDUP_THRESHOLD,
+        read_embedding_deduped,
+        run_streaming_embedding_dedup,
+    )
+
+    base = tmp_path_factory.mktemp("sembdedup")
+    emb_dir = str(base / "emb")
+    out = str(base / "out")
+    ckpt = str(base / "ckpt")
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # inject near-duplicates that arrive LATER (perturbed copies of every
+    # 5th vector, +100000 ids): the stream must drop them against the
+    # originals already emitted in earlier batches
+    pert = emb.where(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: (x * 1.001 + F.lit(0.0001)).cast("float"),
+        ).alias("embedding"),
+        F.col("label"),
+    )
+    rows = emb.unionByName(pert).orderBy("vec_id").collect()
+    cut1, cut2 = len(rows) // 3, 2 * len(rows) // 3
+    waves = [rows[:cut1], rows[cut1:cut2], rows[cut2:]]
+    base_mt = _time.time() - 1000
+    for i, w in enumerate(waves[:2]):
+        df = spark.createDataFrame(w, emb.schema)
+        before = set(glob.glob(f"{emb_dir}/part-*.parquet"))
+        df.coalesce(1).write.mode("append").parquet(emb_dir)
+        for f in set(glob.glob(f"{emb_dir}/part-*.parquet")) - before:
+            os.utime(f, (base_mt + i * 10, base_mt + i * 10))
+    run_streaming_embedding_dedup(spark, emb_dir, out, ckpt)
+
+    df = spark.createDataFrame(waves[2], emb.schema)
+    before = set(glob.glob(f"{emb_dir}/part-*.parquet"))
+    df.coalesce(1).write.mode("append").parquet(emb_dir)
+    for f in set(glob.glob(f"{emb_dir}/part-*.parquet")) - before:
+        os.utime(f, (base_mt + 20, base_mt + 20))
+    run_streaming_embedding_dedup(spark, emb_dir, out, ckpt)  # restart
+
+    # simulated replay: re-append one emitted batch verbatim
+    replay = spark.read.parquet(out).where(F.col("batch_id") == 0)
+    replay.write.mode("append").parquet(out)
+
+    got = {r.vec_id for r in read_embedding_deduped(spark, out).collect()}
+    n_raw = spark.read.parquet(out).count()
+
+    # driver simulation: same buckets (computed by the SAME Spark
+    # expression), same greedy order (batch by arrival wave, vec_id
+    # within), same cosine rule
+    bk = {
+        r.vec_id: r.bucket
+        for r in spark.createDataFrame(rows, emb.schema)
+        .withColumn("bucket", hyperplane_bucket(F.col("embedding"), HYPERPLANES))
+        .collect()
+    }
+    kept: dict[int, list[tuple[int, np.ndarray, float]]] = {}
+    want = set()
+    for wave in waves:
+        for r in sorted(wave, key=lambda r: r.vec_id):
+            v = np.asarray(r.embedding, dtype=np.float64)
+            nv = float(np.sqrt(v @ v))
+            b = bk[r.vec_id]
+            dup = False
+            if nv > 0:
+                for _, kv, kn in kept.get(b, ()):
+                    if kn > 0 and float(kv @ v) / (kn * nv) >= EMB_DEDUP_THRESHOLD:
+                        dup = True
+                        break
+            if not dup:
+                kept.setdefault(b, []).append((r.vec_id, v, nv))
+                want.add(r.vec_id)
+    assert got == want
+    assert any(i >= 100000 for i in {r.vec_id for r in rows})  # fixture sane
+    # near-dup injections were actually dropped (originals kept)
+    dropped = {r.vec_id for r in rows} - got
+    assert any(i >= 100000 for i in dropped)
+    # replayed rows are invisible through read_embedding_deduped
+    assert len(got) < n_raw

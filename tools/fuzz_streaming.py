@@ -397,6 +397,78 @@ def fuzz_sessionize(spark, tmp: Path, rng: random.Random) -> list[str]:
     return fails
 
 
+# ---------------------------------------------------------------------------
+# 4. streaming embedding near-dup vs driver simulation
+# ---------------------------------------------------------------------------
+
+
+def fuzz_embedding_dedup(spark, tmp: Path, rng: random.Random) -> list[str]:
+    import numpy as np
+
+    from datamunging_spark.functions.vectors import hyperplane_bucket
+    from datamunging_spark.ml_ops import HYPERPLANES
+    from datamunging_spark.streaming.jobs import (
+        EMB_DEDUP_THRESHOLD,
+        read_embedding_deduped,
+        run_streaming_embedding_dedup,
+    )
+
+    emb_dir, out, ckpt = str(tmp / "emb"), str(tmp / "eo"), str(tmp / "ec")
+    dim = 16
+    vecs = []
+    for i in range(rng.randint(15, 35)):
+        roll = rng.random()
+        if roll < 0.1:
+            v = [0.0] * dim  # zero vector: cosine 0, always kept
+        elif roll < 0.3 and vecs:
+            v = list(vecs[rng.randrange(len(vecs))][1])  # exact duplicate
+        elif roll < 0.5 and vecs:
+            src = vecs[rng.randrange(len(vecs))][1]
+            v = [x * 1.002 + 0.0005 for x in src]  # near-duplicate
+        else:
+            v = [round(rng.uniform(-1, 1), 3) for _ in range(dim)]
+        vecs.append((i, [float(x) for x in v], rng.randrange(3)))
+    schema = "vec_id bigint, embedding array<float>, label int"
+    cut = rng.randint(4, len(vecs) - 4)
+    waves = [vecs[:cut], vecs[cut:]]
+    base = _time.time() - 1000
+    _write_wave(spark, waves[0], schema, emb_dir, base, ["vec_id"])
+    run_streaming_embedding_dedup(spark, emb_dir, out, ckpt)
+    _write_wave(spark, waves[1], schema, emb_dir, base + 10, ["vec_id"])
+    run_streaming_embedding_dedup(spark, emb_dir, out, ckpt)  # restart
+    replay = spark.read.parquet(out).where(F.col("batch_id") == 0)
+    if replay.count():
+        replay.write.mode("append").parquet(out)
+
+    got = {r.vec_id for r in read_embedding_deduped(spark, out).collect()}
+    # simulation — float32 round-trip mirrors the parquet storage
+    bk = {
+        r.vec_id: r.bucket
+        for r in spark.createDataFrame(vecs, schema).withColumn(
+            "bucket", hyperplane_bucket(F.col("embedding"), HYPERPLANES)
+        ).collect()
+    }
+    kept: dict[int, list] = {}
+    want = set()
+    for wave in waves:
+        for vid, v, _ in sorted(wave):
+            x = np.asarray(v, dtype=np.float32).astype(np.float64)
+            nx = float(np.sqrt(x @ x))
+            b = bk[vid]
+            dup = False
+            if nx > 0:
+                for kv, kn in kept.get(b, ()):
+                    if kn > 0 and float(kv @ x) / (kn * nx) >= EMB_DEDUP_THRESHOLD:
+                        dup = True
+                        break
+            if not dup:
+                kept.setdefault(b, []).append((x, nx))
+                want.add(vid)
+    if got != want:
+        return [f"embdedup: kept {sorted(got)} != sim {sorted(want)}"]
+    return []
+
+
 def main() -> int:
     spark = get_spark(app_name="fuzz-streaming")
     failures: list[str] = []
@@ -410,6 +482,7 @@ def main() -> int:
                 ("curate", fuzz_curate),
                 ("munge", fuzz_munge),
                 ("sessionize", fuzz_sessionize),
+                ("embdedup", fuzz_embedding_dedup),
             ):
                 fs = fn(spark, tmp / name, rng)
                 n_checked += 1
