@@ -1971,10 +1971,14 @@ def decontaminate_bloom(spark, sf_dir, m_bits: int = BLOOM_M_BITS):
     verify the verify-join removes every one of them."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     is_eval = F.col("doc_id") % 50 == 0
+    # consumed TWICE (bitmap build + verify join): localCheckpoint
+    # materializes the eval shingle scan once instead of re-running it
+    # per consumer (the dedup_minhash_lsh candidate-pairs precedent)
     eval_grams = (
         docs.where(is_eval)
         .select(F.explode(word_shingles(F.col("text"), DECON_NGRAM)).alias("g"))
         .distinct()
+        .localCheckpoint()
     )
     # build: K positions per eval gram -> bit_or into 64-bit words ->
     # dense array<long> (absent words = 0) in ONE row
@@ -4830,7 +4834,12 @@ def _bpe_learn_loop(spark, sf_dir, n_merges: int = BPE_MERGES):
     and bpe_tokenize_docs all consume the same learned tokenizer, so
     running the three catalog entries previously triplicated the
     8-round collect loop. A production pipeline learns the tokenizer
-    once and reuses it everywhere; the memo models exactly that."""
+    once and reuses it everywhere; the memo models exactly that. The
+    memo holds ONE entry (switching (sf_dir, n_merges) evicts the old
+    one, releasing its checkpoint reference for the ContextCleaner) and
+    is keyed by PATH, not content — a caller that regenerates data
+    in-place within one session must clear spark._datamunging_bpe_memo
+    (bench.py does exactly that before each timed attempt)."""
     memo_key = "_datamunging_bpe_memo"
     memo = getattr(spark, memo_key, None)
     if memo is None:
@@ -4839,6 +4848,7 @@ def _bpe_learn_loop(spark, sf_dir, n_merges: int = BPE_MERGES):
     mk = (str(sf_dir), int(n_merges))
     if mk in memo:
         return memo[mk]
+    memo.clear()  # single-entry cache: drop the old checkpoint reference
     vocab = _bpe_vocab(spark, sf_dir).persist()
     merges = []
     for step in range(1, n_merges + 1):

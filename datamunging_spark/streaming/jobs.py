@@ -328,19 +328,9 @@ def run_streaming_curate(
             .where(F.col("rn") == 1)
             .drop("rn")
         )
-        # only "no output yet" may skip the anti-join — any other read
-        # failure must surface, or duplicates would silently land
-        from pyspark.errors import AnalysisException
-
-        try:
-            seen = spark.read.parquet(output_path).select("h")
-        except AnalysisException as e:
-            msg = str(e)
-            if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
-                raise
-            seen = None  # first batch: no output yet
+        seen = _read_output_or_none(spark, output_path)
         if seen is not None:
-            cand = cand.join(seen, "h", "left_anti")
+            cand = cand.join(seen.select("h"), "h", "left_anti")
         (
             cand.withColumn("batch_id", F.lit(epoch_id))
             .write.mode("append")
@@ -354,6 +344,36 @@ def run_streaming_curate(
         .start()
     )
     q.awaitTermination()
+
+
+def _read_output_or_none(spark: SparkSession, output_path: str):
+    """Read an output-as-checkpoint table, or None if no batch has
+    written yet. ONLY the missing-path error may be swallowed — any
+    other read failure must surface, or duplicates would silently land
+    (shared by every output-as-checkpoint job; the guard used to be
+    copy-pasted per job and had already started to drift)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(output_path)
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+            raise
+        return None
+
+
+def _dedupe_on_read(df: DataFrame, key_cols: list, order_cols: list) -> DataFrame:
+    """Keep the first row per key in order_cols order — the replay
+    safety net for output-as-checkpoint appends."""
+    from pyspark.sql.window import Window
+
+    first = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("rn", F.row_number().over(first))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -454,15 +474,7 @@ def run_streaming_embedding_dedup(
             F.lit(int(epoch_id)).alias("batch_id"),
             F.lit(False).alias("is_rep"),
         )
-        from pyspark.errors import AnalysisException
-
-        try:
-            reps = spark.read.parquet(output_path)
-        except AnalysisException as e:
-            msg = str(e)
-            if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
-                raise
-            reps = None
+        reps = _read_output_or_none(spark, output_path)
         if reps is not None:
             # prune the rep re-read to buckets present in this batch
             bks = [r.bucket for r in batch.select("bucket").distinct().collect()]
@@ -489,14 +501,8 @@ def run_streaming_embedding_dedup(
 
 def read_embedding_deduped(spark: SparkSession, output_path: str) -> DataFrame:
     """Dedupe-on-read (replayed-batch safety): min batch_id per vec_id."""
-    from pyspark.sql.window import Window
-
-    first = Window.partitionBy("vec_id").orderBy("batch_id")
-    out = spark.read.parquet(output_path)
-    return (
-        out.withColumn("rn", F.row_number().over(first))
-        .where(F.col("rn") == 1)
-        .drop("rn")
+    return _dedupe_on_read(
+        spark.read.parquet(output_path), ["vec_id"], ["batch_id"]
     )
 
 
@@ -506,12 +512,6 @@ def read_curated(spark: SparkSession, output_path: str) -> DataFrame:
     rows twice; keep min (doc_id, batch_id) per content hash — the
     deterministic representative regardless of replay or arrival
     interleaving."""
-    from pyspark.sql.window import Window
-
-    first = Window.partitionBy("h").orderBy("doc_id", "batch_id")
-    out = spark.read.parquet(output_path)
-    return (
-        out.withColumn("rn", F.row_number().over(first))
-        .where(F.col("rn") == 1)
-        .drop("rn")
+    return _dedupe_on_read(
+        spark.read.parquet(output_path), ["h"], ["doc_id", "batch_id"]
     )

@@ -927,10 +927,15 @@ def test_pack_shards_bfd_invariants_and_quality(spark):
         assert sorted(r.shard & ((1 << 40) - 1) for r in rows) == list(
             range(len(rows))
         )
-        # BFD guarantee vs the trivial lower bound on optimal bins
-        g_tokens = sum(r.tokens for r in rows)
-        opt_lb = -(-g_tokens // PACK_BUDGET)
-        assert len(rows) <= (11 * opt_lb) // 9 + 1, (g, len(rows), opt_lb)
+        # EXACT any-fit invariant (corpus-independent, unlike the
+        # 11/9*OPT guarantee whose OPT the test can't compute — a
+        # token-sum lower bound on OPT would over-constrain valid BFD
+        # output): a bin opens only when the item fits no existing bin,
+        # so ANY two bins in a group sum past the budget — checking the
+        # two lightest suffices. This pins n_bins < 2*OPT + 1.
+        if len(rows) >= 2:
+            lo = sorted(r.tokens for r in rows)[:2]
+            assert lo[0] + lo[1] > PACK_BUDGET, (g, lo)
 
     # quality: mean fill (tokens per shard / budget) must not regress
     # vs the cumsum packer on the same corpus + groups

@@ -139,7 +139,8 @@ def fuzz_curate(spark, tmp: Path, rng: random.Random) -> list[str]:
             (r.doc_id, r.h) for r in read_curated(spark, out).collect()
         }
     except Exception as e:  # no output at all is legal if nothing passed
-        if "PATH_NOT_FOUND" not in str(e):
+        if ("PATH_NOT_FOUND" not in str(e)
+                and "Path does not exist" not in str(e)):
             return [f"curate: read_curated raised {e!r:.200}"]
         got = set()
 
@@ -294,8 +295,13 @@ def fuzz_sessionize(spark, tmp: Path, rng: random.Random) -> list[str]:
     events_dir, out, ckpt = (
         str(tmp / "ev"), str(tmp / "sess_out"), str(tmp / "cks")
     )
-    base_dt = datetime.datetime(2024, 1, 1)
-    base_us = int(base_dt.timestamp() * 1e6)
+    # epoch micros of 2024-01-01T00:00Z, TZ-independent (datetime
+    # .timestamp() on a naive datetime would apply the OS-local zone)
+    base_us = int(
+        datetime.datetime(
+            2024, 1, 1, tzinfo=datetime.timezone.utc
+        ).timestamp() * 1e6
+    )
     n_users = rng.randint(3, 6)
     rows = []
     eid = 0
@@ -303,10 +309,17 @@ def fuzz_sessionize(spark, tmp: Path, rng: random.Random) -> list[str]:
         t_us = rng.randint(0, 600) * 1_000_000
         for _ in range(rng.randint(5, 25)):
             # boundary-hostile gaps: exact ties, exactly-at-gap (1800 s),
-            # one-past-gap, plus bursts and long jumps
+            # one-MILLISECOND-past-gap, plus bursts and long jumps. All
+            # gaps are whole milliseconds: the engine floors both the
+            # timeout timestamp and the watermark to ms (jobs.py
+            # setTimeoutTimestamp last_us//1000 + gap*1000), so a sub-ms
+            # remainder opens a legitimate engine-vs-simulation window
+            # at the boundary (review catch) — ms-aligned inputs keep
+            # the µs simulation exact without weakening the boundary
+            # coverage (the 1 ms overshoot still lands one unit past).
             t_us += rng.choice(
                 [0, 0, 1_000_000, SESSION_GAP_S * 1_000_000,
-                 SESSION_GAP_S * 1_000_000 + 1,
+                 SESSION_GAP_S * 1_000_000 + 1_000,
                  (SESSION_GAP_S - 1) * 1_000_000,
                  (SESSION_GAP_S + 1) * 1_000_000,
                  3 * 3600 * 1_000_000,
@@ -329,17 +342,24 @@ def fuzz_sessionize(spark, tmp: Path, rng: random.Random) -> list[str]:
     files = [f for f in files if f]
     files[-1] = files[-1] + rows_late
 
-    def to_spark_rows(chunk):
-        return [
-            (e, datetime.datetime.utcfromtimestamp(ts / 1e6), u,
-             "view", 0.0, "{}")
-            for e, ts, u in chunk
-        ]
+    # timestamps go in and come out as epoch MICROS converted inside
+    # Spark (timestamp_micros / unix_micros): driver-side naive-datetime
+    # conversion runs through the OS-LOCAL timezone, which silently
+    # shifts every session on a non-UTC host (review catch)
+    def write_events_wave(chunk, mtime):
+        df = spark.createDataFrame(
+            [(e, ts, u, "view", 0.0, "{}") for e, ts, u in chunk],
+            "event_id bigint, ts_us bigint, user_id bigint, "
+            "event_type string, value double, props string",
+        ).select(
+            "event_id", F.timestamp_micros("ts_us").alias("ts"),
+            "user_id", "event_type", "value", "props",
+        )
+        before = set(glob.glob(f"{events_dir}/part-*.parquet"))
+        df.coalesce(1).write.mode("append").parquet(events_dir)
+        for f in set(glob.glob(f"{events_dir}/part-*.parquet")) - before:
+            os.utime(f, (mtime, mtime))
 
-    schema = (
-        "event_id bigint, ts timestamp, user_id bigint, "
-        "event_type string, value double, props string"
-    )
     base_mt = _time.time() - 1000
     restart_after = max(1, len(files) // 2)
 
@@ -357,26 +377,24 @@ def fuzz_sessionize(spark, tmp: Path, rng: random.Random) -> list[str]:
         q.awaitTermination()
 
     for i, chunk in enumerate(files[:restart_after]):
-        _write_wave(spark, to_spark_rows(chunk), schema, events_dir,
-                    base_mt + i * 10)
+        write_events_wave(chunk, base_mt + i * 10)
     drain()
     for i, chunk in enumerate(files[restart_after:]):
-        _write_wave(spark, to_spark_rows(chunk), schema, events_dir,
-                    base_mt + (restart_after + i) * 10)
+        write_events_wave(chunk, base_mt + (restart_after + i) * 10)
     drain()  # restart: state + watermark resume from the checkpoint
 
     try:
         got = {
-            (
-                r.user_id,
-                int(r.session_start.timestamp() * 1e6),
-                int(r.session_end.timestamp() * 1e6),
-                r.n_events,
-            )
-            for r in spark.read.parquet(out).collect()
+            (r.user_id, r.s_us, r.e_us, r.n_events)
+            for r in spark.read.parquet(out).select(
+                "user_id",
+                F.unix_micros("session_start").alias("s_us"),
+                F.unix_micros("session_end").alias("e_us"),
+                "n_events",
+            ).collect()
         }
     except Exception as e:
-        if "PATH_NOT_FOUND" in str(e):
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
             got = set()
         else:
             return [f"sessionize: read raised {e!r:.200}"]
@@ -414,7 +432,9 @@ def fuzz_embedding_dedup(spark, tmp: Path, rng: random.Random) -> list[str]:
     )
 
     emb_dir, out, ckpt = str(tmp / "emb"), str(tmp / "eo"), str(tmp / "ec")
-    dim = 16
+    dim = 64  # MUST match HYPERPLANES' dim: shorter vectors null-pad the
+    # zip_with dot product and every bucket collapses to 0, silently
+    # un-fuzzing the per-bucket machinery (review catch)
     vecs = []
     for i in range(rng.randint(15, 35)):
         roll = rng.random()
