@@ -170,3 +170,24 @@ def test_correct_text_single_stream_matches_cascade():
     got = correct_text(raw)
     assert "first" in got and "the second" in got.lower()
     assert "tbe" not in got.split() and "ſ" not in got
+
+
+def test_ligature_expansion_can_trigger_fs_correction():
+    """r5 fuzz-boundary regression: 'ﬅop' char-normalizes to 'ftop'
+    (not a dictionary word), and the f->s recovery then corrects it to
+    'stop' with tokens_corrected=1. The SQL oracle for
+    extract_munge_metrics cannot model cascade corrections (its stated
+    precondition is that none fire — the hostile pool is screened for
+    that), so the behavior is locked HERE against the executable spec,
+    and the engine twin must agree."""
+    from datamunging_spark.operators.munge import _Munger
+
+    out, metrics = munge_document("d", [_page("ﬅop", 0)], RS)
+    assert out[0].text == "stop"
+    assert metrics.tokens_corrected == 1
+
+    eng_out, eng_metrics = _Munger(RS).munge_doc(
+        [{"kind": "page", "text": "ﬅop", "media_ref": "", "offset": 0}]
+    )
+    assert eng_out[0]["text"] == "stop"
+    assert eng_metrics["tokens_corrected"] == 1

@@ -63,8 +63,14 @@ HOSTILE_TEXTS = [
     # oracle split class (NBSP, thin space, line/para sep, ideographic)
     "nb\u00a0sp thin\u2009space line\u2028sep para\u2029sep ideo\u3000sp",
     # translate-then-count class: en/em-dash → '-', '…' → '...', ligature
-    # and long-s folds — lone '–' must count as punctuation AFTER R5
-    "– en–dash — em—dash … ellipsis ﬁrst ﬅop ſoft –",
+    # and long-s folds — lone '–' must count as punctuation AFTER R5.
+    # SCREENING PRECONDITION: every ligature/long-s token must expand to
+    # a DICTIONARY word ('ﬂoor', 'ﬁrst', 'ſoft') — extract_munge_metrics'
+    # SQL oracle pins tokens_corrected=0 and cannot model cascade
+    # corrections ('ﬅop'→'ftop'→f/s-recovery→'stop' diverged here, r5);
+    # the correction behavior itself is locked by
+    # test_munge_oracle.test_ligature_expansion_can_trigger_fs_correction
+    "– en–dash — em—dash … ellipsis ﬁrst ﬂoor ſoft –",
     "x" * 5000 + " monster single word",  # monster-length token
 ]
 
