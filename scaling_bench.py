@@ -218,12 +218,16 @@ def burn(n):
         s += i * i
     return s
 workers = int(sys.argv[1])
+# 16M iterations/task (not 4M): at 4M the 8-worker probe walls ~1.4 s and
+# is noise-dominated — one steal burst inside that window skews the
+# ceiling by 2x+ (observed: a "6.39x super-linear" 8->32 ceiling whose
+# standalone reruns read 0.85/1.00). 4x the work quarters the noise share.
 with mp.Pool(workers) as p:          # warm the pool
     p.map(burn, [10_000] * workers)
     t0 = time.perf_counter()
-    p.map(burn, [4_000_000] * workers * 4)
+    p.map(burn, [16_000_000] * workers * 4)
     wall = time.perf_counter() - t0
-print(json.dumps({{"workers": workers, "ops_per_s": workers * 4 * 4_000_000 / wall}}))
+print(json.dumps({{"workers": workers, "ops_per_s": workers * 4 * 16_000_000 / wall}}))
 """
 
 
