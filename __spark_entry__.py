@@ -86,7 +86,11 @@ DRIVER_PRIORITY = [
     "winnow_fingerprint",
     "hash_split",
     "decontaminate_ngrams",
-    "pack_shards",
+    # (pack_shards moved past the window late in r5: the packing family
+    # keeps pack_shards_bfd in-window below; the cumsum packer remains
+    # oracle-checked in pytest + CORRECTNESS_local.json. Freed slot goes
+    # to gopher_repetition — the repetition half of the Gopher filter.)
+    "gopher_repetition",
     "header_detect_relational",
     # round-3 flagship additions (freed slots: the grouping-sets family
     # keeps one driver representative, rollup_lineitem; the window

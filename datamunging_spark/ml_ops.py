@@ -4620,6 +4620,226 @@ ML_QUERIES["gopher_quality"] = (gopher_quality, GOPHER_QUALITY_SQL)
 
 
 # --------------------------------------------------------------------------
+# Gopher REPETITION rules (Rae et al. 2021, Table A1 — the repetition
+# half; gopher_quality above is the quality half): per document, the
+# character mass of the dominant word n-gram (n = 2, 3, 4) and the exact
+# positional character coverage of duplicated word n-grams (n = 5, 6, 7),
+# plus the paper's threshold flags (0.20/0.18/0.16 and 0.15/0.14/0.13).
+#
+# Exactness contract: every metric is an integer character count over
+# space-free word text, and every flag compares via integer
+# cross-multiplication (num*100 > total*pct) — no float is at a result
+# boundary (the round(double, n) cross-engine hazard, SURVEY r5 notes).
+# Two deliberate, documented readings of the paper's prose:
+#   * top-n = MAX over grams of count*chars ("char mass of the dominant
+#     n-gram"). The paper says "most frequent n-gram"; on count ties that
+#     is ambiguous/order-dependent — max char-mass is deterministic and
+#     equals the paper's value whenever the top count is unique.
+#   * duplicate coverage counts each covered WORD POSITION once (exact
+#     interval union via explode+distinct), not the sum-of-occurrences
+#     approximation that can exceed 100%.
+#
+# Scale: every shuffle key is (doc_id, ...)-prefixed — the computation is
+# embarrassingly parallel per document. A monster doc's gram occurrences
+# hash-spread across partitions on (doc_id, n, gram), and only
+# per-(doc, n) aggregate rows reach the final doc-level joins; nothing is
+# ever collected or cross-joined.
+# --------------------------------------------------------------------------
+
+GOPHER_REP_THRESHOLDS = {
+    "top2": 20, "top3": 18, "top4": 16,  # % of chars in dominant n-gram
+    "dup5": 15, "dup6": 14, "dup7": 13,  # % of chars covered by dup n-grams
+}
+
+
+def gopher_repetition(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("ws")
+    )
+    # long seed: int accumulator would overflow past 2^31 chars (ADVICE r4)
+    base = docs.select(
+        "doc_id", "ws",
+        F.aggregate(
+            "ws", F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        ).alias("total_chars"),
+    )
+    n_arr = F.array([F.lit(n) for n in (2, 3, 4, 5, 6, 7)])
+    occ = (
+        base.select("doc_id", "ws", F.explode(n_arr).alias("n"))
+        .select(
+            "doc_id", "ws", "n",
+            F.explode(
+                F.when(
+                    F.size("ws") >= F.col("n"),
+                    F.sequence(F.lit(1), F.size("ws") - F.col("n") + 1),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("s"),
+        )
+        .select(
+            "doc_id", "n", "s",
+            F.array_join(
+                F.slice("ws", F.col("s"), F.col("n")), " "
+            ).alias("gram"),
+        )
+        .withColumn(
+            "gchars", F.length(F.translate("gram", " ", "")).cast("long")
+        )
+        .withColumn(
+            "cnt", F.count("*").over(W.partitionBy("doc_id", "n", "gram"))
+        )
+    )
+    tops = (
+        occ.where(F.col("n") <= 4)
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.coalesce(
+                    F.max(
+                        F.when(F.col("n") == n, F.col("cnt") * F.col("gchars"))
+                    ),
+                    F.lit(0),
+                ).cast("long").alias(f"top{n}_chars")
+                for n in (2, 3, 4)
+            ]
+        )
+    )
+    covered = (
+        occ.where((F.col("n") >= 5) & (F.col("cnt") >= 2))
+        .select(
+            "doc_id", "n",
+            F.explode(
+                F.sequence(F.col("s"), F.col("s") + F.col("n") - 1)
+            ).alias("i"),
+        )
+        .distinct()
+    )
+    tokens = base.select(
+        "doc_id", F.posexplode("ws").alias("i0", "word")
+    ).select(
+        "doc_id",
+        (F.col("i0") + 1).alias("i"),
+        F.length("word").cast("long").alias("wlen"),
+    )
+    dups = (
+        covered.join(tokens, ["doc_id", "i"])
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.coalesce(
+                    F.sum(F.when(F.col("n") == n, F.col("wlen"))), F.lit(0)
+                ).cast("long").alias(f"dup{n}_chars")
+                for n in (5, 6, 7)
+            ]
+        )
+    )
+    out = (
+        base.select("doc_id", "total_chars")
+        .join(tops, "doc_id", "left")
+        .join(dups, "doc_id", "left")
+    )
+    cols, flags = [F.col("doc_id"), F.col("total_chars")], []
+    for key, pct in GOPHER_REP_THRESHOLDS.items():
+        num = F.coalesce(F.col(f"{key}_chars"), F.lit(0).cast("long"))
+        cols.append(num.alias(f"{key}_chars"))
+        flags.append(
+            (num * 100 > F.col("total_chars") * pct)
+            .cast("int").alias(f"f_{key}")
+        )
+    flagged = out.select(*cols, *flags)
+    n_flags = sum(F.col(f"f_{k}") for k in GOPHER_REP_THRESHOLDS)
+    return flagged.withColumn(
+        "kept", (n_flags == F.lit(0)).cast("int")
+    ).orderBy("doc_id")
+
+
+def _gopher_repetition_sql() -> str:
+    tops = ", ".join(
+        f"CAST(coalesce(max(CASE WHEN n={n} THEN cnt*gchars END), 0) "
+        f"AS BIGINT) AS top{n}_chars"
+        for n in (2, 3, 4)
+    )
+    dups = ", ".join(
+        f"CAST(coalesce(sum(CASE WHEN n={n} THEN wlen END), 0) "
+        f"AS BIGINT) AS dup{n}_chars"
+        for n in (5, 6, 7)
+    )
+    nums = ", ".join(
+        f"CAST(coalesce({k}_chars, 0) AS BIGINT) AS {k}_chars"
+        for k in GOPHER_REP_THRESHOLDS
+    )
+    flag_exprs = ", ".join(
+        f"CAST({k}_chars * 100 > total_chars * {pct} AS INTEGER) AS f_{k}"
+        for k, pct in GOPHER_REP_THRESHOLDS.items()
+    )
+    kept_sum = " + ".join(f"f_{k}" for k in GOPHER_REP_THRESHOLDS)
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+),
+b AS (
+  SELECT doc_id, ws,
+         CAST(coalesce(list_aggregate(
+           list_transform(ws, x -> length(x)), 'sum'), 0) AS BIGINT)
+           AS total_chars
+  FROM d
+),
+occ AS (
+  SELECT doc_id, n, s, array_to_string(ws[s : s + n - 1], ' ') AS gram
+  FROM (
+    SELECT doc_id, ws, nn.n AS n,
+           unnest(range(1, len(ws) - nn.n + 2)) AS s
+    FROM b CROSS JOIN (VALUES (2),(3),(4),(5),(6),(7)) AS nn(n)
+    WHERE len(ws) >= nn.n
+  )
+),
+gc AS (
+  SELECT doc_id, n, s, gram,
+         CAST(length(replace(gram, ' ', '')) AS BIGINT) AS gchars,
+         count(*) OVER (PARTITION BY doc_id, n, gram) AS cnt
+  FROM occ
+),
+tops AS (
+  SELECT doc_id, {tops} FROM gc WHERE n <= 4 GROUP BY doc_id
+),
+cov AS (
+  SELECT DISTINCT doc_id, n, i FROM (
+    SELECT doc_id, n, unnest(range(s, s + n)) AS i
+    FROM gc WHERE n >= 5 AND cnt >= 2
+  )
+),
+tok AS (
+  SELECT doc_id, i, CAST(length(ws[i]) AS BIGINT) AS wlen FROM (
+    SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM b
+  )
+),
+dups AS (
+  SELECT cov.doc_id, {dups}
+  FROM cov JOIN tok ON cov.doc_id = tok.doc_id AND cov.i = tok.i
+  GROUP BY cov.doc_id
+),
+f AS (
+  SELECT b.doc_id, b.total_chars, {nums}
+  FROM b
+  LEFT JOIN tops USING (doc_id)
+  LEFT JOIN dups USING (doc_id)
+),
+fl AS (
+  SELECT f.*, {flag_exprs} FROM f
+)
+SELECT doc_id, total_chars,
+       top2_chars, top3_chars, top4_chars,
+       dup5_chars, dup6_chars, dup7_chars,
+       f_top2, f_top3, f_top4, f_dup5, f_dup6, f_dup7,
+       CAST(({kept_sum}) = 0 AS INTEGER) AS kept
+FROM fl
+ORDER BY doc_id
+"""
+
+
+ML_QUERIES["gopher_repetition"] = (gopher_repetition, _gopher_repetition_sql())
+
+
+# --------------------------------------------------------------------------
 # Exact substring dedup (r4; Lee et al. 2022, "Deduplicating Training
 # Data Makes Language Models Better"): remove every token covered by a
 # K-token sequence that occurs elsewhere in the corpus, keeping the

@@ -945,3 +945,55 @@ def test_pack_shards_bfd_invariants_and_quality(spark):
         f"BFD fill {bfd_fill:.4f} vs cumsum {cum_fill:.4f} "
         f"({len(bfd)} vs {len(cum)} shards)"
     )
+
+
+def test_gopher_repetition_hand_corpus(spark, tmp_path):
+    """Pins gopher_repetition's two documented semantic choices on a
+    hand-computed corpus the sf data can't exercise (its word salad has
+    no duplicated 5-grams):
+
+    * positional-union duplicate coverage: doc 0's four duplicated
+      5-gram occurrences would claim 20 chars under sum-of-occurrences;
+      the exact interval union covers each of its 8 word positions once
+      (dup5_chars == total_chars == 8, never more);
+    * top-n as max char mass: doc 1's top 2-gram by chars is
+      'delta epsilon' (12) even though every 2-gram has count 1.
+    """
+    from datamunging_spark.ml_ops import ML_QUERIES as MQ
+
+    rows = [
+        (0, "a b a b a b a b"),
+        (1, "alpha beta gamma delta epsilon"),
+        (2, ""),
+    ]
+    spark.createDataFrame(rows, "doc_id bigint, text string") \
+        .write.parquet(f"{tmp_path}/documents.parquet")
+    fn, sql = MQ["gopher_repetition"]
+    got = {r["doc_id"]: r.asDict() for r in fn(spark, str(tmp_path)).collect()}
+    assert got[0] == dict(
+        doc_id=0, total_chars=8, top2_chars=8, top3_chars=9, top4_chars=12,
+        dup5_chars=8, dup6_chars=8, dup7_chars=0,
+        f_top2=1, f_top3=1, f_top4=1, f_dup5=1, f_dup6=1, f_dup7=0, kept=0,
+    )
+    assert got[1] == dict(
+        doc_id=1, total_chars=26, top2_chars=12, top3_chars=17,
+        top4_chars=21, dup5_chars=0, dup6_chars=0, dup7_chars=0,
+        f_top2=1, f_top3=1, f_top4=1, f_dup5=0, f_dup6=0, f_dup7=0, kept=0,
+    )
+    assert got[2] == dict(
+        doc_id=2, total_chars=0, top2_chars=0, top3_chars=0, top4_chars=0,
+        dup5_chars=0, dup6_chars=0, dup7_chars=0,
+        f_top2=0, f_top3=0, f_top4=0, f_dup5=0, f_dup6=0, f_dup7=0, kept=1,
+    )
+    # the DuckDB oracle agrees on the dup-coverage path too (it is
+    # identically zero on the sf corpora, so sf-level oracle equality
+    # alone would leave the union CTEs unverified)
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    gc, gr = _rows(fn(spark, str(tmp_path)).toPandas())
+    wc, wr = _rows(con.sql(sql).df())
+    assert gc == wc
+    assert gr == wr

@@ -472,3 +472,20 @@ def test_bpe_tokenize_docs_broadcast_join(spark, sf_dir):
     plan = plan_of(bpe_tokenize_docs(spark, sf_dir, n_merges=2))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_gopher_repetition_pruned_scan_no_python(spark, sf_dir):
+    """The repetition metrics are pure codegen over a 2-column pruned
+    scan: no Python stage anywhere, and the occurrence-table window's
+    key starts with doc_id so the work is per-document parallel."""
+    from datamunging_spark.ml_ops import gopher_repetition
+
+    plan = plan_of(gopher_repetition(spark, sf_dir))
+    assert "EvalPython" not in plan, plan
+    # column pruning: only doc_id + text leave the parquet scan
+    for seg in plan.split("ReadSchema")[1:]:
+        head = seg.split("\n")[0]
+        assert "embedding" not in head and "lang" not in head, head
+    # the dominant window is keyed (doc_id, n, gram) — hash-spreads a
+    # monster doc's grams instead of pinning the doc to one task
+    assert "windowspecdefinition(doc_id" in plan.lower(), plan
