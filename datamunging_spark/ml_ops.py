@@ -4656,11 +4656,18 @@ def gopher_repetition(spark, sf_dir):
     docs = t(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.lower("text"), " ").alias("ws")
     )
-    # long seed: int accumulator would overflow past 2^31 chars (ADVICE r4)
+    # long seed: int accumulator would overflow past 2^31 chars (ADVICE r4).
+    # NULL text => NULL ws => NULL aggregate: coalesce to 0 to match the
+    # oracle's coalesce(list_aggregate(...), 0) — a NULL-text doc scores
+    # 0 everywhere and kept=1 on BOTH engines (review catch: without this
+    # the flags/kept go NULL Spark-side while DuckDB returns 0/1)
     base = docs.select(
         "doc_id", "ws",
-        F.aggregate(
-            "ws", F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        F.coalesce(
+            F.aggregate(
+                "ws", F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+            ),
+            F.lit(0).cast("long"),
         ).alias("total_chars"),
     )
     n_arr = F.array([F.lit(n) for n in (2, 3, 4, 5, 6, 7)])

@@ -965,6 +965,7 @@ def test_gopher_repetition_hand_corpus(spark, tmp_path):
         (0, "a b a b a b a b"),
         (1, "alpha beta gamma delta epsilon"),
         (2, ""),
+        (3, None),  # NULL text: scores 0 everywhere, kept=1 (review catch)
     ]
     spark.createDataFrame(rows, "doc_id bigint, text string") \
         .write.parquet(f"{tmp_path}/documents.parquet")
@@ -980,11 +981,13 @@ def test_gopher_repetition_hand_corpus(spark, tmp_path):
         top4_chars=21, dup5_chars=0, dup6_chars=0, dup7_chars=0,
         f_top2=1, f_top3=1, f_top4=1, f_dup5=0, f_dup6=0, f_dup7=0, kept=0,
     )
-    assert got[2] == dict(
-        doc_id=2, total_chars=0, top2_chars=0, top3_chars=0, top4_chars=0,
+    zero_doc = dict(
+        total_chars=0, top2_chars=0, top3_chars=0, top4_chars=0,
         dup5_chars=0, dup6_chars=0, dup7_chars=0,
         f_top2=0, f_top3=0, f_top4=0, f_dup5=0, f_dup6=0, f_dup7=0, kept=1,
     )
+    assert got[2] == dict(doc_id=2, **zero_doc)
+    assert got[3] == dict(doc_id=3, **zero_doc)
     # the DuckDB oracle agrees on the dup-coverage path too (it is
     # identically zero on the sf corpora, so sf-level oracle equality
     # alone would leave the union CTEs unverified)

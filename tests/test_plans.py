@@ -487,5 +487,11 @@ def test_gopher_repetition_pruned_scan_no_python(spark, sf_dir):
         head = seg.split("\n")[0]
         assert "embedding" not in head and "lang" not in head, head
     # the dominant window is keyed (doc_id, n, gram) — hash-spreads a
-    # monster doc's grams instead of pinning the doc to one task
-    assert "windowspecdefinition(doc_id" in plan.lower(), plan
+    # monster doc's grams instead of pinning the doc to one task (the
+    # full key is asserted: a doc_id-only window would pass a prefix
+    # check while reintroducing exactly that skew mode)
+    import re as _re
+
+    assert _re.search(
+        r"windowspecdefinition\(doc_id#\d+L?, n#\d+L?, gram#\d+", plan
+    ), plan
