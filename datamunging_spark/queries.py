@@ -22,7 +22,18 @@ from pyspark.sql.window import Window as W
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "documents":
+        # Ingestion canonicalization (data contract, SPEC.md): a NULL
+        # text — a failed upstream extract — behaves exactly like the
+        # empty string everywhere in the catalog. Normalizing ONCE at
+        # the scan keeps all ~40 text ops NULL-robust without per-op
+        # null guards (a NULL-text fuzz sweep found 14 ops whose
+        # engine/oracle NULL behavior diverged before this); the
+        # DuckDB oracle harnesses replay the same canonicalization in
+        # their `documents` view (SELECT * REPLACE coalesce(text,'')).
+        df = df.withColumn("text", F.coalesce("text", F.lit("")))
+    return df
 
 
 # --------------------------------------------------------------------------

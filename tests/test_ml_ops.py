@@ -26,8 +26,13 @@ SQL_CHECKED = sorted(n for n, (_, sql) in ML_QUERIES.items() if sql is not None)
 def con():
     c = duckdb.connect()
     for tbl in TABLES:
+        # documents: replay the engine's ingestion canonicalization
+        # (queries.t: NULL text ≡ '' — SPEC.md data contract)
+        sel = "* REPLACE (coalesce(text, '') AS text)" \
+            if tbl == "documents" else "*"
         c.sql(
-            f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{SF_DIR}/{tbl}.parquet')"
+            f"CREATE VIEW {tbl} AS SELECT {sel} "
+            f"FROM read_parquet('{SF_DIR}/{tbl}.parquet')"
         )
     return c
 

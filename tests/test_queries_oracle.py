@@ -25,8 +25,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 def con():
     c = duckdb.connect()
     for tbl in TABLES:
+        # documents: replay the engine's ingestion canonicalization
+        # (queries.t: NULL text ≡ '' — SPEC.md data contract)
+        sel = "* REPLACE (coalesce(text, '') AS text)" \
+            if tbl == "documents" else "*"
         c.sql(
-            f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{SF_DIR}/{tbl}.parquet')"
+            f"CREATE VIEW {tbl} AS SELECT {sel} "
+            f"FROM read_parquet('{SF_DIR}/{tbl}.parquet')"
         )
     return c
 

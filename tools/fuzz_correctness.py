@@ -81,7 +81,13 @@ def make_tables(tmp: Path, seed: int, spark) -> None:
     n = rng.randint(25, 45)
     for i in range(n):
         roll = rng.random()
-        if roll < 0.25:
+        if roll < 0.06:
+            # NULL text (failed upstream extract): the SPEC.md ingestion
+            # contract canonicalizes it to '' on BOTH engines — a sweep
+            # before that contract found 14 ops with divergent NULL
+            # behavior, so this class stays in the mix permanently
+            text = None
+        elif roll < 0.25:
             text = rng.choice(HOSTILE_TEXTS)
         elif roll < 0.35 and docs:
             text = docs[rng.randrange(len(docs))][1]  # exact duplicate
@@ -93,7 +99,7 @@ def make_tables(tmp: Path, seed: int, spark) -> None:
             text = " ".join(toks)
         docs.append(
             (i, text, rng.choice(["en", "de", "xx"]),
-             f"src{rng.randrange(3)}", len(text))
+             f"src{rng.randrange(3)}", len(text) if text is not None else 0)
         )
     spark.createDataFrame(
         docs, "doc_id bigint, text string, lang string, source string, n_chars bigint"
@@ -248,9 +254,13 @@ def main() -> int:
             for tbl in ("documents", "embeddings", "region", "nation",
                         "customer", "supplier", "part", "orders",
                         "lineitem", "events"):
-                # Spark writes a directory of part files — glob for DuckDB
+                # Spark writes a directory of part files — glob for DuckDB.
+                # documents: replay the engine's ingestion canonicalization
+                # (queries.t: NULL text ≡ '' — SPEC.md data contract)
+                sel = "* REPLACE (coalesce(text, '') AS text)" \
+                    if tbl == "documents" else "*"
                 con.sql(
-                    f"CREATE VIEW {tbl} AS SELECT * FROM "
+                    f"CREATE VIEW {tbl} AS SELECT {sel} FROM "
                     f"read_parquet('{tmp}/{tbl}.parquet/*.parquet')"
                 )
             for name, fn in qs.items():

@@ -52,9 +52,13 @@ def main() -> None:
     spark = get_spark(app_name="gen-correctness")
     con = duckdb.connect()
     for tbl in TABLES:
+        # documents: replay the engine's ingestion canonicalization
+        # (queries.t: NULL text ≡ '' — SPEC.md data contract)
+        sel = "* REPLACE (coalesce(text, '') AS text)" \
+            if tbl == "documents" else "*"
         con.sql(
             f"CREATE VIEW {tbl} AS "
-            f"SELECT * FROM read_parquet('{SF_DIR}/{tbl}.parquet')"
+            f"SELECT {sel} FROM read_parquet('{SF_DIR}/{tbl}.parquet')"
         )
     qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
     report: dict[str, dict] = {}
