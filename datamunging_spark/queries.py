@@ -24,15 +24,26 @@ from pyspark.sql.window import Window as W
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "documents":
-        # Ingestion canonicalization (data contract, SPEC.md): a NULL
-        # text — a failed upstream extract — behaves exactly like the
-        # empty string everywhere in the catalog. Normalizing ONCE at
-        # the scan keeps all ~40 text ops NULL-robust without per-op
-        # null guards (a NULL-text fuzz sweep found 14 ops whose
-        # engine/oracle NULL behavior diverged before this); the
-        # DuckDB oracle harnesses replay the same canonicalization in
-        # their `documents` view (SELECT * REPLACE coalesce(text,'')).
-        df = df.withColumn("text", F.coalesce("text", F.lit("")))
+        # Ingestion canonicalization (data contract, SPEC.md §0): NULL
+        # text (a failed upstream extract) behaves exactly like the
+        # empty string, and NULL lang/source like the empty label.
+        # Normalizing ONCE at the scan keeps all ~40 text ops
+        # NULL-robust without per-op guards (NULL fuzz sweeps found 14
+        # text + 2 lang/source ops whose engine/oracle NULL behavior
+        # diverged before this); the DuckDB oracle harnesses replay the
+        # identical canonicalization in their `documents` view
+        # (SELECT * REPLACE coalesce(...) ...).
+        # Schema-gated: test fixtures may carry a projected documents
+        # table (doc_id+text only) — canonicalize what's present.
+        for c in ("text", "lang", "source"):
+            if c in df.columns:
+                df = df.withColumn(c, F.coalesce(c, F.lit("")))
+    elif name == "embeddings":
+        # A NULL vector is unusable in any distance computation — the
+        # contract DROPS it at ingestion (both engines crashed on it
+        # before: DuckDB list_inner_product, numpy iteration). Element-
+        # level nulls are out of contract (vectors are whole or absent).
+        df = df.where(F.col("embedding").isNotNull())
     return df
 
 

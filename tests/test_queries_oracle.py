@@ -25,13 +25,18 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 def con():
     c = duckdb.connect()
     for tbl in TABLES:
-        # documents: replay the engine's ingestion canonicalization
-        # (queries.t: NULL text ≡ '' — SPEC.md data contract)
-        sel = "* REPLACE (coalesce(text, '') AS text)" \
+        # replay the engine's ingestion canonicalization (queries.t /
+        # SPEC.md §0): documents NULL text/lang/source ≡ '', NULL
+        # embedding rows dropped
+        sel = (
+            "* REPLACE (coalesce(text, '') AS text, "
+            "coalesce(lang, '') AS lang, coalesce(source, '') AS source)"
             if tbl == "documents" else "*"
+        )
+        where = " WHERE embedding IS NOT NULL" if tbl == "embeddings" else ""
         c.sql(
             f"CREATE VIEW {tbl} AS SELECT {sel} "
-            f"FROM read_parquet('{SF_DIR}/{tbl}.parquet')"
+            f"FROM read_parquet('{SF_DIR}/{tbl}.parquet'){where}"
         )
     return c
 

@@ -98,8 +98,12 @@ def make_tables(tmp: Path, seed: int, spark) -> None:
                 toks = toks + toks
             text = " ".join(toks)
         docs.append(
-            (i, text, rng.choice(["en", "de", "xx"]),
-             f"src{rng.randrange(3)}", len(text) if text is not None else 0)
+            (i, text,
+             # NULL lang/source (unknown provenance): the SPEC.md §0
+             # contract canonicalizes both to '' on both engines
+             None if rng.random() < 0.06 else rng.choice(["en", "de", "xx"]),
+             None if rng.random() < 0.06 else f"src{rng.randrange(3)}",
+             len(text) if text is not None else 0)
         )
     spark.createDataFrame(
         docs, "doc_id bigint, text string, lang string, source string, n_chars bigint"
@@ -109,10 +113,16 @@ def make_tables(tmp: Path, seed: int, spark) -> None:
     vecs = []
     for i in range(rng.randint(20, 40)):
         roll = rng.random()
-        if roll < 0.1:
+        if roll < 0.06:
+            # NULL vector: DROPPED at ingestion on both engines
+            # (SPEC.md §0 contract — unusable in any distance)
+            v = None
+        elif roll < 0.1:
             v = [0.0] * dim  # zero vector — cosine 0/0 class
         elif roll < 0.25 and vecs:
             v = vecs[rng.randrange(len(vecs))][1]  # duplicate vector
+            if v is None:
+                v = [round(rng.uniform(-1, 1), 3) for _ in range(dim)]
         else:
             v = [round(rng.uniform(-1, 1), 3) for _ in range(dim)]
         vecs.append((i, v, rng.randrange(4)))
@@ -255,13 +265,20 @@ def main() -> int:
                         "customer", "supplier", "part", "orders",
                         "lineitem", "events"):
                 # Spark writes a directory of part files — glob for DuckDB.
-                # documents: replay the engine's ingestion canonicalization
-                # (queries.t: NULL text ≡ '' — SPEC.md data contract)
-                sel = "* REPLACE (coalesce(text, '') AS text)" \
+                # Replay the engine's ingestion canonicalization
+                # (queries.t / SPEC.md §0): documents NULL
+                # text/lang/source ≡ '', NULL embedding rows dropped
+                sel = (
+                    "* REPLACE (coalesce(text, '') AS text, "
+                    "coalesce(lang, '') AS lang, "
+                    "coalesce(source, '') AS source)"
                     if tbl == "documents" else "*"
+                )
+                where = (" WHERE embedding IS NOT NULL"
+                         if tbl == "embeddings" else "")
                 con.sql(
                     f"CREATE VIEW {tbl} AS SELECT {sel} FROM "
-                    f"read_parquet('{tmp}/{tbl}.parquet/*.parquet')"
+                    f"read_parquet('{tmp}/{tbl}.parquet/*.parquet'){where}"
                 )
             for name, fn in qs.items():
                 if name not in osql:

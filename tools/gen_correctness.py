@@ -52,13 +52,18 @@ def main() -> None:
     spark = get_spark(app_name="gen-correctness")
     con = duckdb.connect()
     for tbl in TABLES:
-        # documents: replay the engine's ingestion canonicalization
-        # (queries.t: NULL text ≡ '' — SPEC.md data contract)
-        sel = "* REPLACE (coalesce(text, '') AS text)" \
+        # replay the engine's ingestion canonicalization (queries.t /
+        # SPEC.md §0): documents NULL text/lang/source ≡ '', NULL
+        # embedding rows dropped
+        sel = (
+            "* REPLACE (coalesce(text, '') AS text, "
+            "coalesce(lang, '') AS lang, coalesce(source, '') AS source)"
             if tbl == "documents" else "*"
+        )
+        where = " WHERE embedding IS NOT NULL" if tbl == "embeddings" else ""
         con.sql(
             f"CREATE VIEW {tbl} AS "
-            f"SELECT {sel} FROM read_parquet('{SF_DIR}/{tbl}.parquet')"
+            f"SELECT {sel} FROM read_parquet('{SF_DIR}/{tbl}.parquet'){where}"
         )
     qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
     report: dict[str, dict] = {}
