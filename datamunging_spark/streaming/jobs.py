@@ -84,11 +84,8 @@ def _sessionize(key, pdfs, state):
     timeout fires; otherwise fold the batch into state."""
     import datetime
 
-    (user_id,) = key
-    if state.hasTimedOut:
-        start_us, last_us, n = state.get
-        state.remove()
-        yield pd.DataFrame(
+    def session_row(start_us, last_us, n):
+        return pd.DataFrame(
             {
                 "user_id": [user_id],
                 "session_start": [datetime.datetime.utcfromtimestamp(start_us / 1e6)],
@@ -96,6 +93,12 @@ def _sessionize(key, pdfs, state):
                 "n_events": [n],
             }
         )
+
+    (user_id,) = key
+    if state.hasTimedOut:
+        start_us, last_us, n = state.get
+        state.remove()
+        yield session_row(start_us, last_us, n)
         return
     rows = pd.concat(list(pdfs))
     ts_us = (rows["ts"].astype("int64") // 1000).sort_values()
@@ -105,21 +108,29 @@ def _sessionize(key, pdfs, state):
         start_us, last_us, n = int(ts_us.iloc[0]), int(ts_us.iloc[0]), 0
     for t_us in ts_us:
         if t_us - last_us > SESSION_GAP_S * 1_000_000:
-            yield pd.DataFrame(
-                {
-                    "user_id": [user_id],
-                    "session_start": [
-                        datetime.datetime.utcfromtimestamp(start_us / 1e6)
-                    ],
-                    "session_end": [datetime.datetime.utcfromtimestamp(last_us / 1e6)],
-                    "n_events": [n],
-                }
-            )
+            yield session_row(start_us, last_us, n)
             start_us, n = int(t_us), 0
         last_us = int(t_us)
         n += 1
+    timeout_ms = last_us // 1000 + SESSION_GAP_S * 1000
+    if state.getCurrentWatermarkMs() > timeout_ms:
+        # A micro-batch can hold rows that passed the late filter (>=
+        # the PREVIOUS batch's watermark) while newer rows in the same
+        # batch advance the eviction watermark past this session's gap
+        # deadline — setTimeoutTimestamp would then throw
+        # INVALID_TIMEOUT_TIMESTAMP and kill the stream (found by
+        # tools/fuzz_streaming.py, seed 20260821). The session is
+        # already closed: any future row surviving the late filter has
+        # ts >= watermark > last + gap and starts a NEW session, so
+        # emit now and drop the state instead of registering an expired
+        # timeout. Strict > keeps the timeout==watermark boundary on
+        # the timeout path (fires only once the watermark advances,
+        # matching the driver simulation's strict gap rule).
+        state.remove()
+        yield session_row(start_us, last_us, n)
+        return
     state.update((start_us, last_us, n))
-    state.setTimeoutTimestamp(last_us // 1000 + SESSION_GAP_S * 1000)
+    state.setTimeoutTimestamp(timeout_ms)
 
 
 def sessionize_stream(events: DataFrame) -> DataFrame:

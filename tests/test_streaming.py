@@ -183,6 +183,74 @@ def test_sessionize_stream_emits_valid_sessions(spark, events_dir):
         assert r.n_events >= 1
 
 
+def test_sessionize_survives_watermark_racing_past_timeout(
+    spark, tmp_path_factory
+):
+    """Regression (fuzz seed 20260821): a micro-batch holding an
+    old-but-not-late row for one user PLUS a far-newer row for another
+    advances the eviction watermark past the old session's gap
+    deadline; setTimeoutTimestamp(last + gap) then throws
+    INVALID_TIMEOUT_TIMESTAMP and aborts the stream. The engine must
+    instead emit that session immediately (no surviving row can extend
+    it: anything passing the late filter starts a new session).
+
+    Arrival script (mtime-ordered, maxFilesPerTrigger=1):
+    batch 0: user 1 @ T0             -> watermark T0 - 2h
+    batch 1: user 1 @ T0+60s (>= wm, passes the late filter)
+             user 2 @ T0+12h        -> eviction wm T0+10h, which is
+             way past user 1's timeout T0+60s+30min (pre-fix: crash).
+    Expected emission: exactly (user 1, T0, T0+60s, n=2); user 2's
+    session stays open (timeout > final watermark)."""
+    import datetime as dt
+    import glob
+    import os
+    import time as _time
+
+    base = tmp_path_factory.mktemp("sess_race")
+    events_dir, out, ckpt = (
+        str(base / "ev"), str(base / "out"), str(base / "ckpt")
+    )
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_wave(rows, mtime):
+        df = spark.createDataFrame(
+            [(e, ts, u, "view", 0.0, "{}") for e, ts, u in rows],
+            schema=EVENTS_SCHEMA,
+        )
+        before = set(glob.glob(f"{events_dir}/part-*.parquet"))
+        df.coalesce(1).write.mode("append").parquet(events_dir)
+        for f in set(glob.glob(f"{events_dir}/part-*.parquet")) - before:
+            os.utime(f, (mtime, mtime))
+
+    now = _time.time() - 100
+    write_wave([(0, t0, 1)], now)
+    write_wave(
+        [
+            (1, t0 + dt.timedelta(seconds=60), 1),
+            (2, t0 + dt.timedelta(hours=12), 2),
+        ],
+        now + 10,
+    )
+
+    stream = read_events_stream(spark, events_dir)
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()  # pre-fix: raises STREAM_FAILED here
+
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(1, t0, t0 + dt.timedelta(seconds=60), 2)}
+
+
 def test_streaming_munge_matches_batch_pipeline(spark, tmp_path_factory):
     base = tmp_path_factory.mktemp("smunge")
     spans_dir = str(base / "spans")
