@@ -81,7 +81,26 @@ SESSION_GAP_S = 1800
 
 def _sessionize(key, pdfs, state):
     """applyInPandasWithState fn: emit a session row when the 30-min gap
-    timeout fires; otherwise fold the batch into state."""
+    timeout fires; otherwise fold the batch into state.
+
+    Late-row contract (fuzz seed 20260821, two real bugs at one seed):
+    Spark's BUILT-IN late filter for this operator lags — within one
+    availableNow run it filters against the run-start watermark while
+    the eviction watermark advances per batch — so a row hours older
+    than the open session can still reach this function. Unhandled,
+    that (a) walks last_us backwards past start_us (sessions with
+    end < start) and (b) computes a gap timeout below the eviction
+    watermark, where setTimeoutTimestamp throws
+    INVALID_TIMEOUT_TIMESTAMP and kills the stream. So this function
+    applies its OWN late filter against getCurrentWatermarkMs() — the
+    per-batch eviction watermark, i.e. exactly the one-batch-lag
+    watermark the driver simulation (tools/fuzz_streaming.py) models —
+    making drop decisions deterministic per batch. Surviving
+    out-of-order rows (>= watermark but older than state) MERGE into
+    the open session: start_us = min, last_us = max, n += 1 — bounded
+    (start, last, n) state cannot retro-split an interior gap, and the
+    gap rule applies to the forward edge only. Sessions are therefore
+    always well-formed (start <= end)."""
     import datetime
 
     def session_row(start_us, last_us, n):
@@ -100,32 +119,35 @@ def _sessionize(key, pdfs, state):
         state.remove()
         yield session_row(start_us, last_us, n)
         return
+    wm_ms = state.getCurrentWatermarkMs()  # 0 before any watermark
     rows = pd.concat(list(pdfs))
     ts_us = (rows["ts"].astype("int64") // 1000).sort_values()
+    ts_us = ts_us[ts_us >= wm_ms * 1000]
     if state.exists:
         start_us, last_us, n = state.get
+    elif len(ts_us) == 0:
+        return  # every row was late and there is no open session
     else:
         start_us, last_us, n = int(ts_us.iloc[0]), int(ts_us.iloc[0]), 0
     for t_us in ts_us:
         if t_us - last_us > SESSION_GAP_S * 1_000_000:
             yield session_row(start_us, last_us, n)
-            start_us, n = int(t_us), 0
-        last_us = int(t_us)
+            start_us, last_us, n = int(t_us), int(t_us), 0
+        else:
+            start_us = min(start_us, int(t_us))
+            last_us = max(last_us, int(t_us))
         n += 1
     timeout_ms = last_us // 1000 + SESSION_GAP_S * 1000
-    if state.getCurrentWatermarkMs() > timeout_ms:
-        # A micro-batch can hold rows that passed the late filter (>=
-        # the PREVIOUS batch's watermark) while newer rows in the same
-        # batch advance the eviction watermark past this session's gap
-        # deadline — setTimeoutTimestamp would then throw
-        # INVALID_TIMEOUT_TIMESTAMP and kill the stream (found by
-        # tools/fuzz_streaming.py, seed 20260821). The session is
-        # already closed: any future row surviving the late filter has
-        # ts >= watermark > last + gap and starts a NEW session, so
-        # emit now and drop the state instead of registering an expired
-        # timeout. Strict > keeps the timeout==watermark boundary on
-        # the timeout path (fires only once the watermark advances,
-        # matching the driver simulation's strict gap rule).
+    if wm_ms > timeout_ms:
+        # Reachable only when every batch row for an OPEN session was
+        # dropped as late (surviving rows satisfy last >= row >= wm, so
+        # timeout = last + gap > wm): the registered timer must be
+        # re-set on every invocation, but re-registering an expired
+        # timestamp throws INVALID_TIMEOUT_TIMESTAMP — the session is
+        # over (any future surviving row has ts >= wm > last + gap and
+        # starts a NEW session), so emit it now and drop the state.
+        # Strict > keeps the timeout==watermark boundary on the timeout
+        # path, matching the driver simulation's strict gap rule.
         state.remove()
         yield session_row(start_us, last_us, n)
         return

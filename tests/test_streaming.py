@@ -183,58 +183,30 @@ def test_sessionize_stream_emits_valid_sessions(spark, events_dir):
         assert r.n_events >= 1
 
 
-def test_sessionize_survives_watermark_racing_past_timeout(
-    spark, tmp_path_factory
-):
-    """Regression (fuzz seed 20260821): a micro-batch holding an
-    old-but-not-late row for one user PLUS a far-newer row for another
-    advances the eviction watermark past the old session's gap
-    deadline; setTimeoutTimestamp(last + gap) then throws
-    INVALID_TIMEOUT_TIMESTAMP and aborts the stream. The engine must
-    instead emit that session immediately (no surviving row can extend
-    it: anything passing the late filter starts a new session).
-
-    Arrival script (mtime-ordered, maxFilesPerTrigger=1):
-    batch 0: user 1 @ T0             -> watermark T0 - 2h
-    batch 1: user 1 @ T0+60s (>= wm, passes the late filter)
-             user 2 @ T0+12h        -> eviction wm T0+10h, which is
-             way past user 1's timeout T0+60s+30min (pre-fix: crash).
-    Expected emission: exactly (user 1, T0, T0+60s, n=2); user 2's
-    session stays open (timeout > final watermark)."""
-    import datetime as dt
+def _drive_sessionize(spark, base, waves):
+    """Write each wave as one mtime-ordered parquet file (one micro-batch
+    each under maxFilesPerTrigger=1), drain with availableNow, and return
+    the emitted session set as (user, start, end, n)."""
     import glob
     import os
     import time as _time
 
-    base = tmp_path_factory.mktemp("sess_race")
     events_dir, out, ckpt = (
         str(base / "ev"), str(base / "out"), str(base / "ckpt")
     )
-    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
-
-    def write_wave(rows, mtime):
+    now = _time.time() - 100
+    for i, rows in enumerate(waves):
         df = spark.createDataFrame(
-            [(e, ts, u, "view", 0.0, "{}") for e, ts, u in rows],
+            [(e, ts, u, "view", 0.0, "{}")
+             for e, (ts, u) in enumerate(rows, start=i * 100)],
             schema=EVENTS_SCHEMA,
         )
         before = set(glob.glob(f"{events_dir}/part-*.parquet"))
         df.coalesce(1).write.mode("append").parquet(events_dir)
         for f in set(glob.glob(f"{events_dir}/part-*.parquet")) - before:
-            os.utime(f, (mtime, mtime))
-
-    now = _time.time() - 100
-    write_wave([(0, t0, 1)], now)
-    write_wave(
-        [
-            (1, t0 + dt.timedelta(seconds=60), 1),
-            (2, t0 + dt.timedelta(hours=12), 2),
-        ],
-        now + 10,
-    )
-
-    stream = read_events_stream(spark, events_dir)
+            os.utime(f, (now + i * 10, now + i * 10))
     q = (
-        sessionize_stream(stream)
+        sessionize_stream(read_events_stream(spark, events_dir))
         .writeStream.format("parquet")
         .option("path", out)
         .option("checkpointLocation", ckpt)
@@ -242,13 +214,78 @@ def test_sessionize_survives_watermark_racing_past_timeout(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()  # pre-fix: raises STREAM_FAILED here
-
-    got = {
+    q.awaitTermination()
+    return {
         (r.user_id, r.session_start, r.session_end, r.n_events)
         for r in spark.read.parquet(out).collect()
     }
-    assert got == {(1, t0, t0 + dt.timedelta(seconds=60), 2)}
+
+
+def test_sessionize_drops_row_behind_eviction_watermark(
+    spark, tmp_path_factory
+):
+    """Regression (fuzz seed 20260821): Spark's BUILT-IN late filter for
+    applyInPandasWithState lags within an availableNow run (it holds the
+    run-start watermark) while the per-batch eviction watermark advances
+    one batch behind the data — so a row hours past the watermark horizon
+    still reaches the state fn. Unhandled, its gap timeout lands below
+    the eviction watermark and setTimeoutTimestamp aborts the stream
+    (INVALID_TIMEOUT_TIMESTAMP). The engine's own in-function filter
+    must drop it against getCurrentWatermarkMs().
+
+    batch 0: u9 @ 100s    -> eviction wm for batch 1 = 0
+    batch 1: u9 @ 40000s  -> gap-splits (100,100,1); wm for batch 2 = 32800
+    batch 2: u1 @ 10000s  -> builtin filter (run-start wm 0) passes it,
+             10000 < 32800 so the engine must drop it (pre-fix: crash,
+             then one intermediate build emitted a (10000,10000,1)
+             ghost session for it).
+    Final wm 32800 < u9's open timeout 41800 -> only one emission."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    got = _drive_sessionize(
+        spark,
+        tmp_path_factory.mktemp("sess_late"),
+        [[(at(100), 9)], [(at(40000), 9)], [(at(10000), 1)]],
+    )
+    assert got == {(9, at(100), at(100), 1)}
+
+
+def test_sessionize_merges_out_of_order_survivor(spark, tmp_path_factory):
+    """An out-of-order row that is NOT late (>= the eviction watermark,
+    older than the open session's last event) must MERGE into the open
+    session — start = min, end = max — never walk the session end
+    backwards past its start (the second seed-20260821 bug: emitted
+    sessions with end < start).
+
+    batch 0: u1 @ 10000s, u9 @ 10000s   -> eviction wm for batch 1 = 2800
+    batch 1: u1 @ 9000s (out-of-order survivor: 9000 >= 2800),
+             u9 @ 50000s (gap-splits u9; drives the final wm to 42800)
+    Final wm 42800 fires u1's timeout (11800): the merged session must
+    be (9000, 10000, n=2) with start <= end."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    got = _drive_sessionize(
+        spark,
+        tmp_path_factory.mktemp("sess_ooo"),
+        [
+            [(at(10000), 1), (at(10000), 9)],
+            [(at(9000), 1), (at(50000), 9)],
+        ],
+    )
+    assert got == {
+        (1, at(9000), at(10000), 2),
+        (9, at(10000), at(10000), 1),
+    }
 
 
 def test_streaming_munge_matches_batch_pipeline(spark, tmp_path_factory):

@@ -264,8 +264,13 @@ def _simulate_sessions(batches, gap_s: int):
             for ts in ts_list:
                 if ts - last > gap_us:
                     emitted.append((u, s, last, n))
-                    s, n = ts, 0
-                last = ts
+                    s, last, n = ts, ts, 0
+                else:
+                    # out-of-order survivor (>= watermark, older than
+                    # state): MERGE — bounded state cannot retro-split,
+                    # gap rule applies to the forward edge only (same
+                    # rule as _sessionize; keeps start <= end)
+                    s, last = min(s, ts), max(last, ts)
                 n += 1
             state[u] = (s, last, n)
         # (c) watermark update from the batch's raw max event time
@@ -331,10 +336,22 @@ def fuzz_sessionize(spark, tmp: Path, rng: random.Random) -> list[str]:
     # one clearly-late row per trial: 5 h behind the stream tail, landing
     # in the final file — must be dropped by the watermark filter
     late_ts = rows[-1][1] - 5 * 3600 * 1_000_000
+    rows_late = []
     if late_ts > rows[0][1]:
-        rows_late = [(eid, late_ts, rng.randrange(n_users))]
-    else:
-        rows_late = []
+        rows_late.append((eid, late_ts, rng.randrange(n_users)))
+        eid += 1
+    # plus 1-2 STRAGGLER rows per trial, gap-to-horizon behind the tail
+    # (whole seconds, keeping ms alignment): out-of-order arrivals that
+    # land right around the final eviction watermark, so across trials
+    # they exercise BOTH the in-function late drop AND the min/max
+    # merge-into-open-session path of _sessionize (seed-20260821 bug
+    # pair; the simulation decides drop-vs-merge per trial)
+    for _ in range(rng.randint(1, 2)):
+        back_s = rng.randint(WM_DELAY_S // 4, WM_DELAY_S + 1800)
+        strag_ts = rows[-1][1] - back_s * 1_000_000
+        if strag_ts > rows[0][1]:
+            rows_late.append((eid, strag_ts, rng.randrange(n_users)))
+            eid += 1
 
     k = 4
     per = (len(rows) + k - 1) // k
