@@ -64,7 +64,11 @@ DRIVER_PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",
-    "dedup_representatives",
+    # (dedup_representatives moved past the window late in r5: the dedup
+    # family keeps exact/minhash_lsh/simhash/clusters/embedding_cosine
+    # in-window; representative selection remains oracle-checked in
+    # pytest + CORRECTNESS_local.json. Freed slot goes to zorder_layout.)
+    "zorder_layout",
     "curate_corpus",
     "dedup_embedding_cosine",
     "ann_cosine_topk",
@@ -78,7 +82,10 @@ DRIVER_PRIORITY = [
     "multimodal_resize",
     "lang_id_stopword",
     "text_quality",
-    "token_stats",
+    # (token_stats moved past the window late in r5: the token family
+    # keeps bpe_learn in-window; the op remains oracle-checked in pytest
+    # + CORRECTNESS_local.json. Freed slot goes to url_normalize_dedup.)
+    "url_normalize_dedup",
     # (token_stats_bpe + multimodal_frame_sample moved past the window in
     # r5 to make room for the round-5 flagships below; the BPE family
     # keeps bpe_learn in-window and multimodal keeps multimodal_resize —

@@ -67,6 +67,12 @@ HEADLINE = [
     "substring_dedup",
     "gopher_quality",
     "bpe_learn",
+    # round-5 flagship additions
+    "decontaminate_bloom",
+    "pack_shards_bfd",
+    "gopher_repetition",
+    "zorder_layout",
+    "url_normalize_dedup",
 ]
 
 ALL = {**RELATIONAL_QUERIES, **ML_QUERIES}

@@ -5267,3 +5267,291 @@ GROUP BY doc_id ORDER BY doc_id"""
 )
 
 ML_QUERIES["bpe_tokenize_docs"] = (bpe_tokenize_docs, BPE_TOKENIZE_DOCS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton-curve) layout clustering — the standard multi-column
+# data-layout technique for scan pruning at 100 TB (Delta/Iceberg
+# OPTIMIZE ZORDER BY). Linear (single-column) sort gives tight per-file
+# min/max stats on ONE column; interleaving the bits of two quantized
+# dimensions gives *simultaneously* tight ranges on BOTH, so a
+# predicate on either dimension prunes files. The catalog query
+# computes the layout assignment over orders on (o_custkey,
+# o_orderdate) and returns per-bucket bounding stats — the pruning-
+# quality evidence itself (each bucket pins the top 4 bits of BOTH
+# quantized dims, so every bucket's qx/qy ranges are < 2^12 of the
+# 2^16 quantized space; a linear layout pins only one).
+#
+# Scale design: the min/max bounds come from ONE cheap agg (at 100 TB:
+# free from Iceberg/parquet column stats) broadcast into the scan; the
+# z-value is 32 shift/mask terms of pure whole-stage codegen computed
+# map-side; the writer then needs only repartitionByRange(zval) +
+# sortWithinPartitions(zval) — one range shuffle, the same cost as any
+# global sort, with NO Python anywhere. The DuckDB oracle replays the
+# identical integer arithmetic (quantize -> interleave -> bucket).
+# --------------------------------------------------------------------------
+
+_Z_BITS = 16  # per-dimension quantization width
+_Q_MAX = (1 << _Z_BITS) - 1  # 65535
+_Z_BUCKET_SHIFT = 24  # keep the top 8 z-bits -> up to 256 layout buckets
+
+
+def _morton(qx, qy):
+    """32-bit Morton code from two 16-bit quantized dims: 32 shift/mask
+    terms, pure codegen — bit i of qx lands at 2i, of qy at 2i+1."""
+    z = F.lit(0).cast("long")
+    for i in range(_Z_BITS):
+        z = z + F.shiftleft(F.shiftright(qx, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(
+            F.shiftright(qy, i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+    return z
+
+
+def zorder_layout(spark, sf_dir):
+    """Z-order layout assignment over orders on (o_custkey, epoch-second
+    of o_orderdate), reported as per-bucket bounding stats. Integer
+    arithmetic end-to-end: quantization is ((v - min) * 65535) DIV
+    max(span, 1) — exact in int64 for any span below 2^47 (epoch
+    seconds: fine for ten millennia) — and the Morton interleave is
+    shift/mask, so the oracle replay is bit-exact. unix_micros DIV
+    1_000_000 (not a timestamp cast) keeps the truncation rule explicit
+    and identical to DuckDB's epoch_us // 1000000."""
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("x"),
+        # parquet carries TIMESTAMP_NTZ; the session tz is pinned UTC, so
+        # the cast makes unix_micros read the same naive-UTC instant
+        # DuckDB's epoch_us sees
+        F.expr(
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 1000000"
+        ).alias("y"),
+    )
+    bounds = orders.agg(
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"),
+        F.max("y").alias("max_y"),
+    )
+    q = orders.crossJoin(F.broadcast(bounds)).select(
+        F.expr(
+            f"((x - min_x) * {_Q_MAX}) DIV greatest(max_x - min_x, 1)"
+        ).alias("qx"),
+        F.expr(
+            f"((y - min_y) * {_Q_MAX}) DIV greatest(max_y - min_y, 1)"
+        ).alias("qy"),
+    )
+    z = q.select(
+        "qx", "qy", _morton(F.col("qx"), F.col("qy")).alias("zval")
+    )
+    return (
+        z.groupBy(
+            F.shiftright(F.col("zval"), _Z_BUCKET_SHIFT).alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("qx").alias("qx_min"),
+            F.max("qx").alias("qx_max"),
+            F.min("qy").alias("qy_min"),
+            F.max("qy").alias("qy_max"),
+            F.sum("zval").alias("z_sum"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _zorder_sql() -> str:
+    terms = " + ".join(
+        f"(((qx >> {i}) & 1) << {2 * i}) + (((qy >> {i}) & 1) << {2 * i + 1})"
+        for i in range(_Z_BITS)
+    )
+    return f"""
+WITH base AS (
+  SELECT o_custkey AS x, epoch_us(o_orderdate) // 1000000 AS y FROM orders
+), b AS (
+  SELECT min(x) AS min_x, max(x) AS max_x,
+         min(y) AS min_y, max(y) AS max_y FROM base
+), q AS (
+  SELECT ((x - min_x) * {_Q_MAX}) // greatest(max_x - min_x, 1) AS qx,
+         ((y - min_y) * {_Q_MAX}) // greatest(max_y - min_y, 1) AS qy
+  FROM base, b
+), zt AS (
+  SELECT qx, qy, {terms} AS zval FROM q
+)
+SELECT zval >> {_Z_BUCKET_SHIFT} AS bucket,
+       count(*) AS n_rows,
+       min(qx) AS qx_min, max(qx) AS qx_max,
+       min(qy) AS qy_min, max(qy) AS qy_max,
+       CAST(sum(zval) AS BIGINT) AS z_sum
+FROM zt GROUP BY bucket ORDER BY bucket
+"""
+
+
+ML_QUERIES["zorder_layout"] = (zorder_layout, _zorder_sql())
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization + dedup — the CommonCrawl-style URL-level dedup
+# every web-scale corpus runs before content dedup: fold scheme/host
+# case, strip fragments, default ports (:80 http / :443 https),
+# trailing path slashes, and utm_* tracking params, then keep one doc
+# per canonical URL. The documents table has no URL column, so each
+# doc's surface URL is SYNTHESIZED deterministically from (doc_id,
+# source) with md5-selected hostile variants (mixed-case scheme/www,
+# redundant ports, tracking params, fragments, trailing slashes) —
+# both engines build the identical string, so the oracle checks the
+# canonicalization logic itself, not the data.
+#
+# Scale design: pure string codegen end-to-end (split_part/substring/
+# filter — no regex backtracking, no Python); dedup is one hash-shuffle
+# on the canonical URL, exactly the exact-dedup recipe. At 10^12 docs
+# the shuffle payload is (canon, doc_id) — never the document text.
+# --------------------------------------------------------------------------
+
+
+def _url_surface_sql(dialect: str) -> str:
+    """The synthesized surface URL, identical arithmetic per dialect —
+    only the md5->int64 idiom and STRING/VARCHAR spelling differ."""
+    if dialect == "spark":
+        def h(salt: str, m: int) -> str:
+            return (
+                f"(CAST(conv(substring(md5(concat('{salt}', "
+                f"CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+                f" % {m})"
+            )
+        s = "STRING"
+    else:
+        def h(salt: str, m: int) -> str:
+            return (
+                f"(CAST(concat('0x', substr(md5(concat('{salt}', "
+                f"CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % {m})"
+            )
+        s = "VARCHAR"
+    return (
+        "concat("
+        f"CASE {h('uscheme:', 4)} WHEN 0 THEN 'http' WHEN 1 THEN 'https'"
+        " WHEN 2 THEN 'HTTP' ELSE 'HTTPS' END, '://', "
+        f"CASE {h('uwww:', 3)} WHEN 0 THEN '' WHEN 1 THEN 'www.'"
+        " ELSE 'WWW.' END, "
+        "source, '.example.com', "
+        f"CASE {h('uport:', 3)} WHEN 0 THEN '' WHEN 1 THEN ':80'"
+        " ELSE ':443' END, "
+        f"'/p/', CAST(doc_id % 7 AS {s}), "
+        f"CASE {h('uslash:', 2)} WHEN 0 THEN '' ELSE '/' END, "
+        f"CASE {h('uq:', 4)} WHEN 0 THEN ''"
+        f" WHEN 1 THEN concat('?id=', CAST(doc_id % 5 AS {s}))"
+        f" WHEN 2 THEN concat('?utm_source=a&id=', CAST(doc_id % 5 AS {s}))"
+        f" ELSE concat('?id=', CAST(doc_id % 5 AS {s}), '&utm_campaign=x')"
+        " END, "
+        f"CASE {h('ufrag:', 2)} WHEN 0 THEN '' ELSE '#sec' END)"
+    )
+
+
+def url_normalize_dedup(spark, sf_dir):
+    """Canonicalize each doc's (synthesized) URL and dedup on the
+    canonical form: per canonical URL, how many docs collapsed into it,
+    how many distinct surface spellings they arrived under, and the
+    kept doc (min doc_id). Parse is split_part-structural (fragment ->
+    scheme -> host:port -> path?query), so no regex dialect is in play;
+    the utm_* strip is a HOF filter over the split query string.
+    ASCII-host precondition documented: host case-folding uses lower(),
+    which both engines apply identically to the synthesized hosts."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        docs.withColumn("url", F.expr(_url_surface_sql("spark")))
+        .withColumn("u0", F.expr("split_part(url, '#', 1)"))
+        .withColumn("scheme", F.expr("lower(split_part(u0, '://', 1))"))
+        .withColumn(
+            "rest",
+            F.expr("substring(u0, length(split_part(u0, '://', 1)) + 4)"),
+        )
+        .withColumn("hostport", F.expr("split_part(rest, '/', 1)"))
+        .withColumn("pathq", F.expr("substring(rest, length(hostport) + 1)"))
+        .withColumn("host", F.expr("lower(split_part(hostport, ':', 1))"))
+        .withColumn("port", F.expr("split_part(hostport, ':', 2)"))
+        .withColumn("path", F.expr("split_part(pathq, '?', 1)"))
+        .withColumn("qs", F.expr("split_part(pathq, '?', 2)"))
+        .withColumn(
+            "portc",
+            F.expr(
+                "CASE WHEN port = '' OR (scheme = 'http' AND port = '80')"
+                " OR (scheme = 'https' AND port = '443') THEN ''"
+                " ELSE concat(':', port) END"
+            ),
+        )
+        .withColumn(
+            "path2",
+            F.expr(
+                "CASE WHEN length(path) > 1 AND endswith(path, '/')"
+                " THEN substring(path, 1, length(path) - 1) ELSE path END"
+            ),
+        )
+        .withColumn(
+            "qkeep",
+            F.expr(
+                "array_join(filter(split(qs, '&'),"
+                " p -> p <> '' AND NOT startswith(p, 'utm_')), '&')"
+            ),
+        )
+        .withColumn(
+            "url_canon",
+            F.expr(
+                "concat(scheme, '://', host, portc, path2,"
+                " CASE WHEN qkeep <> '' THEN concat('?', qkeep)"
+                " ELSE '' END)"
+            ),
+        )
+        .groupBy("url_canon")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("url").alias("n_surface_forms"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .orderBy("url_canon")
+    )
+
+
+URL_NORMALIZE_DEDUP_SQL = f"""
+WITH s AS (
+  SELECT doc_id, {_url_surface_sql("duckdb")} AS url FROM documents
+), c1 AS (
+  SELECT doc_id, url, split_part(url, '#', 1) AS u0 FROM s
+), c2 AS (
+  SELECT *, lower(split_part(u0, '://', 1)) AS scheme,
+         substr(u0, length(split_part(u0, '://', 1)) + 4) AS rest
+  FROM c1
+), c3 AS (
+  SELECT *, split_part(rest, '/', 1) AS hostport,
+         substr(rest, length(split_part(rest, '/', 1)) + 1) AS pathq
+  FROM c2
+), c4 AS (
+  SELECT *, lower(split_part(hostport, ':', 1)) AS host,
+         split_part(hostport, ':', 2) AS port,
+         split_part(pathq, '?', 1) AS path,
+         split_part(pathq, '?', 2) AS qs
+  FROM c3
+), c5 AS (
+  SELECT *,
+    CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+         OR (scheme = 'https' AND port = '443') THEN ''
+         ELSE concat(':', port) END AS portc,
+    CASE WHEN length(path) > 1 AND ends_with(path, '/')
+         THEN substr(path, 1, length(path) - 1) ELSE path END AS path2,
+    coalesce(array_to_string(list_filter(str_split(qs, '&'),
+      p -> p <> '' AND NOT starts_with(p, 'utm_')), '&'), '') AS qkeep
+  FROM c4
+)
+SELECT concat(scheme, '://', host, portc, path2,
+         CASE WHEN qkeep <> '' THEN concat('?', qkeep) ELSE '' END)
+         AS url_canon,
+       count(*) AS n_docs,
+       count(DISTINCT url) AS n_surface_forms,
+       min(doc_id) AS keep_doc_id
+FROM c5
+GROUP BY url_canon ORDER BY url_canon
+"""
+
+
+ML_QUERIES["url_normalize_dedup"] = (
+    url_normalize_dedup,
+    URL_NORMALIZE_DEDUP_SQL,
+)

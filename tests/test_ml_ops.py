@@ -1010,3 +1010,98 @@ def test_gopher_repetition_hand_corpus(spark, tmp_path):
     wc, wr = _rows(con.sql(sql).df())
     assert gc == wc
     assert gr == wr
+
+
+def test_zorder_layout_locality_and_conservation(spark, con):
+    """Each z-order bucket pins the top 4 bits of BOTH quantized dims
+    (bucket = zval >> 24), so every bucket's qx and qy ranges are
+    < 2^12 of the 2^16 quantized space — that is the two-dimensional
+    pruning property the layout exists for. Also an exact partition of
+    the table, and the contrast that motivates it: spending the same
+    bucket budget on a LINEAR (qx-only) layout leaves qy unbounded
+    inside buckets (the DuckDB replay measures it on the same data)."""
+    from datamunging_spark.ml_ops import zorder_layout
+
+    rows = zorder_layout(spark, SF_DIR).collect()
+    n_orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+    assert sum(r.n_rows for r in rows) == n_orders
+    for r in rows:
+        assert 0 <= r.bucket < 256
+        assert 0 <= r.qx_min <= r.qx_max <= 65535
+        assert 0 <= r.qy_min <= r.qy_max <= 65535
+        assert r.qx_max - r.qx_min < 4096, r
+        assert r.qy_max - r.qy_min < 4096, r
+    # linear contrast: bucket by the top 8 bits of qx alone (same 256-
+    # bucket budget) — the worst bucket's qy span blows past the z-order
+    # bound, i.e. a date predicate prunes nothing under a custkey sort
+    worst_lin = con.sql("""
+        WITH base AS (
+          SELECT o_custkey AS x, epoch_us(o_orderdate) // 1000000 AS y
+          FROM orders
+        ), b AS (
+          SELECT min(x) AS min_x, max(x) AS max_x,
+                 min(y) AS min_y, max(y) AS max_y FROM base
+        ), q AS (
+          SELECT ((x - min_x) * 65535) // greatest(max_x - min_x, 1) AS qx,
+                 ((y - min_y) * 65535) // greatest(max_y - min_y, 1) AS qy
+          FROM base, b
+        )
+        SELECT max(span) FROM (
+          SELECT qx >> 8 AS bucket, max(qy) - min(qy) AS span
+          FROM q GROUP BY bucket
+        )
+    """).fetchone()[0]
+    assert worst_lin >= 4096, worst_lin
+
+
+def _py_url_canon(url: str) -> str:
+    """Independent (third-implementation) canonicalizer for the
+    idempotence check: canonical URLs must be fixed points."""
+    u0 = url.split("#")[0]
+    scheme, rest = u0.split("://", 1)
+    scheme = scheme.lower()
+    hostport = rest.split("/")[0]
+    pathq = rest[len(hostport):]
+    host, _, port = hostport.partition(":")
+    host = host.lower()
+    path, _, qs = pathq.partition("?")
+    portc = (
+        ""
+        if port == ""
+        or (scheme == "http" and port == "80")
+        or (scheme == "https" and port == "443")
+        else f":{port}"
+    )
+    if len(path) > 1 and path.endswith("/"):
+        path = path[:-1]
+    qkeep = "&".join(
+        p for p in qs.split("&") if p != "" and not p.startswith("utm_")
+    )
+    return f"{scheme}://{host}{portc}{path}" + (
+        f"?{qkeep}" if qkeep else ""
+    )
+
+
+def test_url_normalize_dedup_invariants(spark):
+    """Canonical URLs must be normal forms (no fragment, no utm_*
+    params, lowercase scheme/host, no default port, no trailing slash)
+    and FIXED POINTS of an independently-implemented canonicalizer;
+    the groups must partition the corpus exactly; and the synthesized
+    variants must actually exercise the dedup (some group collapses
+    multiple surface spellings)."""
+    from datamunging_spark.ml_ops import url_normalize_dedup
+    from datamunging_spark.queries import t as t_
+
+    out = url_normalize_dedup(spark, SF_DIR).collect()
+    n_docs = t_(spark, SF_DIR, "documents").count()
+    assert sum(r.n_docs for r in out) == n_docs
+    assert len({r.url_canon for r in out}) == len(out)
+    for r in out:
+        c = r.url_canon
+        assert "#" not in c and "utm_" not in c
+        scheme = c.split("://")[0]
+        assert scheme in ("http", "https")
+        assert 1 <= r.n_surface_forms <= r.n_docs
+        assert _py_url_canon(c) == c, c
+    assert any(r.n_docs > 1 for r in out)
+    assert any(r.n_surface_forms > 1 for r in out)

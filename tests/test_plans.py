@@ -495,3 +495,34 @@ def test_gopher_repetition_pruned_scan_no_python(spark, sf_dir):
     assert _re.search(
         r"windowspecdefinition\(doc_id#\d+L?, n#\d+L?, gram#\d+", plan
     ), plan
+
+
+def test_round5_final_ops_plan_shapes(spark, sf_dir):
+    """Plan properties the final round-5 ops' scale claims rest on."""
+    from datamunging_spark.ml_ops import url_normalize_dedup, zorder_layout
+
+    # z-order: quantize + Morton interleave is pure codegen (no Python),
+    # the 1-row bounds frame arrives by broadcast, the bucket agg is
+    # map-side partial, and the scan reads ONLY the two clustered
+    # columns (at 100 TB the bounds agg is replaced by table stats;
+    # locally it is the second, equally-pruned scan)
+    zp = plan_of(zorder_layout(spark, sf_dir))
+    assert "EvalPython" not in zp, zp
+    assert "BroadcastExchange" in zp, zp
+    assert "SortMergeJoin" not in zp, zp
+    assert "partial_count" in zp, zp
+    for seg in zp.split("ReadSchema")[1:]:
+        head = seg.split("\n")[0]
+        assert "o_custkey" in head and "o_orderdate" in head, head
+        assert "o_comment" not in head and "o_totalprice" not in head, head
+
+    # URL dedup: structural string codegen end-to-end — no Python, no
+    # join at all, one documents scan that reads ONLY (doc_id, source)
+    # (never text/embedding: the shuffle payload is canonical-URL keys)
+    up = plan_of(url_normalize_dedup(spark, sf_dir))
+    assert "EvalPython" not in up, up
+    assert "Join" not in up, up
+    assert up.count("FileScan parquet") == 1, up
+    for seg in up.split("ReadSchema")[1:]:
+        head = seg.split("\n")[0]
+        assert "text" not in head and "embedding" not in head, head
