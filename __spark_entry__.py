@@ -52,7 +52,11 @@ DRIVER_PRIORITY = [
     "stats_aggregates",
     "set_ops_segments",
     "string_funcs",
-    "array_funcs",
+    # (array_funcs moved past the window late in r5: hof_embeddings
+    # keeps the array/HOF family driver-exercised; array_funcs stays
+    # oracle-checked in pytest + CORRECTNESS_local.json. Freed slot
+    # goes to pagerank_links, the iterative-graph flagship.)
+    "pagerank_links",
     "hof_embeddings",
     "pivot_status",
     "sessionize_events",

@@ -73,6 +73,7 @@ HEADLINE = [
     "gopher_repetition",
     "zorder_layout",
     "url_normalize_dedup",
+    "pagerank_links",
 ]
 
 ALL = {**RELATIONAL_QUERIES, **ML_QUERIES}

@@ -5555,3 +5555,157 @@ ML_QUERIES["url_normalize_dedup"] = (
     url_normalize_dedup,
     URL_NORMALIZE_DEDUP_SQL,
 )
+
+
+# --------------------------------------------------------------------------
+# Deterministic fixed-point PageRank over a document link graph — the
+# link-based quality prior web-scale corpora attach to documents
+# (CommonCrawl ranks hosts with exactly this family of centrality
+# scores before content filters ever run). The documents table carries
+# no hyperlinks, so the edge set is SYNTHESIZED deterministically from
+# doc_id (md5-selected targets, self-loops removed, a fixed 1-in-17
+# subset forced dangling so the dangling-mass path is exercised at
+# every scale) — both engines build the identical graph, so the oracle
+# checks the iteration algebra, not the data.
+#
+# The distinctive engineering choice is FIXED-POINT INTEGER arithmetic
+# (ranks in 1e-9 "picopoint" units, contributions via integer DIV):
+# float PageRank sums incoming contributions in shuffle order, so two
+# runs (or Spark vs the oracle) disagree in the last ulps and a
+# retried partition can flip a ranking — the same
+# summation-order-nondeterminism class Q1's money sums eliminated.
+# Integer mass is order-independent: every engine, every partitioning,
+# every retry computes bit-identical ranks. Floor losses strictly
+# shrink total mass (bounded in pytest), never reorder it.
+#
+# Scale design: the classic iterative-graph workload, absent from the
+# catalog until now. Per iteration: edges ⋈ ranks on src (at 10^12
+# edges, pre-bucket edges by src ONCE — every iteration's join is then
+# shuffle-free on the edge side; the node-sized rank table is the only
+# moving part), one partial-agg'd groupBy(dst), and a node-sized left
+# join; the dangling mass is a 1-row agg broadcast back. The driver
+# loop holds K (model state), ranks would checkpoint per iteration at
+# scale to cut lineage. No Python anywhere; 100 TB notes in SCALE.md
+# §17.
+# --------------------------------------------------------------------------
+
+_PR_SCALE = 1_000_000_000  # rank 1.0 == 1e9 units; teleport = 0.15e9
+_PR_ITERS = 3
+_PR_DANGLE_MOD = 17  # doc_id % 17 == 3 -> no out-edges (forced dangling)
+
+
+def pagerank_links(spark, sf_dir, n_iters: int = _PR_ITERS):
+    """K power iterations of fixed-point PageRank (d = 0.85) over the
+    synthesized link graph; returns (node_id, outdeg, rank_fp) for
+    every document, ordered by node_id. ``n`` (the node count) is the
+    one driver-side scalar — model state, same audit class as the
+    k-means centroid collect."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    teleport = (15 * _PR_SCALE) // 100
+
+    def h(j: int) -> str:
+        return (
+            f"(CAST(conv(substring(md5(concat('pr{j}:', "
+            f"CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % {n})"
+        )
+
+    edges = (
+        docs.where(F.expr(f"doc_id % {_PR_DANGLE_MOD} <> 3"))
+        .selectExpr(
+            "doc_id AS src",
+            f"explode(array({h(0)}, {h(1)}, {h(2)})) AS dst",
+        )
+        .where("dst <> src")
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ranks = docs.select(
+        F.col("doc_id").alias("id"),
+        F.lit(_PR_SCALE).cast("long").alias("r"),
+    )
+    for _ in range(n_iters):
+        dangling = (
+            ranks.join(deg, ranks["id"] == deg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm"))
+        )
+        inmass = (
+            edges.join(deg, "src")
+            .join(ranks.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst"), F.expr("r DIV outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inm"))
+        )
+        ranks = (
+            docs.select(F.col("doc_id").alias("id"))
+            .join(inmass, F.col("id") == F.col("dst"), "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                F.expr(
+                    f"CAST({teleport} AS BIGINT) + (85 * "
+                    f"(coalesce(inm, CAST(0 AS BIGINT)) + (dm DIV {n})))"
+                    " DIV 100"
+                ).alias("r"),
+            )
+        )
+    return (
+        ranks.join(deg, ranks["id"] == deg["src"], "left")
+        .select(
+            F.col("id").alias("node_id"),
+            F.coalesce(F.col("outdeg"), F.lit(0))
+            .cast("long")
+            .alias("outdeg"),
+            F.col("r").alias("rank_fp"),
+        )
+        .orderBy("node_id")
+    )
+
+
+def _pagerank_sql(n_iters: int = _PR_ITERS) -> str:
+    def h(j: int) -> str:
+        return (
+            f"(CAST(concat('0x', substr(md5(concat('pr{j}:', "
+            f"CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % n)"
+        )
+
+    teleport = (15 * _PR_SCALE) // 100
+    cand = " UNION ALL ".join(
+        f"SELECT doc_id AS src, {h(j)} AS dst FROM documents, cnt "
+        f"WHERE doc_id % {_PR_DANGLE_MOD} <> 3"
+        for j in range(3)
+    )
+    parts = [
+        f"WITH cnt AS (SELECT count(*) AS n FROM documents), "
+        f"cand AS ({cand}), "
+        "edges AS (SELECT DISTINCT src, dst FROM cand WHERE dst <> src), "
+        "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src), "
+        f"r0 AS (SELECT doc_id AS id, CAST({_PR_SCALE} AS BIGINT) AS r "
+        "FROM documents)"
+    ]
+    for k in range(n_iters):
+        parts.append(
+            f"d{k} AS (SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dm "
+            f"FROM r{k} WHERE id NOT IN (SELECT src FROM deg))"
+        )
+        parts.append(
+            f"m{k} AS (SELECT e.dst AS id, "
+            "CAST(sum(r.r // g.outdeg) AS BIGINT) AS inm "
+            f"FROM edges e JOIN deg g ON e.src = g.src "
+            f"JOIN r{k} r ON r.id = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{k + 1} AS (SELECT b.id, CAST({teleport} + (85 * "
+            f"(coalesce(m.inm, 0) + (d.dm // n))) // 100 AS BIGINT) AS r "
+            f"FROM r{k} b LEFT JOIN m{k} m ON b.id = m.id, d{k} d, cnt)"
+        )
+    return (
+        ", ".join(parts)
+        + f" SELECT b.id AS node_id, "
+        "CAST(coalesce(g.outdeg, 0) AS BIGINT) AS outdeg, b.r AS rank_fp "
+        f"FROM r{n_iters} b LEFT JOIN deg g ON b.id = g.src "
+        "ORDER BY node_id"
+    )
+
+
+ML_QUERIES["pagerank_links"] = (pagerank_links, _pagerank_sql())

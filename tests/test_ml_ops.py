@@ -1105,3 +1105,77 @@ def test_url_normalize_dedup_invariants(spark):
         assert _py_url_canon(c) == c, c
     assert any(r.n_docs > 1 for r in out)
     assert any(r.n_surface_forms > 1 for r in out)
+
+
+def _py_pagerank(doc_ids, n_iters=3, scale=1_000_000_000):
+    """Independent (third-implementation) fixed-point PageRank replica:
+    same md5-derived edges, same integer DIV algebra, pure Python."""
+    import hashlib
+
+    n = len(doc_ids)
+    edges = set()
+    for d in doc_ids:
+        if d % 17 == 3:
+            continue
+        for j in range(3):
+            hx = hashlib.md5(f"pr{j}:{d}".encode()).hexdigest()[:15]
+            dst = int(hx, 16) % n
+            if dst != d:
+                edges.add((d, dst))
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = {d: scale for d in doc_ids}
+    teleport = (15 * scale) // 100
+    for _ in range(n_iters):
+        dm = sum(r[d] for d in doc_ids if d not in outdeg)
+        inm = {}
+        for s, dst in edges:
+            inm[dst] = inm.get(dst, 0) + r[s] // outdeg[s]
+        r = {
+            d: teleport + (85 * (inm.get(d, 0) + dm // n)) // 100
+            for d in doc_ids
+        }
+    return {d: (outdeg.get(d, 0), r[d]) for d in doc_ids}
+
+
+def test_pagerank_hand_graph_matches_python_replica(spark, tmp_path):
+    """Every rank must equal the pure-Python fixed-point replica
+    BIT-EXACTLY on a small graph that contains a forced-dangling node
+    (doc_id 3) — integer arithmetic means there is no tolerance, which
+    is the op's whole reproducibility claim."""
+    from datamunging_spark.ml_ops import pagerank_links
+
+    ids = list(range(12))
+    spark.createDataFrame([(i, "x") for i in ids],
+                          "doc_id bigint, text string") \
+        .write.parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r.node_id: (r.outdeg, r.rank_fp)
+        for r in pagerank_links(spark, str(tmp_path)).collect()
+    }
+    assert got == _py_pagerank(ids)
+    assert got[3][0] == 0  # the forced-dangling node really is dangling
+
+
+def test_pagerank_mass_conservation_and_floors(spark):
+    """Fixed-point mass accounting: floor losses only ever SHRINK the
+    total (never grow or reorder it), the deficit is bounded by the
+    per-node/per-edge floor budget, every rank sits on or above the
+    teleport floor, and the output partitions the node set exactly."""
+    from datamunging_spark.ml_ops import _PR_SCALE, pagerank_links
+    from datamunging_spark.queries import t as t_
+
+    rows = pagerank_links(spark, SF_DIR).collect()
+    n = t_(spark, SF_DIR, "documents").count()
+    assert len(rows) == n
+    assert len({r.node_id for r in rows}) == n
+    total = sum(r.rank_fp for r in rows)
+    ideal = n * _PR_SCALE
+    # per iteration: < 1 unit lost per edge (contrib DIV), < 1 per node
+    # (dangling share DIV), < 1 per node (the 85% DIV) -> < 5n per iter
+    assert ideal - 15 * n <= total <= ideal
+    teleport = (15 * _PR_SCALE) // 100
+    assert all(r.rank_fp >= teleport for r in rows)
+    assert any(r.outdeg == 0 for r in rows)  # dangling path exercised
+    assert all(0 <= r.outdeg <= 3 for r in rows)

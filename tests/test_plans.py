@@ -526,3 +526,20 @@ def test_round5_final_ops_plan_shapes(spark, sf_dir):
     for seg in up.split("ReadSchema")[1:]:
         head = seg.split("\n")[0]
         assert "text" not in head and "embedding" not in head, head
+
+
+def test_pagerank_plan_no_python_pruned_scan(spark, sf_dir):
+    """The iterative-graph op is codegen end-to-end: no Python stage,
+    the documents scan reads ONLY doc_id (never text/embedding — the
+    graph is id-derived), the per-iteration in-mass aggregation is
+    map-side partial, and the 1-row dangling-mass frame arrives by
+    broadcast."""
+    from datamunging_spark.ml_ops import pagerank_links
+
+    plan = plan_of(pagerank_links(spark, sf_dir))
+    assert "EvalPython" not in plan, plan
+    assert "partial_sum" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    for seg in plan.split("ReadSchema")[1:]:
+        head = seg.split("\n")[0]
+        assert "text" not in head and "embedding" not in head, head
