@@ -58,7 +58,14 @@ DRIVER_PRIORITY = [
     # goes to pagerank_links, the iterative-graph flagship.)
     "pagerank_links",
     "hof_embeddings",
-    "pivot_status",
+    # (pivot_status moved past the window late in r5: it is a reshape
+    # convenience; the relational surface keeps 19 other driver rows.
+    # Freed slot goes to boilerplate_relational — the DOM-heuristic
+    # boilerplate classifier, the north rule's named concern, giving
+    # the driver artifact a hash-checked row for the block-level
+    # extraction DECISION LOGIC itself. pivot_status stays
+    # oracle-checked in pytest + CORRECTNESS_local.json.)
+    "boilerplate_relational",
     "sessionize_events",
     "scalar_subquery",
     "salted_heavy_hitters",
@@ -95,7 +102,13 @@ DRIVER_PRIORITY = [
     # keeps bpe_learn in-window and multimodal keeps multimodal_resize —
     # both remain oracle-checked in pytest + CORRECTNESS_local.json)
     "winnow_fingerprint",
-    "hash_split",
+    # (hash_split moved past the window late in r5: md5 split stays
+    # driver-exercised inside curate_corpus; the op remains
+    # oracle-checked in pytest + CORRECTNESS_local.json. Freed slot
+    # goes to embedding_quantize — SQ8 int8 vector quantization +
+    # integer ADC top-k, the 100 TB vector-storage path, a capability
+    # the ANN family's in-window rows don't cover.)
+    "embedding_quantize",
     "decontaminate_ngrams",
     # (pack_shards moved past the window late in r5: the packing family
     # keeps pack_shards_bfd in-window below; the cumsum packer remains

@@ -74,6 +74,8 @@ HEADLINE = [
     "zorder_layout",
     "url_normalize_dedup",
     "pagerank_links",
+    "boilerplate_relational",
+    "embedding_quantize",
 ]
 
 ALL = {**RELATIONAL_QUERIES, **ML_QUERIES}

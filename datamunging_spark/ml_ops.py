@@ -5709,3 +5709,329 @@ def _pagerank_sql(n_iters: int = _PR_ITERS) -> str:
 
 
 ML_QUERIES["pagerank_links"] = (pagerank_links, _pagerank_sql())
+
+
+# --------------------------------------------------------------------------
+# DOM-heuristic boilerplate block classifier, relational twin (north rule:
+# "HTML boilerplate strip ... DOM heuristics"). The streaming HTML parser
+# in operators/extract.py IS the production extractor, but DuckDB cannot
+# parse HTML, so — like header_detect_relational for the header pass —
+# this op re-expresses the DECISION LOGIC itself relationally so the
+# driver hash-checks it end to end: per-document DOM blocks are
+# synthesized JVM-side (nav / ad / main text / short teaser / aside /
+# footer, anchor-word counts varying with the doc), then classified with
+# the JusText family of rules (Pomikalek 2011, the algorithm behind
+# CommonCrawl-era content extraction):
+#
+#   pass 1 (context-free, integer cross-multiplied thresholds — house
+#   rule: no float at a decision boundary):
+#     bad    if anchors*3 > words         (link density > 1/3)
+#     short  if words < 8
+#     good   if stop_hits*10 >= words     (stopword density >= 0.1)
+#     near   otherwise
+#   pass 2 (context-sensitive): short/near blocks are rescued iff an
+#   ADJACENT block (lag/lead over block order) was context-free good —
+#   JusText's neighborhood rule, expressed as window functions.
+#
+# Output is per-document: kept-block count, kept chars, and the md5 of
+# the kept text joined in block order — a value-hash over the exact
+# extraction result. Scale: one scan, one explode (6 rows/doc), one
+# window + one groupBy both partitioned by doc_id (single shuffle; AQE
+# coalesces), no Python anywhere.
+# --------------------------------------------------------------------------
+
+_BP_NAV = "home world archive about contact"
+_BP_AD = "buy one get one free today only limited offer now"
+_BP_ASIDE = "related one related two more from this site"
+_BP_FOOTER = "all rights reserved 2024"
+
+
+def boilerplate_relational(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("text")
+    )
+    first6 = F.concat_ws(" ", F.slice(F.split("text", " "), 1, 6))
+
+    def blk(i, tag, txt, anchors):
+        return F.struct(
+            F.lit(i).cast("int").alias("idx"),
+            F.lit(tag).alias("tag"),
+            txt.alias("btext"),
+            anchors.cast("int").alias("anchors"),
+        )
+
+    blocks = F.array(
+        blk(0, "nav", F.lit(_BP_NAV), F.lit(5)),
+        blk(1, "div", F.lit(_BP_AD), F.length("text") % 7),
+        blk(2, "p", F.col("text"), F.length("text") % 3),
+        blk(3, "p", first6, F.lit(0)),
+        blk(4, "aside", F.lit(_BP_ASIDE), F.lit(8)),
+        blk(5, "footer", F.lit(_BP_FOOTER), F.lit(4)),
+    )
+    b = (
+        docs.select("doc_id", F.explode(blocks).alias("b"))
+        .select("doc_id", "b.*")
+    )
+    w = F.split("btext", " ")
+    words = F.size(w)
+    stops = F.size(F.filter(w, lambda x: x.isin(STOPWORDS_EN)))
+    b = b.withColumn(
+        "cls",
+        F.when(F.col("anchors") * 3 > words, F.lit("bad"))
+        .when(words < 8, F.lit("short"))
+        .when(stops * 10 >= words, F.lit("good"))
+        .otherwise(F.lit("near")),
+    )
+    win = W.partitionBy("doc_id").orderBy("idx")
+    rescued = (F.col("cls") == "good") | (
+        F.col("cls").isin("short", "near")
+        & (
+            (F.lag("cls").over(win) == "good")
+            | (F.lead("cls").over(win) == "good")
+        )
+    )
+    # lag/lead are NULL at partition edges; CASE's three-valued logic
+    # (NULL condition -> ELSE) is identical in both engines — pin it
+    # explicitly to a boolean anyway
+    b = b.withColumn(
+        "is_content", F.when(rescued, F.lit(True)).otherwise(F.lit(False))
+    )
+    kept_struct = F.when(
+        F.col("is_content"), F.struct(F.col("idx"), F.col("btext"))
+    )  # collect_list skips the NULLs for non-content blocks
+    return (
+        b.groupBy("doc_id")
+        .agg(
+            F.sum(F.col("is_content").cast("long")).alias("n_content"),
+            F.sum(
+                F.when(F.col("is_content"), F.length("btext"))
+                .otherwise(0)
+                .cast("long")
+            ).alias("content_chars"),
+            F.md5(
+                F.concat_ws(
+                    "\n",
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)),
+                        lambda s: s["btext"],
+                    ),
+                )
+            ).alias("content_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_BP_STOPLIST = ", ".join(f"'{s}'" for s in STOPWORDS_EN)
+
+BOILERPLATE_RELATIONAL_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lower(text) AS text FROM documents
+),
+blocks AS (
+  SELECT doc_id, 0 AS idx, 'nav' AS tag,
+         '{_BP_NAV}' AS btext, 5 AS anchors FROM d
+  UNION ALL SELECT doc_id, 1, 'div', '{_BP_AD}',
+         CAST(length(text) % 7 AS INT) FROM d
+  UNION ALL SELECT doc_id, 2, 'p', text,
+         CAST(length(text) % 3 AS INT) FROM d
+  UNION ALL SELECT doc_id, 3, 'p',
+         array_to_string(list_slice(str_split(text, ' '), 1, 6), ' '),
+         0 FROM d
+  UNION ALL SELECT doc_id, 4, 'aside', '{_BP_ASIDE}', 8 FROM d
+  UNION ALL SELECT doc_id, 5, 'footer', '{_BP_FOOTER}', 4 FROM d
+),
+feat AS (
+  SELECT *, len(str_split(btext, ' ')) AS words,
+         len(list_filter(str_split(btext, ' '),
+             x -> x IN ({_BP_STOPLIST}))) AS stops
+  FROM blocks
+),
+cls AS (
+  SELECT *, CASE WHEN anchors * 3 > words THEN 'bad'
+                 WHEN words < 8 THEN 'short'
+                 WHEN stops * 10 >= words THEN 'good'
+                 ELSE 'near' END AS cls
+  FROM feat
+),
+ctx AS (
+  SELECT *, CASE WHEN cls = 'good' OR (cls IN ('short', 'near') AND
+           (lag(cls) OVER w = 'good' OR lead(cls) OVER w = 'good'))
+         THEN TRUE ELSE FALSE END AS is_content
+  FROM cls WINDOW w AS (PARTITION BY doc_id ORDER BY idx)
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN is_content THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_content,
+       CAST(sum(CASE WHEN is_content THEN length(btext) ELSE 0 END)
+         AS BIGINT) AS content_chars,
+       md5(coalesce(string_agg(btext, chr(10) ORDER BY idx)
+         FILTER (WHERE is_content), '')) AS content_md5
+FROM ctx GROUP BY doc_id ORDER BY doc_id
+"""
+
+ML_QUERIES["boilerplate_relational"] = (
+    boilerplate_relational,
+    BOILERPLATE_RELATIONAL_SQL,
+)
+
+
+# --------------------------------------------------------------------------
+# Int8 scalar quantization (SQ8) of the embedding column + integer
+# asymmetric-distance top-k — the storage/serving path every 100 TB
+# vector corpus actually runs (FAISS SQ8 / Milvus SQ8 / Lucene int8
+# HNSW): 4 bytes/dim float32 -> 1 byte/dim code + 2 scalars, a 4x
+# memory/IO cut, with distance evaluated directly on the codes.
+#
+# Per vector (min/max scalar quantization):
+#   mn, mx   = array_min/max;  step = (mx - mn) / 255.0
+#   code_i   = floor(((v_i - mn) * 255.0) / (mx - mn))   in [0, 255]
+#   (constant vectors: mx == mn -> all-zero codes, step 0 — the
+#   zero-range guard the r4 fuzzer taught us to put in FIRST)
+#
+# Hash-stability design: every output is integer-derived. Codes are
+# floors of IEEE-double expressions with identical operator association
+# in both engines (double arithmetic is deterministic — same ops, same
+# order, same bits); the reconstruction error is floored to integer
+# micro-units PER DIMENSION and only then summed (longs commute — no
+# float-summation-order hazard, the exact class Q1/pagerank eliminated);
+# the scoring query vector is an INTEGER weight vector, so the ADC score
+# sum(code_i * q_i) is pure int64. The full code vector is value-checked
+# via md5 over its canonical string form.
+#
+# Scale: one scan, zero joins, zero Python; top-k is TakeOrdered (no
+# global sort). At 10^12 vectors the codes column replaces the float
+# column at rest (written once, read by every ANN query); IVF cells
+# (ann_ivf_topk) then prune which codes are scanned.
+# --------------------------------------------------------------------------
+
+_SQ8_DIMS = 64
+
+
+def _sq8_query_weights() -> list[int]:
+    """Deterministic integer query vector in [-8, 8], md5-derived (the
+    repo-wide synthesized-randomness idiom) — embedded as a literal in
+    BOTH engines, so the oracle checks the quantization + ADC algebra."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"sq8q{i}".encode()).hexdigest()[:8], 16) % 17 - 8
+        for i in range(_SQ8_DIMS)
+    ]
+
+
+_SQ8_Q = _sq8_query_weights()
+_SQ8_QSUM = sum(_SQ8_Q)
+_SQ8_TOPK = 20
+
+
+def embedding_quantize(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    vd = F.transform("embedding", lambda x: x.cast("double"))
+    df = emb.select("vec_id", vd.alias("v"))
+    df = df.select(
+        "vec_id",
+        "v",
+        F.array_min("v").alias("mn"),
+        F.array_max("v").alias("mx"),
+    )
+    mn, mx = F.col("mn"), F.col("mx")
+    codes = F.when(
+        mx == mn,
+        F.transform("v", lambda x: F.lit(0).cast("int")),
+    ).otherwise(
+        F.transform(
+            "v",
+            lambda x: F.floor((x - mn) * 255.0 / (mx - mn)).cast("int"),
+        )
+    )
+    df = df.withColumn("codes", codes).withColumn(
+        "step", (mx - mn) / 255.0
+    )
+    err = F.aggregate(
+        F.zip_with(
+            "v",
+            "codes",
+            lambda v, c: F.floor(
+                F.abs(v - (F.col("mn") + c * F.col("step"))) * 1000000.0
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    qarr = F.array(*[F.lit(int(q)) for q in _SQ8_Q])
+    qscore = F.aggregate(
+        F.zip_with("codes", qarr, lambda c, q: (c * q).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    # The ADC ranking score must re-apply each vector's affine params:
+    # dequant dot product = mn*Σq + step*Σ(q_i c_i). Ranking by the raw
+    # code-space sum Σ(q_i c_i) alone is NOT order-equivalent across
+    # vectors (per-vector mn/step differ) — the pytest ADC-band test
+    # caught exactly that on first write. One floor of one double
+    # expression keeps it deterministic in both engines.
+    df = df.withColumn("qscore", qscore)
+    adc = F.floor(
+        (mn * F.lit(_SQ8_QSUM) + F.col("step") * F.col("qscore")) * 1000000.0
+    ).cast("long")
+    return (
+        df.select(
+            "vec_id",
+            "qscore",
+            adc.alias("adc_micro"),
+            err.alias("err_sum_micro"),
+            F.floor(mn * 1000000.0).cast("long").alias("mn_micro"),
+            F.floor(mx * 1000000.0).cast("long").alias("mx_micro"),
+            F.md5(
+                F.concat_ws(
+                    ",", F.transform("codes", lambda c: c.cast("string"))
+                )
+            ).alias("codes_md5"),
+        )
+        .orderBy(F.col("adc_micro").desc(), "vec_id")
+        .limit(_SQ8_TOPK)
+    )
+
+
+def _sq8_sql() -> str:
+    qlit = "[" + ", ".join(str(q) for q in _SQ8_Q) + "]"
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+mm AS (
+  SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e
+),
+q AS (
+  SELECT *, (mx - mn) / 255.0 AS step,
+    CASE WHEN mx = mn
+         THEN list_transform(v, x -> 0)
+         ELSE list_transform(v,
+              x -> CAST(floor((x - mn) * 255.0 / (mx - mn)) AS INT))
+    END AS codes
+  FROM mm
+),
+s AS (
+  SELECT vec_id, mn, step,
+    CAST(list_aggregate(list_transform(range(1, {_SQ8_DIMS + 1}),
+      i -> codes[i] * ({qlit})[i]), 'sum') AS BIGINT) AS qscore,
+    CAST(list_aggregate(list_transform(range(1, {_SQ8_DIMS + 1}),
+      i -> CAST(floor(abs(v[i] - (mn + codes[i] * step)) * 1000000.0)
+           AS BIGINT)), 'sum') AS BIGINT) AS err_sum_micro,
+    CAST(floor(mn * 1000000.0) AS BIGINT) AS mn_micro,
+    CAST(floor(mx * 1000000.0) AS BIGINT) AS mx_micro,
+    md5(array_to_string(codes, ',')) AS codes_md5
+  FROM q
+)
+SELECT vec_id, qscore,
+       CAST(floor((mn * {_SQ8_QSUM} + step * qscore) * 1000000.0)
+            AS BIGINT) AS adc_micro,
+       err_sum_micro, mn_micro, mx_micro, codes_md5
+FROM s ORDER BY adc_micro DESC, vec_id LIMIT {_SQ8_TOPK}
+"""
+
+
+ML_QUERIES["embedding_quantize"] = (embedding_quantize, _sq8_sql())

@@ -1179,3 +1179,250 @@ def test_pagerank_mass_conservation_and_floors(spark):
     assert all(r.rank_fp >= teleport for r in rows)
     assert any(r.outdeg == 0 for r in rows)  # dangling path exercised
     assert all(0 <= r.outdeg <= 3 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# boilerplate_relational (round 5): the DOM-heuristic block classifier
+# must agree BIT-EXACTLY with an independent pure-Python JusText replica
+# (third implementation — the DuckDB oracle is the second), and the
+# context-rescue rule must behave on hand-built docs.
+# ---------------------------------------------------------------------------
+
+
+def _py_boilerplate(doc_rows):
+    """Independent replica of the block synthesis + JusText rules."""
+    import hashlib
+
+    from datamunging_spark.ml_ops import (
+        _BP_AD,
+        _BP_ASIDE,
+        _BP_FOOTER,
+        _BP_NAV,
+        STOPWORDS_EN,
+    )
+
+    out = {}
+    for doc_id, raw in doc_rows:
+        text = (raw or "").lower()
+        blocks = [
+            (0, _BP_NAV, 5),
+            (1, _BP_AD, len(text) % 7),
+            (2, text, len(text) % 3),
+            (3, " ".join(text.split(" ")[:6]), 0),
+            (4, _BP_ASIDE, 8),
+            (5, _BP_FOOTER, 4),
+        ]
+        cls = []
+        for _idx, btext, anchors in blocks:
+            ws = btext.split(" ")
+            stops = sum(1 for x in ws if x in STOPWORDS_EN)
+            if anchors * 3 > len(ws):
+                cls.append("bad")
+            elif len(ws) < 8:
+                cls.append("short")
+            elif stops * 10 >= len(ws):
+                cls.append("good")
+            else:
+                cls.append("near")
+        kept = []
+        for i, (idx, btext, _a) in enumerate(blocks):
+            neigh = [cls[j] for j in (i - 1, i + 1) if 0 <= j < len(blocks)]
+            if cls[i] == "good" or (
+                cls[i] in ("short", "near") and "good" in neigh
+            ):
+                kept.append(btext)
+        joined = "\n".join(kept)
+        out[doc_id] = (
+            len(kept),
+            sum(len(k) for k in kept),
+            hashlib.md5(joined.encode()).hexdigest(),
+        )
+    return out
+
+
+def test_boilerplate_relational_matches_python_replica(spark):
+    from datamunging_spark.ml_ops import boilerplate_relational
+    from datamunging_spark.queries import t as t_
+
+    docs = [
+        (r.doc_id, r.text)
+        for r in t_(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    ]
+    want = _py_boilerplate(docs)
+    got = {
+        r.doc_id: (r.n_content, r.content_chars, r.content_md5)
+        for r in boilerplate_relational(spark, SF_DIR).collect()
+    }
+    assert got == want
+    # the classifier must be non-degenerate on the corpus: some docs
+    # keep content, some keep none, and the rescue rule fires (>2 kept)
+    kept_counts = {v[0] for v in got.values()}
+    assert 0 in kept_counts and any(k >= 3 for k in kept_counts)
+
+
+def test_boilerplate_relational_hand_docs(spark, tmp_path):
+    """Pinned behavior: stopword-rich English text is content and
+    rescues its short teaser + the ad neighbor; empty and non-English
+    junk text keeps nothing; chrome blocks (nav/aside/footer) are
+    never kept."""
+    from datamunging_spark.ml_ops import _BP_NAV, boilerplate_relational
+
+    good = (
+        "the state of the union is a speech on the work of the nation "
+        "and the value of the effort is in the interest of the people"
+    )
+    junk = "zx qv wq jk pv xz lm rr tt yy uu ii oo pp aa ss dd ff gg hh"
+    spark.createDataFrame(
+        [(0, good), (1, junk), (2, "")],
+        "doc_id bigint, text string",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    rows = {
+        r.doc_id: r for r in boilerplate_relational(spark, str(tmp_path)).collect()
+    }
+    assert len(rows) == 3
+    # English doc: main text good + teaser and ad rescued by adjacency
+    assert rows[0].n_content == 3
+    # junk doc fails the stopword-density gate -> 'near', nothing good
+    # anywhere -> nothing rescued
+    assert rows[1].n_content == 0
+    # empty text: 1-word main block is 'short' with no good neighbor
+    assert rows[2].n_content == 0
+    import hashlib
+
+    assert rows[2].content_md5 == hashlib.md5(b"").hexdigest()
+    assert _BP_NAV not in good  # chrome text never enters kept md5s
+
+
+# ---------------------------------------------------------------------------
+# embedding_quantize (round 5): SQ8 codes must be valid, the per-vector
+# reconstruction error must respect the scalar-quantization bound, and
+# the integer ADC ranking must stay within the provable score-error band
+# of the exact float ranking.
+# ---------------------------------------------------------------------------
+
+
+def _py_sq8(emb):
+    """Independent pure-Python SQ8 replica (third implementation):
+    Python floats ARE IEEE doubles, so identical expression association
+    reproduces the engine's codes/scores bit-exactly."""
+    import hashlib
+    import math
+
+    from datamunging_spark.ml_ops import _SQ8_Q, _SQ8_QSUM, _SQ8_TOPK
+
+    out = []
+    for vid, v in emb.items():
+        mn, mx = min(v), max(v)
+        step = (mx - mn) / 255.0
+        if mx == mn:
+            codes = [0] * len(v)
+        else:
+            codes = [
+                int(math.floor((x - mn) * 255.0 / (mx - mn))) for x in v
+            ]
+        qscore = sum(c * q for c, q in zip(codes, _SQ8_Q))
+        adc = int(math.floor((mn * _SQ8_QSUM + step * qscore) * 1000000.0))
+        err = sum(
+            int(math.floor(abs(x - (mn + c * step)) * 1000000.0))
+            for x, c in zip(v, codes)
+        )
+        md = hashlib.md5(",".join(str(c) for c in codes).encode()).hexdigest()
+        out.append(
+            (
+                vid,
+                qscore,
+                adc,
+                err,
+                int(math.floor(mn * 1000000.0)),
+                int(math.floor(mx * 1000000.0)),
+                md,
+            )
+        )
+    out.sort(key=lambda r: (-r[2], r[0]))
+    return out[:_SQ8_TOPK]
+
+
+def test_embedding_quantize_bounds_and_adc_guarantee(spark):
+    import pyarrow.parquet as pq
+
+    from datamunging_spark.ml_ops import _SQ8_Q, _SQ8_TOPK, embedding_quantize
+
+    rows = embedding_quantize(spark, SF_DIR).collect()
+    assert len(rows) == _SQ8_TOPK
+    assert len({r.vec_id for r in rows}) == _SQ8_TOPK
+
+    emb = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pylist()
+        if r["embedding"] is not None
+    }
+    # bit-exact equality with the pure-Python replica, top-k order included
+    got = [
+        (
+            r.vec_id,
+            r.qscore,
+            r.adc_micro,
+            r.err_sum_micro,
+            r.mn_micro,
+            r.mx_micro,
+            r.codes_md5,
+        )
+        for r in rows
+    ]
+    assert got == _py_sq8(emb)
+
+    exact = {
+        vid: sum(x * q for x, q in zip(v, _SQ8_Q)) for vid, v in emb.items()
+    }
+    sum_abs_q = sum(abs(q) for q in _SQ8_Q)
+    max_step = max((max(v) - min(v)) / 255.0 for v in emb.values())
+    # SQ8 reconstruction bound: |v_i - dequant_i| < step per dim
+    for r in rows:
+        v = emb[r.vec_id]
+        step = (max(v) - min(v)) / 255.0
+        assert r.mn_micro <= r.mx_micro
+        assert 0 <= r.err_sum_micro <= len(v) * (step * 1e6 + 1)
+        # the ADC score approximates the exact dot product within the
+        # per-vector quantization band
+        assert abs(r.adc_micro / 1e6 - exact[r.vec_id]) <= (
+            sum_abs_q * step + 2e-6
+        )
+    # ADC selection guarantee: every selected vector's EXACT score is
+    # within the two-sided quantization band of the exact top-k cut
+    cut = sorted(exact.values(), reverse=True)[_SQ8_TOPK - 1]
+    band = 2 * sum_abs_q * max_step + 4e-6
+    for r in rows:
+        assert exact[r.vec_id] >= cut - band, (r.vec_id, exact[r.vec_id], cut)
+    # empirical cushion: the affine-corrected ADC ranking tracks the
+    # exact ranking closely on this corpus, not just within worst case
+    exact_topk = {
+        vid
+        for vid, _ in sorted(
+            exact.items(), key=lambda kv: (-kv[1], kv[0])
+        )[:_SQ8_TOPK]
+    }
+    assert len(exact_topk & {r.vec_id for r in rows}) >= 15
+
+
+def test_embedding_quantize_constant_vector(spark, tmp_path):
+    """mx == mn (constant vector) must take the zero-range path: all
+    codes 0, zero reconstruction error in integer units, zero ADC score
+    — no DIVIDE_BY_ZERO anywhere (the r4 fuzz lesson)."""
+    import hashlib
+
+    from datamunging_spark.ml_ops import _SQ8_DIMS, embedding_quantize
+
+    const = [(0, [2.5] * _SQ8_DIMS), (1, [float(i) for i in range(_SQ8_DIMS)])]
+    spark.createDataFrame(
+        const, "vec_id bigint, embedding array<float>"
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+    rows = {
+        r.vec_id: r for r in embedding_quantize(spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == {0, 1}
+    zero_md5 = hashlib.md5(",".join(["0"] * _SQ8_DIMS).encode()).hexdigest()
+    assert rows[0].codes_md5 == zero_md5
+    assert rows[0].err_sum_micro == 0
+    assert rows[0].qscore == 0
+    assert rows[0].mn_micro == rows[0].mx_micro == 2500000
+    assert rows[1].qscore != 0

@@ -543,3 +543,36 @@ def test_pagerank_plan_no_python_pruned_scan(spark, sf_dir):
     for seg in plan.split("ReadSchema")[1:]:
         head = seg.split("\n")[0]
         assert "text" not in head and "embedding" not in head, head
+
+
+def test_round5_extra_ops_plan_shapes(spark, sf_dir):
+    """Plan properties behind the late-round-5 ops' scale claims."""
+    from datamunging_spark.ml_ops import boilerplate_relational, embedding_quantize
+
+    # boilerplate classifier: codegen end-to-end (no Python), no join;
+    # ONE hash shuffle on doc_id serves both the context window and the
+    # per-doc aggregate (partial agg runs before nothing — the window
+    # needs the co-location first — but the groupBy REUSES the window's
+    # partitioning, so no second hash exchange); the scan reads ONLY
+    # (doc_id, text)
+    bp = plan_of(boilerplate_relational(spark, sf_dir))
+    assert "EvalPython" not in bp, bp
+    assert "Join" not in bp, bp
+    assert bp.count("Exchange hashpartitioning") == 1, bp
+    assert bp.count("FileScan parquet") == 1, bp
+    for seg in bp.split("ReadSchema")[1:]:
+        head = seg.split("\n")[0]
+        assert "lang" not in head and "source" not in head, head
+        assert "n_chars" not in head, head
+
+    # SQ8 quantization: zero shuffles (top-k is TakeOrderedAndProject,
+    # a per-partition reduce), zero Python, the NULL-vector drop is
+    # PUSHED into the parquet scan, and the scan never reads `label`
+    qp = plan_of(embedding_quantize(spark, sf_dir))
+    assert "TakeOrderedAndProject" in qp, qp
+    assert "Exchange" not in qp, qp
+    assert "EvalPython" not in qp, qp
+    assert "PushedFilters: [IsNotNull(embedding)]" in qp, qp
+    for seg in qp.split("ReadSchema")[1:]:
+        head = seg.split("\n")[0]
+        assert "label" not in head, head
