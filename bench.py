@@ -76,6 +76,7 @@ HEADLINE = [
     "pagerank_links",
     "boilerplate_relational",
     "embedding_quantize",
+    "fim_transform",
 ]
 
 ALL = {**RELATIONAL_QUERIES, **ML_QUERIES}

@@ -6035,3 +6035,136 @@ FROM s ORDER BY adc_micro DESC, vec_id LIMIT {_SQ8_TOPK}
 
 
 ML_QUERIES["embedding_quantize"] = (embedding_quantize, _sq8_sql())
+
+
+# --------------------------------------------------------------------------
+# Fill-in-the-middle (FIM) transform — Bavarian et al. 2022 ("Efficient
+# Training of Language Models to Fill in the Middle"): for a sampled
+# fraction of documents, pick two cut points, split the token stream
+# into (prefix, middle, suffix) and emit the PSM reordering
+# <PRE> prefix <SUF> suffix <MID> middle, so the LM learns to infill.
+# The companion of span_corruption (T5 masking) in the
+# training-example-factory family.
+#
+# Determinism: the apply-coin and both cut points are md5-derived from
+# doc_id (the span_corruption idiom: conv(substr(md5,1,15),16,10) —
+# replayed in DuckDB as CAST(concat('0x',...) AS BIGINT)), so both
+# engines build the identical examples and the output is value-hashed
+# (md5 of the reordered text). Join-free single-scan projection; at
+# 10^12 docs this is embarrassingly parallel and shuffle-free (the
+# final orderBy is presentation-only; production writes partitions).
+# --------------------------------------------------------------------------
+
+FIM_RATE = 0.5  # fraction of docs converted to PSM examples
+
+
+def _md5_u01(tag, key_col):
+    """md5-uniform in [0,1) keyed on (tag, key) — engine-replayable."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(tag), key_col.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(float(1 << 60))
+    )
+
+
+def _md5_long(tag, key_col):
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(tag), key_col.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def fim_transform(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    n = F.size(w)
+    is_fim = _md5_u01("fim:apply:", F.col("doc_id")) < FIM_RATE
+    cut1 = _md5_long("fim:c1:", F.col("doc_id")) % (n + 1)
+    cut2 = cut1 + _md5_long("fim:c2:", F.col("doc_id")) % (n - cut1 + 1)
+    d = docs.select(
+        "doc_id",
+        "text",
+        w.alias("w"),
+        n.alias("n_tokens"),
+        is_fim.alias("is_fim"),
+        cut1.alias("cut1"),
+        cut2.alias("cut2"),
+    )
+    prefix = F.array_join(F.slice("w", F.lit(1), F.col("cut1")), " ")
+    middle = F.array_join(
+        F.slice("w", F.col("cut1") + 1, F.col("cut2") - F.col("cut1")), " "
+    )
+    suffix = F.array_join(
+        F.slice("w", F.col("cut2") + 1, F.col("n_tokens") - F.col("cut2")),
+        " ",
+    )
+    out = F.when(
+        F.col("is_fim"),
+        F.concat(
+            F.lit("<PRE> "), prefix, F.lit(" <SUF> "), suffix,
+            F.lit(" <MID> "), middle,
+        ),
+    ).otherwise(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.when(F.col("is_fim"), F.lit("psm"))
+        .otherwise(F.lit("plain"))
+        .alias("mode"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.when(F.col("is_fim"), F.col("cut1")).otherwise(F.lit(None))
+        .cast("int")
+        .alias("cut1"),
+        F.when(F.col("is_fim"), F.col("cut2")).otherwise(F.lit(None))
+        .cast("int")
+        .alias("cut2"),
+        F.md5(out).alias("out_md5"),
+    ).orderBy("doc_id")
+
+
+FIM_TRANSFORM_SQL = f"""
+WITH d0 AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+),
+d1 AS (
+  SELECT *, len(w) AS n,
+    CAST(concat('0x', substr(md5(concat('fim:apply:',
+         CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+      / {float(1 << 60)} < {FIM_RATE} AS is_fim,
+    CAST(concat('0x', substr(md5(concat('fim:c1:',
+         CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % (len(w) + 1)
+      AS cut1
+  FROM d0
+),
+d2 AS (
+  SELECT *, cut1 + CAST(concat('0x', substr(md5(concat('fim:c2:',
+         CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % (n - cut1 + 1)
+      AS cut2
+  FROM d1
+),
+d3 AS (
+  SELECT *,
+    CASE WHEN is_fim THEN concat(
+      '<PRE> ', array_to_string(list_slice(w, 1, cut1), ' '),
+      ' <SUF> ', array_to_string(list_slice(w, cut2 + 1, n), ' '),
+      ' <MID> ', array_to_string(list_slice(w, cut1 + 1, cut2), ' '))
+    ELSE text END AS out
+  FROM d2
+)
+SELECT doc_id,
+       CASE WHEN is_fim THEN 'psm' ELSE 'plain' END AS mode,
+       CAST(n AS INT) AS n_tokens,
+       CASE WHEN is_fim THEN CAST(cut1 AS INT) ELSE NULL END AS cut1,
+       CASE WHEN is_fim THEN CAST(cut2 AS INT) ELSE NULL END AS cut2,
+       md5(out) AS out_md5
+FROM d3 ORDER BY doc_id
+"""
+
+ML_QUERIES["fim_transform"] = (fim_transform, FIM_TRANSFORM_SQL)

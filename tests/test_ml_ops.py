@@ -1426,3 +1426,69 @@ def test_embedding_quantize_constant_vector(spark, tmp_path):
     assert rows[0].qscore == 0
     assert rows[0].mn_micro == rows[0].mx_micro == 2500000
     assert rows[1].qscore != 0
+
+
+# ---------------------------------------------------------------------------
+# fim_transform (round 5): the PSM reordering must agree bit-exactly
+# with a pure-Python replica (third implementation), the cut points
+# must partition the token stream, and plain-mode docs must hash to
+# the untouched text.
+# ---------------------------------------------------------------------------
+
+
+def _py_fim(doc_rows):
+    import hashlib
+
+    from datamunging_spark.ml_ops import FIM_RATE
+
+    def h(tag, key):
+        return int(
+            hashlib.md5(f"{tag}{key}".encode()).hexdigest()[:15], 16
+        )
+
+    out = {}
+    for doc_id, raw in doc_rows:
+        text = raw or ""
+        w = text.split(" ")
+        n = len(w)
+        is_fim = h("fim:apply:", doc_id) / float(1 << 60) < FIM_RATE
+        if is_fim:
+            cut1 = h("fim:c1:", doc_id) % (n + 1)
+            cut2 = cut1 + h("fim:c2:", doc_id) % (n - cut1 + 1)
+            s = (
+                "<PRE> " + " ".join(w[:cut1])
+                + " <SUF> " + " ".join(w[cut2:])
+                + " <MID> " + " ".join(w[cut1:cut2])
+            )
+            out[doc_id] = (
+                "psm", n, cut1, cut2,
+                hashlib.md5(s.encode()).hexdigest(),
+            )
+        else:
+            out[doc_id] = (
+                "plain", n, None, None,
+                hashlib.md5(text.encode()).hexdigest(),
+            )
+    return out
+
+
+def test_fim_transform_matches_python_replica(spark):
+    from datamunging_spark.ml_ops import fim_transform
+    from datamunging_spark.queries import t as t_
+
+    docs = [
+        (r.doc_id, r.text)
+        for r in t_(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    ]
+    got = {
+        r.doc_id: (r.mode, r.n_tokens, r.cut1, r.cut2, r.out_md5)
+        for r in fim_transform(spark, SF_DIR).collect()
+    }
+    assert got == _py_fim(docs)
+    modes = {v[0] for v in got.values()}
+    assert modes == {"psm", "plain"}  # the coin genuinely splits
+    for mode, n, c1, c2, _md in got.values():
+        if mode == "psm":
+            assert 0 <= c1 <= c2 <= n  # cuts partition the stream
+        else:
+            assert c1 is None and c2 is None
