@@ -87,7 +87,13 @@ DRIVER_PRIORITY = [
     # driver-exercised via dedup_minhash_lsh banding and
     # dedup_embedding_cosine hyperplane buckets; the op itself remains
     # oracle-checked in pytest + CORRECTNESS_local.json)
-    "ann_ivf_topk",
+    # (ann_ivf_topk's slot upgraded late in r5 to ann_ivf_sq8, its
+    # strict superset: the same IVF cell pruning plus the SQ8
+    # integer-ADC shortlist and exact float rerank — the composed
+    # 10^12-vector serving path. ann_ivf_topk stays oracle-checked in
+    # pytest + CORRECTNESS_local.json, and the rerank column holds the
+    # identical round(cos,4) contract.)
+    "ann_ivf_sq8",
     "kmeans_embeddings",
     "knn_join_topk",
     "multimodal_resize",

@@ -77,6 +77,7 @@ HEADLINE = [
     "boilerplate_relational",
     "embedding_quantize",
     "fim_transform",
+    "ann_ivf_sq8",
 ]
 
 ALL = {**RELATIONAL_QUERIES, **ML_QUERIES}

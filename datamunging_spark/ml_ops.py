@@ -6168,3 +6168,210 @@ FROM d3 ORDER BY doc_id
 """
 
 ML_QUERIES["fim_transform"] = (fim_transform, FIM_TRANSFORM_SQL)
+
+
+
+# --------------------------------------------------------------------------
+# Composed ANN serving path: IVF cell pruning -> SQ8 integer-sum ADC
+# shortlist -> exact float rerank. This is the shape a 10^12-vector
+# index actually serves queries with (FAISS IVF+SQ8, Milvus IVF_SQ8):
+# the coarse quantizer prunes which partitions are scanned
+# (ann_ivf_topk's cells), the int8 codes score the survivors without
+# touching float vectors (embedding_quantize's codes — 4x less IO),
+# and only the tiny ADC shortlist pays for exact distance.
+#
+# The shortlist score is the APPROXIMATE COSINE between the
+# dequantized vector and the dequantized query, reconstructed entirely
+# from three ORDER-FREE int64 code sums per vector —
+#   SC = Σc_i,  SC2 = Σc_i²,  CROSS = Σc_i·qc_i
+# — plus the per-vector affine params (mn, step) and Python-side query
+# constants:  dot ≈ mn·A + step·(qmn_q·SC + s_q·CROSS)  with
+# A = qmn_q·D + s_q·Σqc, and ‖v̂‖² = mn²·D + 2·mn·step·SC + step²·SC2.
+# Both engines evaluate ONE textually identical SQL expression over
+# those sums (identical IEEE association), floored to integer
+# micro-units, so the shortlist cut is bit-stable under any
+# partitioning. Scoring by the raw code sum Σc_i·qc_i alone (no affine
+# correction, no norm) was built first and measured: recall@10 = 3-4
+# of 10 — the affine terms and the norm are NOT optional, which is
+# precisely why FAISS stores (mn, step) next to every SQ8 code block.
+#
+# Only the final rerank touches float vectors, under the same
+# round(cos, 4) contract ann_ivf_topk already holds. Both top-k stages
+# are TakeOrdered (per-partition reduce, no global sort shuffle).
+# --------------------------------------------------------------------------
+
+_IVF_SQ8_RERANK = 30  # ADC shortlist size feeding the exact rerank
+
+
+def _sq8_query_codes() -> list[int]:
+    """QUERY_VEC quantized to [0,255] in exact Python integers."""
+    import math
+
+    qmn, qmx = min(QUERY_VEC), max(QUERY_VEC)
+    return [
+        int(math.floor((x - qmn) * 255.0 / (qmx - qmn))) for x in QUERY_VEC
+    ]
+
+
+def _ivf_sq8_score_expr() -> str:
+    """The shared (Spark SQL == DuckDB SQL) approximate-cosine ADC
+    expression over columns (mn, step, sc, sc2, crossq), in integer
+    micro-units. Python precomputes every query-side constant."""
+    qc = _sq8_query_codes()
+    qmn_q, qmx_q = min(QUERY_VEC), max(QUERY_VEC)
+    s_q = (qmx_q - qmn_q) / 255.0
+    d = len(QUERY_VEC)
+    a = qmn_q * d + s_q * sum(qc)  # Σ over dims of the query offset part
+    qdeq = [qmn_q + c * s_q for c in qc]
+    qn = sum(x * x for x in qdeq) ** 0.5  # dequantized-query norm
+    dot = (
+        f"((mn * CAST({a!r} AS DOUBLE)) + (step * "
+        f"((CAST({qmn_q!r} AS DOUBLE) * CAST(sc AS DOUBLE)) + "
+        f"(CAST({s_q!r} AS DOUBLE) * CAST(crossq AS DOUBLE)))))"
+    )
+    norm2 = (
+        f"(((mn * mn) * CAST({d} AS DOUBLE)) + "
+        f"(((CAST(2 AS DOUBLE) * mn) * step) * CAST(sc AS DOUBLE)) + "
+        f"((step * step) * CAST(sc2 AS DOUBLE)))"
+    )
+    return (
+        f"CASE WHEN {norm2} > 0 THEN "
+        f"floor(({dot} / (sqrt({norm2}) * CAST({qn!r} AS DOUBLE))) "
+        f"* CAST(1000000 AS DOUBLE)) ELSE 0 END"
+    )
+
+
+def ann_ivf_sq8(spark, sf_dir):
+    probes = [j + 1 for j in _ivf_probe_clusters(QUERY_VEC)]  # 1-based
+    qc = _sq8_query_codes()
+    emb = (
+        t(spark, sf_dir, "embeddings")
+        .withColumn("cluster", _ivf_cluster_col())
+        .where(F.col("cluster").isin(probes))
+    )
+    d = emb.select(
+        "vec_id",
+        "cluster",
+        "embedding",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).select(
+        "*",
+        F.array_min("v").alias("mn"),
+        F.array_max("v").alias("mx"),
+    )
+    mn, mx = F.col("mn"), F.col("mx")
+    codes = F.when(
+        mx == mn, F.transform("v", lambda x: F.lit(0).cast("int"))
+    ).otherwise(
+        F.transform(
+            "v", lambda x: F.floor((x - mn) * 255.0 / (mx - mn)).cast("int")
+        )
+    )
+    qcarr = F.array(*[F.lit(int(c)) for c in qc])
+
+    def isum(arr):
+        return F.aggregate(
+            arr, F.lit(0).cast("long"), lambda acc, x: acc + x
+        )
+
+    d = d.withColumn("codes", codes).withColumn(
+        "step", (mx - mn) / 255.0
+    )
+    d = d.select(
+        "vec_id",
+        "cluster",
+        "embedding",
+        "mn",
+        "step",
+        isum(F.transform("codes", lambda c: c.cast("long"))).alias("sc"),
+        isum(F.transform("codes", lambda c: (c * c).cast("long"))).alias(
+            "sc2"
+        ),
+        isum(
+            F.zip_with("codes", qcarr, lambda c, q: (c * q).cast("long"))
+        ).alias("crossq"),
+    )
+    shortlist = (
+        d.withColumn(
+            "adc_cos_micro", F.expr(_ivf_sq8_score_expr()).cast("long")
+        )
+        .orderBy(F.col("adc_cos_micro").desc(), "vec_id")
+        .limit(_IVF_SQ8_RERANK)
+    )
+    return (
+        shortlist.select(
+            "vec_id",
+            "cluster",
+            "adc_cos_micro",
+            F.round(
+                cosine_to_literal(F.col("embedding"), QUERY_VEC), 4
+            ).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), "vec_id")
+        .limit(10)
+    )
+
+
+def _ivf_sq8_sql() -> str:
+    aff_exprs = ", ".join(
+        f"({sum(x * x for x in c)!r} - 2.0 * "
+        f"list_dot_product(embedding::DOUBLE[], {c!r}))"
+        for c in IVF_CENTROIDS
+    )
+    probes = ", ".join(str(j + 1) for j in _ivf_probe_clusters(QUERY_VEC))
+    qclit = "[" + ", ".join(str(c) for c in _sq8_query_codes()) + "]"
+    qnorm = (sum(x * x for x in QUERY_VEC)) ** 0.5
+    return f"""
+WITH assigned AS (
+  SELECT vec_id, embedding,
+         list_indexof([{aff_exprs}], list_min([{aff_exprs}])) AS cluster
+  FROM embeddings
+),
+pruned AS (
+  SELECT vec_id, cluster, embedding,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM assigned WHERE cluster IN ({probes})
+),
+mm AS (
+  SELECT *, list_min(v) AS mn, list_max(v) AS mx FROM pruned
+),
+q AS (
+  SELECT *, (mx - mn) / 255.0 AS step,
+    CASE WHEN mx = mn
+         THEN list_transform(v, x -> 0)
+         ELSE list_transform(v,
+              x -> CAST(floor((x - mn) * 255.0 / (mx - mn)) AS INT))
+    END AS codes
+  FROM mm
+),
+s AS (
+  SELECT vec_id, cluster, embedding, mn, step,
+    CAST(list_aggregate(list_transform(codes, c -> CAST(c AS BIGINT)),
+         'sum') AS BIGINT) AS sc,
+    CAST(list_aggregate(list_transform(codes,
+         c -> CAST(c * c AS BIGINT)), 'sum') AS BIGINT) AS sc2,
+    CAST(list_aggregate(list_transform(range(1, {_SQ8_DIMS + 1}),
+      i -> CAST(codes[i] * ({qclit})[i] AS BIGINT)), 'sum') AS BIGINT)
+      AS crossq
+  FROM q
+),
+scored AS (
+  SELECT vec_id, cluster, embedding,
+         CAST({_ivf_sq8_score_expr()} AS BIGINT) AS adc_cos_micro
+  FROM s
+),
+surv AS (
+  SELECT * FROM scored
+  ORDER BY adc_cos_micro DESC, vec_id LIMIT {_IVF_SQ8_RERANK}
+)
+SELECT vec_id, CAST(cluster AS INT) AS cluster, adc_cos_micro,
+       CASE WHEN list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+            THEN round(list_dot_product(embedding::DOUBLE[], {QUERY_VEC!r})
+                 / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                    * {qnorm!r}), 4)
+            ELSE 0.0 END AS cos
+FROM surv ORDER BY cos DESC, vec_id LIMIT 10
+"""
+
+
+ML_QUERIES["ann_ivf_sq8"] = (ann_ivf_sq8, _ivf_sq8_sql())

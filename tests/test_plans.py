@@ -576,3 +576,20 @@ def test_round5_extra_ops_plan_shapes(spark, sf_dir):
     for seg in qp.split("ReadSchema")[1:]:
         head = seg.split("\n")[0]
         assert "label" not in head, head
+
+
+def test_ann_ivf_sq8_plan_shape(spark, sf_dir):
+    """Composed IVF+SQ8 serving path: codegen end-to-end (no Python),
+    both top-k stages are TakeOrderedAndProject (per-partition reduce,
+    no sort shuffle), the NULL-vector drop is pushed into the scan,
+    and `label` is never read."""
+    from datamunging_spark.ml_ops import ann_ivf_sq8
+
+    p = plan_of(ann_ivf_sq8(spark, sf_dir))
+    assert "EvalPython" not in p, p
+    assert p.count("TakeOrderedAndProject") == 2, p
+    assert "Exchange" not in p, p
+    assert "PushedFilters: [IsNotNull(embedding)]" in p, p
+    for seg in p.split("ReadSchema")[1:]:
+        head = seg.split("\n")[0]
+        assert "label" not in head, head
