@@ -1300,27 +1300,50 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
-def _ivf_sql() -> str:
+def _ivf_assigned_cte() -> str:
+    """Shared DuckDB CTE assigning each vector to its IVF cell (argmin
+    of the centroid-affinity array) — used by BOTH _ivf_sql and
+    _ivf_sq8_sql so the two replays can never drift apart."""
     aff_exprs = ", ".join(
         f"({sum(x * x for x in c)!r} - 2.0 * "
         f"list_dot_product(embedding::DOUBLE[], {c!r}))"
         for c in IVF_CENTROIDS
     )
-    probes = ", ".join(str(j + 1) for j in _ivf_probe_clusters(QUERY_VEC))
+    return (
+        "assigned AS (\n"
+        "  SELECT vec_id, embedding,\n"
+        f"         list_indexof([{aff_exprs}], list_min([{aff_exprs}]))"
+        " AS cluster\n"
+        "  FROM embeddings\n)"
+    )
+
+
+def _ivf_probe_list() -> str:
+    return ", ".join(str(j + 1) for j in _ivf_probe_clusters(QUERY_VEC))
+
+
+def _ivf_cos_sql() -> str:
+    """Shared exact-cosine expression (the round(cos, 4) contract),
+    zero-vector-guarded — used by _ivf_sql and _ivf_sq8_sql's rerank."""
     qnorm = (sum(x * x for x in QUERY_VEC)) ** 0.5
+    return (
+        "CASE WHEN list_dot_product(embedding::DOUBLE[],"
+        " embedding::DOUBLE[]) > 0\n"
+        f"            THEN round(list_dot_product(embedding::DOUBLE[],"
+        f" {QUERY_VEC!r})\n"
+        "                 / (sqrt(list_dot_product(embedding::DOUBLE[],"
+        " embedding::DOUBLE[]))\n"
+        f"                    * {qnorm!r}), 4)\n"
+        "            ELSE 0.0 END"
+    )
+
+
+def _ivf_sql() -> str:
     return f"""
-WITH assigned AS (
-  SELECT vec_id, embedding,
-         list_indexof([{aff_exprs}], list_min([{aff_exprs}])) AS cluster
-  FROM embeddings
-)
+WITH {_ivf_assigned_cte()}
 SELECT vec_id, CAST(cluster AS INT) AS cluster,
-       CASE WHEN list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
-            THEN round(list_dot_product(embedding::DOUBLE[], {QUERY_VEC!r})
-                 / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
-                    * {qnorm!r}), 4)
-            ELSE 0.0 END AS cos
-FROM assigned WHERE cluster IN ({probes})
+       {_ivf_cos_sql()} AS cos
+FROM assigned WHERE cluster IN ({_ivf_probe_list()})
 ORDER BY cos DESC, vec_id LIMIT 10
 """
 
@@ -5752,21 +5775,22 @@ def boilerplate_relational(spark, sf_dir):
     )
     first6 = F.concat_ws(" ", F.slice(F.split("text", " "), 1, 6))
 
-    def blk(i, tag, txt, anchors):
+    # (idx, btext, anchors) only — no per-row tag payload: the rules
+    # never read it, and every struct field rides the doc_id shuffle
+    def blk(i, txt, anchors):
         return F.struct(
             F.lit(i).cast("int").alias("idx"),
-            F.lit(tag).alias("tag"),
             txt.alias("btext"),
             anchors.cast("int").alias("anchors"),
         )
 
     blocks = F.array(
-        blk(0, "nav", F.lit(_BP_NAV), F.lit(5)),
-        blk(1, "div", F.lit(_BP_AD), F.length("text") % 7),
-        blk(2, "p", F.col("text"), F.length("text") % 3),
-        blk(3, "p", first6, F.lit(0)),
-        blk(4, "aside", F.lit(_BP_ASIDE), F.lit(8)),
-        blk(5, "footer", F.lit(_BP_FOOTER), F.lit(4)),
+        blk(0, F.lit(_BP_NAV), F.lit(5)),
+        blk(1, F.lit(_BP_AD), F.length("text") % 7),
+        blk(2, F.col("text"), F.length("text") % 3),
+        blk(3, first6, F.lit(0)),
+        blk(4, F.lit(_BP_ASIDE), F.lit(8)),
+        blk(5, F.lit(_BP_FOOTER), F.lit(4)),
     )
     b = (
         docs.select("doc_id", F.explode(blocks).alias("b"))
@@ -5829,17 +5853,16 @@ WITH d AS (
   SELECT doc_id, lower(text) AS text FROM documents
 ),
 blocks AS (
-  SELECT doc_id, 0 AS idx, 'nav' AS tag,
-         '{_BP_NAV}' AS btext, 5 AS anchors FROM d
-  UNION ALL SELECT doc_id, 1, 'div', '{_BP_AD}',
+  SELECT doc_id, 0 AS idx, '{_BP_NAV}' AS btext, 5 AS anchors FROM d
+  UNION ALL SELECT doc_id, 1, '{_BP_AD}',
          CAST(length(text) % 7 AS INT) FROM d
-  UNION ALL SELECT doc_id, 2, 'p', text,
+  UNION ALL SELECT doc_id, 2, text,
          CAST(length(text) % 3 AS INT) FROM d
-  UNION ALL SELECT doc_id, 3, 'p',
+  UNION ALL SELECT doc_id, 3,
          array_to_string(list_slice(str_split(text, ' '), 1, 6), ' '),
          0 FROM d
-  UNION ALL SELECT doc_id, 4, 'aside', '{_BP_ASIDE}', 8 FROM d
-  UNION ALL SELECT doc_id, 5, 'footer', '{_BP_FOOTER}', 4 FROM d
+  UNION ALL SELECT doc_id, 4, '{_BP_ASIDE}', 8 FROM d
+  UNION ALL SELECT doc_id, 5, '{_BP_FOOTER}', 4 FROM d
 ),
 feat AS (
   SELECT *, len(str_split(btext, ' ')) AS words,
@@ -5925,15 +5948,22 @@ _SQ8_QSUM = sum(_SQ8_Q)
 _SQ8_TOPK = 20
 
 
-def embedding_quantize(spark, sf_dir):
-    emb = t(spark, sf_dir, "embeddings")
-    vd = F.transform("embedding", lambda x: x.cast("double"))
-    df = emb.select("vec_id", vd.alias("v"))
-    df = df.select(
-        "vec_id",
-        "v",
-        F.array_min("v").alias("mn"),
-        F.array_max("v").alias("mx"),
+def _sq8_with_codes(df: DataFrame) -> DataFrame:
+    """Add the SQ8 columns (mn, mx, step, codes) to a frame carrying a
+    double-vector column ``v`` — the ONE quantization definition both
+    SQ8 ops share (embedding_quantize + ann_ivf_sq8; oracle twin:
+    ``_sq8_quant_ctes``). The 64-dim table contract is enforced LOUDLY
+    (raise_error / error()) instead of silently diverging between the
+    engines on a malformed table: the oracle SQL iterates fixed
+    ``range(1, 65)`` while Spark's zip_with is length-driven, so a
+    non-64-dim vector would otherwise produce a NULL-vs-partial-sum
+    split across the engines."""
+    vg = F.when(F.size("v") == _SQ8_DIMS, F.col("v")).otherwise(
+        F.raise_error(f"embedding dim contract: expected {_SQ8_DIMS}")
+    )
+    df = df.withColumn("v", vg)
+    df = df.withColumn("mn", F.array_min("v")).withColumn(
+        "mx", F.array_max("v")
     )
     mn, mx = F.col("mn"), F.col("mx")
     codes = F.when(
@@ -5945,9 +5975,42 @@ def embedding_quantize(spark, sf_dir):
             lambda x: F.floor((x - mn) * 255.0 / (mx - mn)).cast("int"),
         )
     )
-    df = df.withColumn("codes", codes).withColumn(
+    return df.withColumn("codes", codes).withColumn(
         "step", (mx - mn) / 255.0
     )
+
+
+def _sq8_quant_ctes(src: str) -> str:
+    """The shared DuckDB quantization CTE chain over ``src`` (which
+    must carry an ``embedding`` column): exposes (v, mn, mx, step,
+    codes) through CTEs e -> mm -> q. Oracle twin of _sq8_with_codes,
+    same loud dim contract."""
+    return f"""e AS (
+  SELECT *, CASE WHEN len(embedding) = {_SQ8_DIMS}
+         THEN list_transform(embedding, x -> CAST(x AS DOUBLE))
+         ELSE error('embedding dim contract: expected {_SQ8_DIMS}')
+         END AS v
+  FROM {src}
+),
+mm AS (
+  SELECT *, list_min(v) AS mn, list_max(v) AS mx FROM e
+),
+q AS (
+  SELECT *, (mx - mn) / 255.0 AS step,
+    CASE WHEN mx = mn
+         THEN list_transform(v, x -> 0)
+         ELSE list_transform(v,
+              x -> CAST(floor((x - mn) * 255.0 / (mx - mn)) AS INT))
+    END AS codes
+  FROM mm
+)"""
+
+
+def embedding_quantize(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    vd = F.transform("embedding", lambda x: x.cast("double"))
+    df = _sq8_with_codes(emb.select("vec_id", vd.alias("v")))
+    mn, mx = F.col("mn"), F.col("mx")
     err = F.aggregate(
         F.zip_with(
             "v",
@@ -5997,23 +6060,7 @@ def embedding_quantize(spark, sf_dir):
 def _sq8_sql() -> str:
     qlit = "[" + ", ".join(str(q) for q in _SQ8_Q) + "]"
     return f"""
-WITH e AS (
-  SELECT vec_id,
-         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings
-),
-mm AS (
-  SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e
-),
-q AS (
-  SELECT *, (mx - mn) / 255.0 AS step,
-    CASE WHEN mx = mn
-         THEN list_transform(v, x -> 0)
-         ELSE list_transform(v,
-              x -> CAST(floor((x - mn) * 255.0 / (mx - mn)) AS INT))
-    END AS codes
-  FROM mm
-),
+WITH {_sq8_quant_ctes("embeddings")},
 s AS (
   SELECT vec_id, mn, step,
     CAST(list_aggregate(list_transform(range(1, {_SQ8_DIMS + 1}),
@@ -6058,28 +6105,14 @@ ML_QUERIES["embedding_quantize"] = (embedding_quantize, _sq8_sql())
 FIM_RATE = 0.5  # fraction of docs converted to PSM examples
 
 
+def _md5_long(tag, key_col):
+    """Tagged md5 int64 — composes the module's core md5_long idiom."""
+    return md5_long(F.concat(F.lit(tag), key_col.cast("string")))
+
+
 def _md5_u01(tag, key_col):
     """md5-uniform in [0,1) keyed on (tag, key) — engine-replayable."""
-    return (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(tag), key_col.cast("string"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("long")
-        / F.lit(float(1 << 60))
-    )
-
-
-def _md5_long(tag, key_col):
-    return F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(tag), key_col.cast("string"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("long")
+    return _md5_long(tag, key_col) / F.lit(float(1 << 60))
 
 
 def fim_transform(spark, sf_dir):
@@ -6249,22 +6282,12 @@ def ann_ivf_sq8(spark, sf_dir):
         .withColumn("cluster", _ivf_cluster_col())
         .where(F.col("cluster").isin(probes))
     )
-    d = emb.select(
-        "vec_id",
-        "cluster",
-        "embedding",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    ).select(
-        "*",
-        F.array_min("v").alias("mn"),
-        F.array_max("v").alias("mx"),
-    )
-    mn, mx = F.col("mn"), F.col("mx")
-    codes = F.when(
-        mx == mn, F.transform("v", lambda x: F.lit(0).cast("int"))
-    ).otherwise(
-        F.transform(
-            "v", lambda x: F.floor((x - mn) * 255.0 / (mx - mn)).cast("int")
+    d = _sq8_with_codes(
+        emb.select(
+            "vec_id",
+            "cluster",
+            "embedding",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
         )
     )
     qcarr = F.array(*[F.lit(int(c)) for c in qc])
@@ -6274,9 +6297,6 @@ def ann_ivf_sq8(spark, sf_dir):
             arr, F.lit(0).cast("long"), lambda acc, x: acc + x
         )
 
-    d = d.withColumn("codes", codes).withColumn(
-        "step", (mx - mn) / 255.0
-    )
     d = d.select(
         "vec_id",
         "cluster",
@@ -6313,37 +6333,14 @@ def ann_ivf_sq8(spark, sf_dir):
 
 
 def _ivf_sq8_sql() -> str:
-    aff_exprs = ", ".join(
-        f"({sum(x * x for x in c)!r} - 2.0 * "
-        f"list_dot_product(embedding::DOUBLE[], {c!r}))"
-        for c in IVF_CENTROIDS
-    )
-    probes = ", ".join(str(j + 1) for j in _ivf_probe_clusters(QUERY_VEC))
     qclit = "[" + ", ".join(str(c) for c in _sq8_query_codes()) + "]"
-    qnorm = (sum(x * x for x in QUERY_VEC)) ** 0.5
     return f"""
-WITH assigned AS (
-  SELECT vec_id, embedding,
-         list_indexof([{aff_exprs}], list_min([{aff_exprs}])) AS cluster
-  FROM embeddings
-),
+WITH {_ivf_assigned_cte()},
 pruned AS (
-  SELECT vec_id, cluster, embedding,
-         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM assigned WHERE cluster IN ({probes})
+  SELECT vec_id, cluster, embedding FROM assigned
+  WHERE cluster IN ({_ivf_probe_list()})
 ),
-mm AS (
-  SELECT *, list_min(v) AS mn, list_max(v) AS mx FROM pruned
-),
-q AS (
-  SELECT *, (mx - mn) / 255.0 AS step,
-    CASE WHEN mx = mn
-         THEN list_transform(v, x -> 0)
-         ELSE list_transform(v,
-              x -> CAST(floor((x - mn) * 255.0 / (mx - mn)) AS INT))
-    END AS codes
-  FROM mm
-),
+{_sq8_quant_ctes("pruned")},
 s AS (
   SELECT vec_id, cluster, embedding, mn, step,
     CAST(list_aggregate(list_transform(codes, c -> CAST(c AS BIGINT)),
@@ -6365,11 +6362,7 @@ surv AS (
   ORDER BY adc_cos_micro DESC, vec_id LIMIT {_IVF_SQ8_RERANK}
 )
 SELECT vec_id, CAST(cluster AS INT) AS cluster, adc_cos_micro,
-       CASE WHEN list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
-            THEN round(list_dot_product(embedding::DOUBLE[], {QUERY_VEC!r})
-                 / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
-                    * {qnorm!r}), 4)
-            ELSE 0.0 END AS cos
+       {_ivf_cos_sql()} AS cos
 FROM surv ORDER BY cos DESC, vec_id LIMIT 10
 """
 

@@ -1542,3 +1542,29 @@ def test_ann_ivf_sq8_recall_and_adc_band(spark):
     # determinism: a second run is bit-identical
     again = ann_ivf_sq8(spark, SF_DIR).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in rows]
+
+
+def test_sq8_dim_contract_raises_loudly(spark, tmp_path):
+    """A non-64-dim embeddings table must FAIL, not silently diverge:
+    the DuckDB oracle iterates a fixed range(1, 65) while Spark's
+    zip_with is length-driven, so without the loud guard the engines
+    would split NULL-vs-partial-sum on malformed input. Both engines
+    raise the same contract message."""
+    import pytest as _pytest
+
+    from datamunging_spark.ml_ops import _sq8_sql, embedding_quantize
+
+    spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id bigint, embedding array<float>"
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+    with _pytest.raises(Exception, match="dim contract"):
+        embedding_quantize(spark, str(tmp_path)).collect()
+    import duckdb as _duckdb
+
+    con = _duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet/*.parquet')"
+    )
+    with _pytest.raises(Exception, match="dim contract"):
+        con.sql(_sq8_sql()).df()
