@@ -5958,13 +5958,16 @@ def _sq8_with_codes(df: DataFrame) -> DataFrame:
     ``range(1, 65)`` while Spark's zip_with is length-driven, so a
     non-64-dim vector would otherwise produce a NULL-vs-partial-sum
     split across the engines."""
-    vg = F.when(F.size("v") == _SQ8_DIMS, F.col("v")).otherwise(
+    # Guard the SCALAR mn, not the vector: wrapping v itself in the
+    # contract CASE re-evaluates the guard inside every per-element
+    # lambda that references v (codes, the err fold) — a per-dimension
+    # cost for a per-row check. mn is computed once per row and every
+    # downstream expression consumes it, so one CASE here still makes
+    # any malformed row fail before a single code is emitted.
+    mn_g = F.when(F.size("v") == _SQ8_DIMS, F.array_min("v")).otherwise(
         F.raise_error(f"embedding dim contract: expected {_SQ8_DIMS}")
     )
-    df = df.withColumn("v", vg)
-    df = df.withColumn("mn", F.array_min("v")).withColumn(
-        "mx", F.array_max("v")
-    )
+    df = df.withColumn("mn", mn_g).withColumn("mx", F.array_max("v"))
     mn, mx = F.col("mn"), F.col("mx")
     codes = F.when(
         mx == mn,
