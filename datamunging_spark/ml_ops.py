@@ -6371,3 +6371,115 @@ FROM surv ORDER BY cos DESC, vec_id LIMIT 10
 
 
 ML_QUERIES["ann_ivf_sq8"] = (ann_ivf_sq8, _ivf_sq8_sql())
+
+
+# --------------------------------------------------------------------------
+# Span-interval merge (late-r5 extension). The north-rule data model is an
+# interleaved span sequence per document; annotation pipelines (PII spans,
+# quality spans, layout blocks, OCR-region boxes flattened to char
+# offsets) emit OVERLAPPING [start, end) intervals that must be unioned
+# per doc before masking/splitting. This is the classic gaps-and-islands
+# sweep, done with ONE hash shuffle:
+#   - window #1 partitionBy(doc_id) orderBy(start, end): running max of
+#     prior ends marks island starts (start > prev_max_end);
+#   - the running sum of island-start flags ids the island, and the
+#     incremental-coverage trick (end - greatest(start, prev_max_end),
+#     clipped at 0) sums covered chars WITHOUT grouping by island;
+#   - window #2 over (doc_id, island) and the final groupBy(doc_id) both
+#     reuse HashPartitioning(doc_id) — Catalyst inserts sorts, not
+#     exchanges (plan-asserted: exactly ONE hash Exchange; the only
+#     other exchange is the presentation ORDER BY's range partitioning
+#     over the already-aggregated per-doc rows).
+# At 10^12 docs the partition key is doc_id hash — identical to the
+# cascade's layout, so the merge co-locates with the munge pass for free.
+# Intervals are md5-synthesized (testdata has no span annotations); both
+# engines build identical inputs, so the oracle checks the sweep algebra.
+# --------------------------------------------------------------------------
+
+_SPAN_K = 5  # synthesized intervals per doc
+
+
+def span_interval_merge(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    iv = docs.select(
+        "doc_id", F.explode(F.array(*[F.lit(j) for j in range(_SPAN_K)])).alias("j")
+    ).select(
+        "doc_id",
+        (_md5_long("spanS:", F.concat_ws(":", "doc_id", "j")) % 1000).alias("s"),
+        (20 + _md5_long("spanL:", F.concat_ws(":", "doc_id", "j")) % 180).alias("ln"),
+    ).select("doc_id", "s", (F.col("s") + F.col("ln")).alias("e"))
+    w = W.partitionBy("doc_id").orderBy("s", "e")
+    prev_max = F.max("e").over(w.rowsBetween(W.unboundedPreceding, -1))
+    marked = iv.select(
+        "doc_id", "s", "e",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1)
+        .otherwise(0).alias("new_island"),
+        F.greatest(
+            F.col("e") - F.greatest(F.col("s"), F.coalesce(prev_max, F.lit(0))),
+            F.lit(0),
+        ).alias("cover"),
+    ).withColumn("island", F.sum("new_island").over(w))
+    wi = W.partitionBy("doc_id", "island")
+    spans = marked.select(
+        "doc_id", "new_island", "cover",
+        (F.max("e").over(wi) - F.min("s").over(wi)).alias("island_len"),
+    )
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum("new_island").cast("long").alias("n_merged"),
+            F.sum("cover").cast("long").alias("covered_chars"),
+            F.max("island_len").cast("long").alias("max_merged_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _span_merge_sql() -> str:
+    def h(tag: str) -> str:
+        return (
+            f"CAST(concat('0x', substr(md5(concat('{tag}', "
+            f"CAST(doc_id AS VARCHAR), ':', CAST(j AS VARCHAR))), 1, 15)) "
+            f"AS BIGINT)"
+        )
+
+    return f"""
+WITH iv AS (
+  SELECT doc_id,
+         {h('spanS:')} % 1000 AS s,
+         {h('spanS:')} % 1000 + 20 + {h('spanL:')} % 180 AS e
+  FROM documents, range({_SPAN_K}) r(j)
+),
+marked AS (
+  SELECT doc_id, s, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM iv
+),
+flagged AS (
+  SELECT doc_id, s, e,
+         CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END
+           AS new_island,
+         greatest(e - greatest(s, coalesce(prev_max, 0)), 0) AS cover,
+         sum(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s, e) AS island
+  FROM marked
+),
+spans AS (
+  SELECT doc_id, new_island, cover,
+         max(e) OVER (PARTITION BY doc_id, island)
+           - min(s) OVER (PARTITION BY doc_id, island) AS island_len
+  FROM flagged
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(new_island) AS BIGINT) AS n_merged,
+       CAST(sum(cover) AS BIGINT) AS covered_chars,
+       CAST(max(island_len) AS BIGINT) AS max_merged_len
+FROM spans GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+ML_QUERIES["span_interval_merge"] = (span_interval_merge, _span_merge_sql())

@@ -593,3 +593,22 @@ def test_ann_ivf_sq8_plan_shape(spark, sf_dir):
     for seg in p.split("ReadSchema")[1:]:
         head = seg.split("\n")[0]
         assert "label" not in head, head
+
+
+def test_span_interval_merge_plan_shape(spark, sf_dir):
+    """Gaps-and-islands span union: codegen end-to-end (no Python),
+    exactly ONE hash exchange — window #2 over (doc_id, island) and the
+    per-doc groupBy both reuse HashPartitioning(doc_id) (Catalyst adds
+    Sorts, never a second hash shuffle); the only other exchange is the
+    presentation ORDER BY's range partitioning over per-doc aggregates.
+    The scan reads ONLY doc_id."""
+    from datamunging_spark.ml_ops import span_interval_merge
+
+    p = plan_of(span_interval_merge(spark, sf_dir))
+    assert "EvalPython" not in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert p.count("Exchange") == 2, p  # + the final ORDER BY range part.
+    assert "Join" not in p, p
+    for seg in p.split("ReadSchema")[1:]:
+        head = seg.split("\n")[0]
+        assert "text" not in head and "lang" not in head, head
