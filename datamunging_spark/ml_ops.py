@@ -6483,3 +6483,137 @@ FROM spans GROUP BY doc_id ORDER BY doc_id
 
 
 ML_QUERIES["span_interval_merge"] = (span_interval_merge, _span_merge_sql())
+
+
+# --------------------------------------------------------------------------
+# Anchor-text aggregation (late-r5 extension). The extraction tier's
+# web-graph sibling of PageRank: for every link TARGET, aggregate the
+# anchor texts of its in-links (in-degree, distinct linking sources,
+# distinct anchor phrases, the modal anchor). This is how web-scale
+# pipelines build target-page descriptions and link-spam features.
+#
+# Scale design — the op is ONE two-level aggregation tree:
+#   - level 1 groupBy(dst, anchor) with map-side partial agg: the
+#     shuffle carries distinct (dst, anchor) pairs per partition, not
+#     edges — on a power-law web graph this is the skew armor (a
+#     100M-in-link target with 1k distinct anchors shuffles 1k rows per
+#     map partition, never 100M);
+#   - level 2 groupBy(dst) picks the modal anchor as max(struct(cnt,
+#     anchor)) — an order-independent, tie-deterministic reduction
+#     (lexicographic struct compare, identical in DuckDB), so retries
+#     and partitioning never flip the winner;
+#   - countDistinct(src) runs as its own partial-agg tree and joins
+#     back on the target-sized side. Local stats pick a broadcast for
+#     that join; at 10^12 targets neither side broadcasts, and both agg
+#     outputs are already HashPartitioning(dst), so the SMJ Catalyst
+#     falls back to adds NO further exchange.
+# Links + anchors are md5-synthesized exactly like pagerank_links (the
+# testdata has no link graph); 3 generators per doc WITHOUT distinct, so
+# multi-links exist and in_degree > n_src for some targets.
+# --------------------------------------------------------------------------
+
+_ANCHOR_VOCAB = [
+    "click here", "read more", "home page", "next page",
+    "previous", "source", "reference", "details",
+]
+
+
+def anchor_text_agg(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()  # driver-side model scalar (same audit class as
+    # pagerank's node count): sizes the synthesized dst space
+
+    def h(j: int) -> str:
+        return (
+            f"(CAST(conv(substring(md5(concat('pr{j}:', "
+            f"CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % {n})"
+        )
+
+    vocab = F.array(*[F.lit(a) for a in _ANCHOR_VOCAB])
+    edges = (
+        docs.selectExpr(
+            "doc_id AS src",
+            f"explode(array({h(0)}, {h(1)}, {h(2)})) AS dst",
+        )
+        .where("dst <> src")
+        .withColumn(
+            "anchor",
+            F.element_at(
+                vocab,
+                (
+                    _md5_long("anchor:", F.concat_ws(":", "src", "dst"))
+                    % len(_ANCHOR_VOCAB)
+                ).cast("int")
+                + 1,
+            ),
+        )
+    )
+    per_pair = edges.groupBy("dst", "anchor").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    best = per_pair.groupBy("dst").agg(
+        F.sum("cnt").cast("long").alias("in_degree"),
+        F.count("*").cast("long").alias("n_anchors"),
+        F.max(F.struct("cnt", "anchor")).alias("b"),
+    )
+    srcs = edges.groupBy("dst").agg(
+        F.countDistinct("src").cast("long").alias("n_src")
+    )
+    return (
+        best.join(srcs, "dst")
+        .select(
+            F.col("dst").alias("node_id"),
+            "in_degree",
+            "n_src",
+            "n_anchors",
+            F.col("b.anchor").alias("top_anchor"),
+            F.col("b.cnt").alias("top_anchor_cnt"),
+        )
+        .orderBy("node_id")
+    )
+
+
+def _anchor_agg_sql() -> str:
+    def h(j: int) -> str:
+        return (
+            f"(CAST(concat('0x', substr(md5(concat('pr{j}:', "
+            f"CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % n)"
+        )
+
+    vocab = ", ".join(f"'{a}'" for a in _ANCHOR_VOCAB)
+    cand = " UNION ALL ".join(
+        f"SELECT doc_id AS src, {h(j)} AS dst FROM documents, cnt"
+        for j in range(3)
+    )
+    return f"""
+WITH cnt AS (SELECT count(*) AS n FROM documents),
+links AS ({cand}),
+edges AS (
+  SELECT src, dst,
+         ([{vocab}])[1 + CAST(
+           CAST(concat('0x', substr(md5(concat('anchor:',
+             CAST(src AS VARCHAR), ':', CAST(dst AS VARCHAR))), 1, 15))
+           AS BIGINT) % {len(_ANCHOR_VOCAB)} AS INT)] AS anchor
+  FROM links WHERE dst <> src
+),
+per_pair AS (
+  SELECT dst, anchor, CAST(count(*) AS BIGINT) AS cnt
+  FROM edges GROUP BY dst, anchor
+),
+best AS (
+  SELECT dst, CAST(sum(cnt) AS BIGINT) AS in_degree,
+         CAST(count(*) AS BIGINT) AS n_anchors,
+         max({{'cnt': cnt, 'anchor': anchor}}) AS b
+  FROM per_pair GROUP BY dst
+),
+srcs AS (
+  SELECT dst, CAST(count(DISTINCT src) AS BIGINT) AS n_src
+  FROM edges GROUP BY dst
+)
+SELECT best.dst AS node_id, in_degree, n_src, n_anchors,
+       b.anchor AS top_anchor, b.cnt AS top_anchor_cnt
+FROM best JOIN srcs USING (dst) ORDER BY node_id
+"""
+
+
+ML_QUERIES["anchor_text_agg"] = (anchor_text_agg, _anchor_agg_sql())

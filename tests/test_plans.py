@@ -612,3 +612,19 @@ def test_span_interval_merge_plan_shape(spark, sf_dir):
     for seg in p.split("ReadSchema")[1:]:
         head = seg.split("\n")[0]
         assert "text" not in head and "lang" not in head, head
+
+
+def test_anchor_text_agg_plan_shape(spark, sf_dir):
+    """Anchor aggregation: codegen end-to-end (no Python); the modal-
+    anchor tree is a two-level partial+final aggregate (the shuffle
+    carries (dst, anchor) partials, not edges — the power-law skew
+    armor); the scan reads ONLY doc_id."""
+    from datamunging_spark.ml_ops import anchor_text_agg
+
+    p = plan_of(anchor_text_agg(spark, sf_dir))
+    assert "EvalPython" not in p, p
+    assert "partial_count" in p and "partial_sum" in p, p
+    assert "Exchange hashpartitioning(dst" in p, p
+    for seg in p.split("ReadSchema")[1:]:
+        head = seg.split("\n")[0]
+        assert "struct<doc_id:bigint>" in head, head
