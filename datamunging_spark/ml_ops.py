@@ -6617,3 +6617,137 @@ FROM best JOIN srcs USING (dst) ORDER BY node_id
 
 
 ML_QUERIES["anchor_text_agg"] = (anchor_text_agg, _anchor_agg_sql())
+
+
+# --------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram scoring (late-r5 extension).
+# lm_bigram_score is add-one smoothing self-scored on the training corpus,
+# so every bigram is seen and the smoothing path is never stressed. This op
+# does the real LM workflow: a held-out split (train = even doc_id, eval =
+# odd), absolute discounting D = 0.75, and the KN continuation
+# distribution, so UNSEEN bigrams and unseen histories exercise the backoff
+# on every run:
+#   P(w2|w1) = max(c(w1w2) - D, 0)/c(w1) + D*N1+(w1,.)/c(w1) * Pcont(w2)
+#   Pcont(w2) = (N1+(.,w2) + 1) / (n_bigram_types + V)     [add-one so an
+#   eval-only w2 scores 1/(n_bg+V) instead of -inf]
+#   unseen history (c(w1) = 0): P = Pcont(w2).
+# Scale design mirrors lm_bigram_score: model tables are count aggregates
+# (partial-agg'd), the two model scalars come from ONE stats job (driver
+# data = two longs), and the same size gate picks broadcast vs
+# shuffle-hash for the model joins -- the corpus-sized eval side never
+# builds a hash table. D = 0.75 is exact in binary; the per-doc mean of
+# logs is rounded to 4dp (the documented float-summation tolerance class
+# every avg_logp op in the catalog uses).
+# --------------------------------------------------------------------------
+
+_KN_D = 0.75
+
+
+def lm_kn_bigram(spark, sf_dir, max_model_rows: int = LM_BROADCAST_MAX_ROWS):
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.lower(F.col("text")), " ")
+    m = F.size(words) - 1
+    bigrams = F.when(
+        m >= 1,
+        F.zip_with(
+            F.slice(words, 1, m),
+            F.slice(words, 2, m),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+    def pairs_of(side):
+        return side.select(
+            "doc_id", F.explode(bigrams).alias("p")
+        ).select("doc_id", "p.w1", "p.w2")
+
+    train = pairs_of(docs.where("doc_id % 2 = 0"))
+    ev = pairs_of(docs.where("doc_id % 2 = 1"))
+    bg = train.groupBy("w1", "w2").agg(F.count("*").alias("c_bg"))
+    uni = bg.groupBy("w1").agg(
+        F.sum("c_bg").alias("c_w1"), F.count("*").alias("n1f")
+    )
+    cont = bg.groupBy("w2").agg(F.count("*").alias("n1r"))
+    stats = (
+        bg.select(F.explode(F.array("w1", "w2")).alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+        .crossJoin(bg.agg(F.count("*").alias("n_bg")))
+        .collect()[0]
+    )
+    denom = float(stats.n_bg + stats.v)
+    if stats.n_bg <= max_model_rows:
+        bg_j, uni_j, cont_j = F.broadcast(bg), F.broadcast(uni), F.broadcast(cont)
+    else:
+        bg_j = bg.hint("shuffle_hash")
+        uni_j, cont_j = uni.hint("shuffle_hash"), cont.hint("shuffle_hash")
+    pcont = (F.coalesce(F.col("n1r"), F.lit(0)) + 1) / F.lit(denom)
+    seen = (
+        F.greatest(F.coalesce(F.col("c_bg"), F.lit(0)) - _KN_D, F.lit(0.0))
+        / F.col("c_w1")
+        + (_KN_D * F.col("n1f") / F.col("c_w1")) * pcont
+    )
+    p = F.when(F.col("c_w1").isNotNull(), seen).otherwise(pcont)
+    return (
+        ev.join(bg_j, ["w1", "w2"], "left")
+        .join(uni_j, "w1", "left")
+        .join(cont_j, "w2", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(
+                F.avg(F.col("c_w1").isNull().cast("double")), 4
+            ).alias("oov_rate"),
+            F.round(F.avg(F.log(p)), 4).alias("avg_logp_kn"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _lm_kn_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w,
+         len(string_split(lower(text), ' ')) AS n
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM toks, unnest(range(1, n)) r(i) WHERE n >= 2
+),
+train AS (SELECT * FROM pairs WHERE doc_id % 2 = 0),
+ev AS (SELECT * FROM pairs WHERE doc_id % 2 = 1),
+bg AS (SELECT w1, w2, count(*) AS c_bg FROM train GROUP BY w1, w2),
+uni AS (
+  SELECT w1, sum(c_bg) AS c_w1, count(*) AS n1f FROM bg GROUP BY w1
+),
+cont AS (SELECT w2, count(*) AS n1r FROM bg GROUP BY w2),
+stats AS (
+  SELECT (SELECT count(DISTINCT tok) FROM (
+            SELECT unnest([w1, w2]) AS tok FROM bg)) AS v,
+         (SELECT count(*) FROM bg) AS n_bg
+),
+scored AS (
+  SELECT ev.doc_id,
+         uni.c_w1,
+         CASE WHEN uni.c_w1 IS NOT NULL THEN
+           greatest(coalesce(bg.c_bg, 0) - {_KN_D}, 0.0) / uni.c_w1
+           + ({_KN_D} * uni.n1f / uni.c_w1)
+             * ((coalesce(cont.n1r, 0) + 1) / (stats.n_bg + stats.v))
+         ELSE (coalesce(cont.n1r, 0) + 1.0) / (stats.n_bg + stats.v)
+         END AS p
+  FROM ev
+  LEFT JOIN bg USING (w1, w2)
+  LEFT JOIN uni USING (w1)
+  LEFT JOIN cont USING (w2)
+  CROSS JOIN stats
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(CASE WHEN c_w1 IS NULL THEN 1.0 ELSE 0.0 END), 4)
+         AS oov_rate,
+       round(avg(ln(p)), 4) AS avg_logp_kn
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+ML_QUERIES["lm_kn_bigram"] = (lm_kn_bigram, _lm_kn_sql())

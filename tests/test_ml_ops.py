@@ -1568,3 +1568,41 @@ def test_sq8_dim_contract_raises_loudly(spark, tmp_path):
     )
     with _pytest.raises(Exception, match="dim contract"):
         con.sql(_sq8_sql()).df()
+
+
+def test_lm_kn_bigram_backoff_paths(spark, tmp_path):
+    """Force every KN path on a controlled corpus: seen bigram
+    (discount + interpolation), unseen bigram under a seen history
+    (pure continuation mass), and unseen history (Pcont fallback,
+    counted as OOV). Expectations are hand-computed from the KN
+    equations; the DuckDB oracle must agree on the same parquet."""
+    import math
+
+    from datamunging_spark.ml_ops import ML_QUERIES
+
+    rows = [(0, "a b a c b c"), (1, "a b z q a")]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(f"{tmp_path}/documents.parquet")
+
+    fn, sql = ML_QUERIES["lm_kn_bigram"]
+    got = fn(spark, str(tmp_path)).collect()
+    assert len(got) == 1 and got[0].doc_id == 1
+    # train bigrams: (a,b) (b,a) (a,c) (c,b) (b,c); n_bg=5, V=3, denom=8
+    # (a,b): .25/2 + (.75*2/2)*(3/8) = 0.40625   seen path
+    # (b,z): 0 + (.75*2/2)*(1/8)   = 0.09375     unseen bigram, seen hist
+    # (z,q): Pcont(q) = 1/8        = 0.125       unseen history (OOV)
+    # (q,a): Pcont(a) = 2/8        = 0.25        unseen history (OOV)
+    expect = round(
+        sum(math.log(p) for p in (0.40625, 0.09375, 0.125, 0.25)) / 4, 4
+    )
+    r = got[0]
+    assert (r.n_bigrams, r.oov_rate) == (4, 0.5)
+    assert r.avg_logp_kn == expect
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    want = con.sql(sql).fetchall()
+    assert want == [(1, 4, 0.5, expect)]
