@@ -73,7 +73,13 @@ DRIVER_PRIORITY = [
     "extract_munge_metrics",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash",
+    # (dedup_simhash moved past the window late in r5: the dedup family
+    # keeps exact/minhash_lsh/clusters/embedding_cosine in-window; the
+    # bit-vote op remains oracle-checked in pytest +
+    # CORRECTNESS_local.json. Freed slot goes to span_interval_merge —
+    # the gaps-and-islands span-union over the north rule's interleaved
+    # span model, single-hash-shuffle, plan-asserted.)
+    "span_interval_merge",
     "dedup_clusters",
     # (dedup_representatives moved past the window late in r5: the dedup
     # family keeps exact/minhash_lsh/simhash/clusters/embedding_cosine
@@ -95,7 +101,13 @@ DRIVER_PRIORITY = [
     # identical round(cos,4) contract.)
     "ann_ivf_sq8",
     "kmeans_embeddings",
-    "knn_join_topk",
+    # (knn_join_topk moved past the window late in r5: the ANN family
+    # keeps ann_cosine_topk + ann_ivf_sq8 + kmeans_embeddings in-window;
+    # the kNN join remains oracle-checked in pytest +
+    # CORRECTNESS_local.json. Freed slot goes to anchor_text_agg — the
+    # link-analysis family's second op: per-target anchor aggregation
+    # with a tie-deterministic modal pick.)
+    "anchor_text_agg",
     "multimodal_resize",
     "lang_id_stopword",
     "text_quality",
@@ -126,7 +138,13 @@ DRIVER_PRIORITY = [
     # keeps one driver representative, rollup_lineitem; the window
     # family keeps window_topk_orders — cube/grouping_sets/event_gaps
     # stay oracle-checked in pytest + CORRECTNESS_local.json)
-    "lm_bigram_score",
+    # (lm_bigram_score's slot upgraded late in r5 to lm_kn_bigram, the
+    # strictly more demanding member of the LM-scoring family: held-out
+    # train/eval split, absolute discounting, and the Kneser-Ney
+    # continuation backoff that the self-scored add-one op never
+    # stresses. lm_bigram_score stays oracle-checked in pytest +
+    # CORRECTNESS_local.json.)
+    "lm_kn_bigram",
     "redact_pii",
     "paragraph_dedup",
     # round-4 flagship additions (freed slots: date_funcs/json_extract —

@@ -78,6 +78,10 @@ HEADLINE = [
     "embedding_quantize",
     "fim_transform",
     "ann_ivf_sq8",
+    # late-r5 extension flagships
+    "span_interval_merge",
+    "anchor_text_agg",
+    "lm_kn_bigram",
 ]
 
 ALL = {**RELATIONAL_QUERIES, **ML_QUERIES}

@@ -6674,7 +6674,11 @@ def lm_kn_bigram(spark, sf_dir, max_model_rows: int = LM_BROADCAST_MAX_ROWS):
         .crossJoin(bg.agg(F.count("*").alias("n_bg")))
         .collect()[0]
     )
-    denom = float(stats.n_bg + stats.v)
+    # degenerate corpus guard (an all-empty train split has zero bigram
+    # types): clamp the continuation denominator to 1 — every prob is
+    # then Pcont = 1, logp = 0 — instead of Spark ANSI DIVIDE_BY_ZERO
+    # vs DuckDB NULL (the fuzzer's one-bad-corpus-in-10^9 class)
+    denom = float(max(stats.n_bg + stats.v, 1))
     if stats.n_bg <= max_model_rows:
         bg_j, uni_j, cont_j = F.broadcast(bg), F.broadcast(uni), F.broadcast(cont)
     else:
@@ -6732,8 +6736,10 @@ scored AS (
          CASE WHEN uni.c_w1 IS NOT NULL THEN
            greatest(coalesce(bg.c_bg, 0) - {_KN_D}, 0.0) / uni.c_w1
            + ({_KN_D} * uni.n1f / uni.c_w1)
-             * ((coalesce(cont.n1r, 0) + 1) / (stats.n_bg + stats.v))
-         ELSE (coalesce(cont.n1r, 0) + 1.0) / (stats.n_bg + stats.v)
+             * ((coalesce(cont.n1r, 0) + 1)
+                / greatest(stats.n_bg + stats.v, 1))
+         ELSE (coalesce(cont.n1r, 0) + 1.0)
+              / greatest(stats.n_bg + stats.v, 1)
          END AS p
   FROM ev
   LEFT JOIN bg USING (w1, w2)

@@ -1606,3 +1606,26 @@ def test_lm_kn_bigram_backoff_paths(spark, tmp_path):
     )
     want = con.sql(sql).fetchall()
     assert want == [(1, 4, 0.5, expect)]
+
+
+def test_lm_kn_bigram_empty_train_split(spark, tmp_path):
+    """All-empty train split (zero bigram types): the clamped
+    continuation denominator makes every eval probability Pcont = 1
+    (logp 0, oov_rate 1) on BOTH engines, instead of Spark ANSI
+    DIVIDE_BY_ZERO vs DuckDB NULL."""
+    from datamunging_spark.ml_ops import ML_QUERIES
+
+    rows = [(0, ""), (2, "solo"), (1, "a b c")]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(f"{tmp_path}/documents.parquet")
+
+    fn, sql = ML_QUERIES["lm_kn_bigram"]
+    got = [tuple(r) for r in fn(spark, str(tmp_path)).collect()]
+    assert got == [(1, 2, 1.0, 0.0)]
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    assert con.sql(sql).fetchall() == [(1, 2, 1.0, 0.0)]
