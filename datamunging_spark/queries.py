@@ -1602,3 +1602,149 @@ ORDER BY o_orderstatus, rk
 
 
 RELATIONAL_QUERIES["window_rank_funcs"] = (q_window_rank_funcs, Q_WINDOW_RANK_SQL)
+
+
+# --------------------------------------------------------------------------
+# Ordered funnel analysis (late-r5 extension). The event-analytics
+# operator every warehouse keeps next to sessionization: of the users who
+# did stage 1, how many went on to stage 2 AFTER stage 1, then stage 3
+# AFTER stage 2? Naive per-stage EXISTS ignores ordering (a purchase
+# BEFORE the first click must not convert); the correct sequential
+# semantics is a chain of running firsts:
+#   t1 = running min ts of stage-1 events;
+#   t2 = running min ts of stage-2 events seen while t1 is already set;
+#   t3 = likewise gated on t2 —
+# three window passes over ONE HashPartitioning(user_id) + one sort
+# (Catalyst chains the Window operators without re-exchanging), then the
+# per-user groupBy reuses the same partitioning. At 10^9 users the only
+# corpus-sized shuffle is that single hash exchange; the global stage
+# totals are a partial-agg tree into one row, and the 3-row stage frame
+# is driver-sized. Conversion ratios are integer ppm (x * 1000000 DIV y)
+# — no float at any result boundary, so retries / partitioning can never
+# flip a value.
+#
+# Conversion-window semantics (strict first-touch): stage k counts only
+# if it happens within FUNNEL_WINDOW_H hours of the FIRST completion of
+# stage k-1 — the standard product-analytics windowed funnel. A stage-2
+# event following a LATER stage-1 repeat but outside the window of the
+# first one does NOT convert (documented; both engines implement the
+# identical rule).
+# --------------------------------------------------------------------------
+
+FUNNEL_STAGES = ["view", "click", "purchase"]
+FUNNEL_WINDOW_H = 6  # conversion window, hours between consecutive stages
+
+
+def q_funnel_events(spark, sf_dir):
+    s1, s2, s3 = FUNNEL_STAGES
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    # running first-completion time per stage, each gated on the previous
+    # stage's running completion (the same-row gate is safe: a stage-k
+    # event never contributes to t_{k-1}'s min, so "t_{k-1} IS NOT NULL
+    # at this row" means stage k-1 completed at or before this event)
+    step1 = ev.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == s1, F.col("ts"))).over(w)
+    )
+    within = F.expr(f"INTERVAL {FUNNEL_WINDOW_H} HOURS")
+    step2 = step1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == s2)
+                & F.col("t1").isNotNull()
+                & (F.col("ts") <= F.col("t1") + within),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    step3 = step2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == s3)
+                & F.col("t2").isNotNull()
+                & (F.col("ts") <= F.col("t2") + within),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = step3.groupBy("user_id").agg(
+        F.max(F.col("t1").isNotNull().cast("int")).alias("r1"),
+        F.max(F.col("t2").isNotNull().cast("int")).alias("r2"),
+        F.max(F.col("t3").isNotNull().cast("int")).alias("r3"),
+    )
+    totals = per_user.agg(
+        F.sum("r1").cast("long").alias("n1"),
+        F.sum("r2").cast("long").alias("n2"),
+        F.sum("r3").cast("long").alias("n3"),
+    )
+    stages = totals.selectExpr(
+        f"stack(3, 1, '{s1}', n1, n1, 2, '{s2}', n2, n1, 3, '{s3}', n3, n2) "
+        "AS (stage, event_type, users, prev)"
+    )
+    return stages.select(
+        "stage",
+        "event_type",
+        "users",
+        F.when(F.col("prev") > 0, F.expr("(users * 1000000) DIV prev"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("conv_from_prev_ppm"),
+    ).orderBy("stage")
+
+
+Q_FUNNEL_SQL = f"""
+WITH w1 AS (
+  SELECT user_id, event_id, ts, event_type,
+         min(CASE WHEN event_type = '{FUNNEL_STAGES[0]}' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t1
+  FROM events
+),
+w2 AS (
+  SELECT *, min(CASE WHEN event_type = '{FUNNEL_STAGES[1]}'
+                      AND t1 IS NOT NULL
+                      AND ts <= t1 + INTERVAL {FUNNEL_WINDOW_H} HOUR THEN ts END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t2
+  FROM w1
+),
+w3 AS (
+  SELECT *, min(CASE WHEN event_type = '{FUNNEL_STAGES[2]}'
+                      AND t2 IS NOT NULL
+                      AND ts <= t2 + INTERVAL {FUNNEL_WINDOW_H} HOUR THEN ts END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t3
+  FROM w2
+),
+per_user AS (
+  SELECT user_id,
+         max(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS r1,
+         max(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS r2,
+         max(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS r3
+  FROM w3 GROUP BY user_id
+),
+tot AS (
+  SELECT CAST(sum(r1) AS BIGINT) AS n1, CAST(sum(r2) AS BIGINT) AS n2,
+         CAST(sum(r3) AS BIGINT) AS n3
+  FROM per_user
+),
+stages AS (
+  SELECT 1 AS stage, '{FUNNEL_STAGES[0]}' AS event_type, n1 AS users,
+         n1 AS prev FROM tot
+  UNION ALL
+  SELECT 2, '{FUNNEL_STAGES[1]}', n2, n1 FROM tot
+  UNION ALL
+  SELECT 3, '{FUNNEL_STAGES[2]}', n3, n2 FROM tot
+)
+SELECT stage, event_type, users,
+       CAST(CASE WHEN prev > 0 THEN (users * 1000000) // prev ELSE 0 END
+            AS BIGINT) AS conv_from_prev_ppm
+FROM stages ORDER BY stage
+"""
+
+
+RELATIONAL_QUERIES["funnel_events"] = (q_funnel_events, Q_FUNNEL_SQL)

@@ -628,3 +628,22 @@ def test_anchor_text_agg_plan_shape(spark, sf_dir):
     for seg in p.split("ReadSchema")[1:]:
         head = seg.split("\n")[0]
         assert "struct<doc_id:bigint>" in head, head
+
+
+def test_funnel_events_plan_shape(spark, sf_dir):
+    """Windowed funnel: codegen end-to-end (no Python), exactly ONE hash
+    exchange — the three chained stage windows share one
+    HashPartitioning(user_id) + one sort, and the per-user groupBy
+    reuses it (Catalyst adds no second hash shuffle); the remaining
+    exchanges are the single-row global total and the 3-row
+    presentation sort. The scan reads only the four needed columns
+    (never value/props)."""
+    from datamunging_spark.queries import q_funnel_events
+
+    p = plan_of(q_funnel_events(spark, sf_dir))
+    assert "EvalPython" not in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "Join" not in p, p
+    for seg in p.split("ReadSchema")[1:]:
+        head = seg.split("\n")[0]
+        assert "value" not in head and "props" not in head, head

@@ -76,3 +76,94 @@ def test_query_matches_oracle(spark, con, name):
         f"{name}: {len(mismatches)} row mismatches; first: "
         f"{gr[mismatches[0]]} vs {wr[mismatches[0]]}"
     )
+
+
+def test_funnel_events_hand_corpus(spark, tmp_path):
+    """Windowed-funnel semantics pinned on a hand corpus against a pure-
+    Python THIRD implementation: order violations (purchase before
+    click), conversion-window violations (> FUNNEL_WINDOW_H after the
+    previous stage's FIRST completion — strict first-touch), same-
+    timestamp ties broken by event_id, and a user with no stage-1 event.
+    The DuckDB oracle runs on the identical corpus."""
+    from datetime import datetime, timedelta
+
+    from datamunging_spark.queries import (
+        FUNNEL_STAGES,
+        FUNNEL_WINDOW_H,
+        RELATIONAL_QUERIES,
+    )
+
+    base = datetime(2024, 1, 1)
+    hh = lambda h: base + timedelta(hours=h)  # noqa: E731
+    # (event_id, ts, user_id, event_type)
+    rows = [
+        # u1: clean full conversion
+        (10, hh(0), 1, "view"), (11, hh(1), 1, "click"),
+        (12, hh(2), 1, "purchase"),
+        # u2: purchase and click BEFORE the first view -> view only
+        (20, hh(0.5), 2, "purchase"), (21, hh(1), 2, "click"),
+        (22, hh(2), 2, "view"),
+        # u3: click 7h after the only view (> window) -> view only
+        (30, hh(0), 3, "view"), (31, hh(7), 3, "click"),
+        (32, hh(8), 3, "purchase"),
+        # u4: strict first-touch — click within window of FIRST view,
+        # purchase 6.5h after t2 (> window) -> reaches stage 2 only
+        (40, hh(0), 4, "view"), (41, hh(5), 4, "view"),
+        (42, hh(5.5), 4, "click"), (43, hh(12), 4, "purchase"),
+        # u5: no view at all -> counts nowhere
+        (50, hh(0), 5, "click"), (51, hh(0.2), 5, "purchase"),
+        # u6: all three at the SAME ts; event_id order makes each stage
+        # visible to the next (ties broken deterministically)
+        (60, hh(3), 6, "view"), (61, hh(3), 6, "click"),
+        (62, hh(3), 6, "purchase"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    ).write.parquet(f"{tmp_path}/events.parquet")
+
+    # pure-Python third implementation (sequential scan per user)
+    def funnel_py(evs):
+        reached = [set(), set(), set()]
+        by_user = {}
+        for e in sorted(evs, key=lambda e: (e[2], e[1], e[0])):
+            by_user.setdefault(e[2], []).append(e)
+        win = timedelta(hours=FUNNEL_WINDOW_H)
+        for uid, es in by_user.items():
+            t = [None, None, None]
+            for (_, ts, _, kind) in es:
+                for k, stage in enumerate(FUNNEL_STAGES):
+                    if kind != stage or t[k] is not None:
+                        continue
+                    prev_ok = k == 0 or (
+                        t[k - 1] is not None and ts <= t[k - 1] + win
+                    )
+                    if prev_ok:
+                        t[k] = ts
+            for k in range(3):
+                if t[k] is not None:
+                    reached[k].add(uid)
+        n = [len(s) for s in reached]
+        out = []
+        for k in range(3):
+            prev = n[k] if k == 0 else n[k - 1]
+            ppm = (n[k] * 1000000) // prev if prev > 0 else 0
+            out.append((k + 1, FUNNEL_STAGES[k], n[k], ppm))
+        return out
+
+    expect = funnel_py(rows)
+    assert expect == [
+        (1, "view", 5, 1000000),
+        (2, "click", 3, 600000),
+        (3, "purchase", 2, 666666),
+    ]
+
+    fn, sql = RELATIONAL_QUERIES["funnel_events"]
+    got = [tuple(r) for r in fn(spark, str(tmp_path)).collect()]
+    assert got == expect
+
+    c = duckdb.connect()
+    c.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    assert c.sql(sql).fetchall() == expect
