@@ -6757,3 +6757,107 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 
 
 ML_QUERIES["lm_kn_bigram"] = (lm_kn_bigram, _lm_kn_sql())
+
+
+# --------------------------------------------------------------------------
+# Reciprocal Rank Fusion (late-r5 extension). Hybrid retrieval — the
+# standard way curation/eval stacks combine a lexical ranker with a
+# vector ranker (Cormack, Clarke & Buettcher 2009: score(d) = sum over
+# rankers of 1/(k + rank_d), k = 60). Both legs already exist in the
+# catalog: the BM25 top-k over documents.text and the cosine top-k over
+# embeddings (doc_id and vec_id share the id space — TESTDATA.md). RRF
+# needs only the RANKS, so the fusion contributes nothing corpus-sized:
+#   - each leg ends in a TakeOrderedAndProject (partial top-k map-side,
+#     no global sort, no corpus shuffle);
+#   - the fusion is a full-outer join of two <= RRF_TOP-row frames (a
+#     doc may appear in one list only) — driver-scale, broadcast by AQE;
+#   - contributions are integer micro-units (10^9 DIV (k + rank)), so
+#     the fused score is an exact int64 — retries / partitioning can
+#     never flip a tie; ties break on doc_id.
+# At 10^12 docs each leg substitutes its indexed variant (bm25 pre-
+# filtered terms / ann_ivf_sq8) with the fusion unchanged — ranks are
+# the whole interface.
+# --------------------------------------------------------------------------
+
+RRF_K = 60
+RRF_TOP = 10
+
+
+def rrf_fusion(spark, sf_dir):
+    lex = bm25_search(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), F.col("rank").alias("bm25_rank")
+    )
+    vec_top = (
+        t(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.round(cosine_to_literal(F.col("embedding"), QUERY_VEC), 4).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), "vec_id")
+        .limit(RRF_TOP)
+    )
+    vec = vec_top.select(
+        F.col("vec_id").alias("id"),
+        F.row_number()
+        .over(W.partitionBy().orderBy(F.desc("cos"), "vec_id"))
+        .cast("int")
+        .alias("ann_rank"),
+    )
+    fused = lex.join(vec, "id", "full_outer").select(
+        F.col("id").alias("doc_id"),
+        "bm25_rank",
+        "ann_rank",
+        (
+            F.coalesce(F.expr(f"{10**9} DIV ({RRF_K} + bm25_rank)"), F.lit(0))
+            + F.coalesce(F.expr(f"{10**9} DIV ({RRF_K} + ann_rank)"), F.lit(0))
+        )
+        .cast("long")
+        .alias("rrf_micro"),
+    )
+    top = fused.orderBy(F.desc("rrf_micro"), "doc_id").limit(RRF_TOP)
+    return (
+        top.withColumn(
+            "fused_rank",
+            F.row_number()
+            .over(W.partitionBy().orderBy(F.desc("rrf_micro"), "doc_id"))
+            .cast("int"),
+        )
+        .select("fused_rank", "doc_id", "bm25_rank", "ann_rank", "rrf_micro")
+        .orderBy("fused_rank")
+    )
+
+
+RRF_SQL = f"""
+WITH lex AS (
+  SELECT doc_id AS id, rank AS bm25_rank FROM ({BM25_SQL})
+),
+vec_top AS (
+  SELECT vec_id,
+         CASE WHEN list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+              THEN round(list_dot_product(embedding::DOUBLE[], {QUERY_VEC!r})
+                   / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                            embedding::DOUBLE[]))
+                      * sqrt({sum(x * x for x in QUERY_VEC)!r})), 4)
+              ELSE 0.0 END AS cos
+  FROM embeddings
+  ORDER BY cos DESC, vec_id LIMIT {RRF_TOP}
+),
+vec AS (
+  SELECT vec_id AS id,
+         CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT) AS ann_rank
+  FROM vec_top
+),
+fused AS (
+  SELECT coalesce(l.id, v.id) AS doc_id, l.bm25_rank, v.ann_rank,
+         CAST(coalesce(1000000000 // ({RRF_K} + l.bm25_rank), 0)
+              + coalesce(1000000000 // ({RRF_K} + v.ann_rank), 0)
+              AS BIGINT) AS rrf_micro
+  FROM lex l FULL OUTER JOIN vec v ON l.id = v.id
+)
+SELECT CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS INT)
+         AS fused_rank,
+       doc_id, bm25_rank, ann_rank, rrf_micro
+FROM fused ORDER BY fused_rank LIMIT {RRF_TOP}
+"""
+
+ML_QUERIES["rrf_fusion"] = (rrf_fusion, RRF_SQL)

@@ -1629,3 +1629,41 @@ def test_lm_kn_bigram_empty_train_split(spark, tmp_path):
         f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
     )
     assert con.sql(sql).fetchall() == [(1, 2, 1.0, 0.0)]
+
+
+def test_rrf_fusion_matches_pure_python_fusion(spark, sf_dir):
+    """Isolates the FUSION logic (the legs have their own oracles): take
+    the engine's own BM25 and cosine rank lists, fuse them in pure
+    Python with the textbook RRF formula (integer micro-units, doc_id
+    tie-break), and require the operator's full output — ranks, leg
+    ranks, scores — to match exactly."""
+    from datamunging_spark.ml_ops import (
+        RRF_K,
+        RRF_TOP,
+        ann_cosine_topk,
+        bm25_search,
+        rrf_fusion,
+    )
+
+    lex = {r.doc_id: r.rank for r in bm25_search(spark, sf_dir).collect()}
+    ann_rows = ann_cosine_topk(spark, sf_dir).collect()[:RRF_TOP]
+    ann = {r.vec_id: i + 1 for i, r in enumerate(ann_rows)}
+
+    def contrib(rank):
+        return 10**9 // (RRF_K + rank) if rank is not None else 0
+
+    scored = sorted(
+        (-(contrib(lex.get(i)) + contrib(ann.get(i))), i)
+        for i in set(lex) | set(ann)
+    )
+    expect = [
+        (k + 1, i, lex.get(i), ann.get(i), -neg)
+        for k, (neg, i) in enumerate(scored[:RRF_TOP])
+    ]
+    got = [tuple(r) for r in rrf_fusion(spark, sf_dir).collect()]
+    assert got == expect
+    # a doc present in BOTH lists must outrank every single-list doc
+    # whose best leg rank is no better than both of its leg ranks
+    both = [r for r in got if r[2] is not None and r[3] is not None]
+    if both:
+        assert got[0][2] is not None and got[0][3] is not None

@@ -647,3 +647,17 @@ def test_funnel_events_plan_shape(spark, sf_dir):
     for seg in p.split("ReadSchema")[1:]:
         head = seg.split("\n")[0]
         assert "value" not in head and "props" not in head, head
+
+
+def test_rrf_fusion_plan_shape(spark, sf_dir):
+    """RRF hybrid fusion: each leg AND the fused result end in a
+    TakeOrderedAndProject (partial top-k map-side — no global sort over
+    the corpus; the rank windows then run over <= RRF_TOP rows); the
+    fusion join runs over two <= RRF_TOP-row frames (full-outer SMJ over
+    10 rows — never a cartesian product); no Python anywhere."""
+    from datamunging_spark.ml_ops import rrf_fusion
+
+    p = plan_of(rrf_fusion(spark, sf_dir))
+    assert "EvalPython" not in p, p
+    assert p.count("TakeOrderedAndProject") == 3, p
+    assert "CartesianProduct" not in p, p
