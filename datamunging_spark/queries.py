@@ -1748,3 +1748,110 @@ FROM stages ORDER BY stage
 
 
 RELATIONAL_QUERIES["funnel_events"] = (q_funnel_events, Q_FUNNEL_SQL)
+
+
+# --------------------------------------------------------------------------
+# SCD2 history reconstruction (late-r5 extension). The warehouse-side
+# twin of catalog.merge_upsert: given a change LOG of dimension versions
+# (customer segment changes, md5-synthesized — testdata has no change
+# feed; both engines build the identical log), produce the type-2
+# slowly-changing-dimension table: change-compress consecutive equal
+# values, then number the surviving versions and derive
+# [valid_from, valid_to] / is_current from each version's successor.
+# Classic lag-filter-lead: ONE HashPartitioning(c_custkey) exchange
+# serves the lag window, the post-filter re-sort, and the combined
+# row_number+lead window (Catalyst adds Sorts, never a second hash
+# shuffle). Same-day changes (eff_day ties, ordered by version j) yield
+# valid_to = valid_from - 1 — the empty interval records a same-day
+# supersede, the standard SCD2 convention. At 10^9 dimension keys the
+# only corpus-sized move is that single hash shuffle; no join anywhere.
+# --------------------------------------------------------------------------
+
+SCD_VERSIONS = 4
+SCD_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY", "HOUSEHOLD"]
+
+
+def _md5_long60(c):
+    """First 60 md5 bits as non-negative int64 — the module-shared hash
+    idiom (same as ml_ops.md5_long; duplicated one-liner because ml_ops
+    imports queries)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def q_scd2_history(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer").select("c_custkey")
+    log = cust.select(
+        "c_custkey",
+        F.explode(F.array(*[F.lit(j) for j in range(SCD_VERSIONS)])).alias("j"),
+    ).select(
+        "c_custkey",
+        "j",
+        (
+            _md5_long60(F.concat_ws(":", F.lit("scd:day"), "c_custkey", "j")) % 1000
+        )
+        .cast("int")
+        .alias("eff_day"),
+        F.element_at(
+            F.array(*[F.lit(s) for s in SCD_SEGMENTS]),
+            (
+                _md5_long60(F.concat_ws(":", F.lit("scd:seg"), "c_custkey", "j"))
+                % len(SCD_SEGMENTS)
+                + 1
+            ).cast("int"),
+        ).alias("segment"),
+    )
+    w = W.partitionBy("c_custkey").orderBy("eff_day", "j")
+    changed = log.withColumn("prev_seg", F.lag("segment").over(w)).where(
+        F.col("prev_seg").isNull() | (F.col("prev_seg") != F.col("segment"))
+    )
+    return (
+        changed.select(
+            "c_custkey",
+            F.row_number().over(w).cast("int").alias("version"),
+            "segment",
+            F.col("eff_day").alias("valid_from"),
+            (F.lead("eff_day").over(w) - 1).cast("int").alias("valid_to"),
+            F.lead("eff_day").over(w).isNull().cast("int").alias("is_current"),
+        )
+        .orderBy("c_custkey", "version")
+    )
+
+
+def _scd2_sql() -> str:
+    def h(tag: str) -> str:
+        return (
+            f"CAST(concat('0x', substr(md5(concat('{tag}:', "
+            f"CAST(c_custkey AS VARCHAR), ':', CAST(j AS VARCHAR))), 1, 15)) "
+            f"AS BIGINT)"
+        )
+
+    seglit = "[" + ", ".join(f"'{s}'" for s in SCD_SEGMENTS) + "]"
+    return f"""
+WITH log AS (
+  SELECT c_custkey, j,
+         CAST({h('scd:day')} % 1000 AS INT) AS eff_day,
+         ({seglit})[CAST({h('scd:seg')} % {len(SCD_SEGMENTS)} + 1 AS INT)]
+           AS segment
+  FROM customer, range({SCD_VERSIONS}) r(j)
+),
+changed AS (
+  SELECT * FROM (
+    SELECT *, lag(segment) OVER (PARTITION BY c_custkey ORDER BY eff_day, j)
+                AS prev_seg
+    FROM log
+  ) WHERE prev_seg IS NULL OR prev_seg <> segment
+)
+SELECT c_custkey,
+       CAST(row_number() OVER w AS INT) AS version,
+       segment,
+       eff_day AS valid_from,
+       CAST(lead(eff_day) OVER w - 1 AS INT) AS valid_to,
+       CAST(CASE WHEN lead(eff_day) OVER w IS NULL THEN 1 ELSE 0 END AS INT)
+         AS is_current
+FROM changed
+WINDOW w AS (PARTITION BY c_custkey ORDER BY eff_day, j)
+ORDER BY c_custkey, version
+"""
+
+
+RELATIONAL_QUERIES["scd2_history"] = (q_scd2_history, _scd2_sql())

@@ -661,3 +661,20 @@ def test_rrf_fusion_plan_shape(spark, sf_dir):
     assert "EvalPython" not in p, p
     assert p.count("TakeOrderedAndProject") == 3, p
     assert "CartesianProduct" not in p, p
+
+
+def test_scd2_history_plan_shape(spark, sf_dir):
+    """SCD2 reconstruction: codegen end-to-end (no Python), exactly ONE
+    hash exchange — the lag window, the post-filter re-sort, and the
+    combined row_number+lead window all reuse
+    HashPartitioning(c_custkey); no join anywhere; the scan reads ONLY
+    c_custkey."""
+    from datamunging_spark.queries import q_scd2_history
+
+    p = plan_of(q_scd2_history(spark, sf_dir))
+    assert "EvalPython" not in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "Join" not in p, p
+    for seg in p.split("ReadSchema")[1:]:
+        head = seg.split("\n")[0]
+        assert "struct<c_custkey:bigint>" in head, head

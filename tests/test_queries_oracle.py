@@ -167,3 +167,64 @@ def test_funnel_events_hand_corpus(spark, tmp_path):
         f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
     )
     assert c.sql(sql).fetchall() == expect
+
+
+def test_scd2_history_pure_python(spark, tmp_path):
+    """SCD2 reconstruction pinned against a pure-Python THIRD
+    implementation (hashlib md5 replay of the synthesized change log,
+    change compression, interval derivation incl. the same-day
+    supersede convention valid_to = valid_from - 1) on a small key set;
+    the DuckDB oracle runs on the identical table."""
+    import hashlib
+
+    from datamunging_spark.queries import (
+        RELATIONAL_QUERIES,
+        SCD_SEGMENTS,
+        SCD_VERSIONS,
+    )
+
+    keys = list(range(25))
+    spark.createDataFrame([(k,) for k in keys], "c_custkey long").write.parquet(
+        f"{tmp_path}/customer.parquet"
+    )
+
+    def h60(tag, k, j):
+        return int(hashlib.md5(f"{tag}:{k}:{j}".encode()).hexdigest()[:15], 16)
+
+    expect = []
+    for k in keys:
+        log = sorted(
+            (
+                h60("scd:day", k, j) % 1000,
+                j,
+                SCD_SEGMENTS[h60("scd:seg", k, j) % len(SCD_SEGMENTS)],
+            )
+            for j in range(SCD_VERSIONS)
+        )
+        kept = [e for i, e in enumerate(log) if i == 0 or log[i - 1][2] != e[2]]
+        for v, (day, _, seg) in enumerate(kept):
+            nxt = kept[v + 1][0] - 1 if v + 1 < len(kept) else None
+            expect.append(
+                (k, v + 1, seg, day, nxt, 1 if nxt is None else 0)
+            )
+
+    fn, sql = RELATIONAL_QUERIES["scd2_history"]
+    got = [tuple(r) for r in fn(spark, str(tmp_path)).collect()]
+    assert got == expect
+    # interval sanity: per key, versions tile [first_day, inf) without
+    # overlap (same-day supersedes excepted) and exactly one is_current
+    by_key = {}
+    for row in got:
+        by_key.setdefault(row[0], []).append(row)
+    for k, rows in by_key.items():
+        assert [r[1] for r in rows] == list(range(1, len(rows) + 1))
+        assert sum(r[5] for r in rows) == 1 and rows[-1][5] == 1
+        for a, b in zip(rows, rows[1:]):
+            assert a[4] == b[3] - 1
+
+    c = duckdb.connect()
+    c.sql(
+        "CREATE VIEW customer AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/customer.parquet/*.parquet')"
+    )
+    assert c.sql(sql).fetchall() == expect
