@@ -82,6 +82,9 @@ HEADLINE = [
     "span_interval_merge",
     "anchor_text_agg",
     "lm_kn_bigram",
+    "funnel_events",
+    "rrf_fusion",
+    "scd2_history",
 ]
 
 ALL = {**RELATIONAL_QUERIES, **ML_QUERIES}
