@@ -1855,3 +1855,88 @@ ORDER BY c_custkey, version
 
 
 RELATIONAL_QUERIES["scd2_history"] = (q_scd2_history, _scd2_sql())
+
+
+# --------------------------------------------------------------------------
+# Cohort retention triangle (late-r5 extension). The other half of the
+# event-analytics pair with funnel_events: users cohorted by the ISO
+# week of their FIRST signup event; for each (cohort_week, weeks-since-
+# signup) cell, the count of distinct active users and the retention
+# ratio vs the cohort size. Join-free: the per-user signup timestamp is
+# a full-partition window min over the SAME HashPartitioning(user_id)
+# the corpus needs anyway (no self-join of events against firsts — at
+# 10^12 events that join would shuffle the corpus twice). The cohort
+# size needs no extra pass either: every signed-up user is active in
+# week 0 (the signup event itself), so size = the offset-0 cell, read
+# back with a window over the already-aggregated triangle (a handful of
+# rows). Retention is integer ppm — no float at any result boundary.
+# --------------------------------------------------------------------------
+
+
+def q_retention_cohorts(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    wu = W.partitionBy("user_id")
+    signed = ev.withColumn(
+        "signup_ts",
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(wu),
+    ).where(F.col("signup_ts").isNotNull() & (F.col("ts") >= F.col("signup_ts")))
+    cells = (
+        signed.select(
+            F.date_format(F.date_trunc("week", F.col("signup_ts")), "yyyy-MM-dd")
+            .alias("cohort_week"),
+            (
+                F.datediff(F.col("ts").cast("date"), F.col("signup_ts").cast("date"))
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").cast("long").alias("active_users"))
+    )
+    wc = W.partitionBy("cohort_week")
+    size = F.max(
+        F.when(F.col("week_offset") == 0, F.col("active_users"))
+    ).over(wc)
+    return (
+        cells.withColumn("cohort_size", size.cast("long"))
+        .select(
+            "cohort_week",
+            "week_offset",
+            "active_users",
+            "cohort_size",
+            F.expr("(active_users * 1000000) DIV cohort_size")
+            .cast("long")
+            .alias("retention_ppm"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+Q_RETENTION_SQL = """
+WITH signed AS (
+  SELECT user_id, ts,
+         min(CASE WHEN event_type = 'signup' THEN ts END)
+           OVER (PARTITION BY user_id) AS signup_ts
+  FROM events
+  QUALIFY signup_ts IS NOT NULL AND ts >= signup_ts
+),
+cells AS (
+  SELECT strftime(date_trunc('week', signup_ts), '%Y-%m-%d') AS cohort_week,
+         CAST(date_diff('day', CAST(signup_ts AS DATE), CAST(ts AS DATE)) // 7
+              AS INT) AS week_offset,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+  FROM signed GROUP BY 1, 2
+)
+SELECT cohort_week, week_offset, active_users,
+       CAST(max(CASE WHEN week_offset = 0 THEN active_users END)
+              OVER (PARTITION BY cohort_week) AS BIGINT) AS cohort_size,
+       CAST((active_users * 1000000)
+            // max(CASE WHEN week_offset = 0 THEN active_users END)
+               OVER (PARTITION BY cohort_week) AS BIGINT) AS retention_ppm
+FROM cells ORDER BY cohort_week, week_offset
+"""
+
+
+RELATIONAL_QUERIES["retention_cohorts"] = (q_retention_cohorts, Q_RETENTION_SQL)

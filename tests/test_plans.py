@@ -678,3 +678,20 @@ def test_scd2_history_plan_shape(spark, sf_dir):
     for seg in p.split("ReadSchema")[1:]:
         head = seg.split("\n")[0]
         assert "struct<c_custkey:bigint>" in head, head
+
+
+def test_retention_cohorts_plan_shape(spark, sf_dir):
+    """Cohort retention: join-free (the per-user signup timestamp is a
+    full-partition window, never a self-join of events against firsts);
+    the corpus-sized shuffle is the single
+    HashPartitioning(user_id); no Python; the scan reads only
+    (user_id, ts, event_type)."""
+    from datamunging_spark.queries import q_retention_cohorts
+
+    p = plan_of(q_retention_cohorts(spark, sf_dir))
+    assert "EvalPython" not in p, p
+    assert "Join" not in p, p
+    assert "Exchange hashpartitioning(user_id" in p, p
+    for seg in p.split("ReadSchema")[1:]:
+        head = seg.split("\n")[0]
+        assert "value" not in head and "props" not in head, head

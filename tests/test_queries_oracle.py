@@ -228,3 +228,73 @@ def test_scd2_history_pure_python(spark, tmp_path):
         f"read_parquet('{tmp_path}/customer.parquet/*.parquet')"
     )
     assert c.sql(sql).fetchall() == expect
+
+
+def test_retention_cohorts_hand_corpus(spark, tmp_path):
+    """Retention semantics pinned on a hand corpus vs a pure-Python
+    THIRD implementation: users without a signup are excluded entirely,
+    pre-signup activity is excluded, cohort = ISO week (Monday) of the
+    FIRST signup, week_offset = whole weeks since the signup DAY (not
+    calendar-week diff), and cohort_size = the offset-0 cell."""
+    from datetime import datetime, timedelta
+
+    from datamunging_spark.queries import RELATIONAL_QUERIES
+
+    d = lambda day, h=0: datetime(2024, 1, day, h)  # noqa: E731
+    rows = [
+        # u1: signup Mon 01-01; active again 14 days later (offset 2)
+        (1, d(1), 1, "signup"), (2, d(15), 1, "click"),
+        # u2: signup Wed 01-03 (same Monday cohort); active 8 days later
+        (3, d(3), 2, "signup"), (4, d(11), 2, "view"),
+        # u3: never signs up -> excluded
+        (5, d(2), 3, "click"), (6, d(9), 3, "purchase"),
+        # u4: pre-signup event (excluded), signup Wed 01-10
+        # (cohort Mon 01-08), active 10 days after signup (offset 1)
+        (7, d(4), 4, "view"), (8, d(10), 4, "signup"), (9, d(20), 4, "click"),
+        # u5: signup Tue 01-09 (cohort Mon 01-08), nothing after
+        (10, d(9), 5, "signup"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    ).write.parquet(f"{tmp_path}/events.parquet")
+
+    def retention_py(evs):
+        signup = {}
+        for (_, ts, uid, kind) in evs:
+            if kind == "signup" and (uid not in signup or ts < signup[uid]):
+                signup[uid] = ts
+        cells = {}
+        for (_, ts, uid, _kind) in evs:
+            if uid not in signup or ts < signup[uid]:
+                continue
+            monday = signup[uid].date() - timedelta(
+                days=signup[uid].date().weekday()
+            )
+            off = (ts.date() - signup[uid].date()).days // 7
+            cells.setdefault((monday.isoformat(), off), set()).add(uid)
+        out = []
+        for (cw, off) in sorted(cells):
+            n = len(cells[(cw, off)])
+            size = len(cells[(cw, 0)])
+            out.append((cw, off, n, size, (n * 1000000) // size))
+        return out
+
+    expect = retention_py(rows)
+    assert expect == [
+        ("2024-01-01", 0, 2, 2, 1000000),
+        ("2024-01-01", 1, 1, 2, 500000),
+        ("2024-01-01", 2, 1, 2, 500000),
+        ("2024-01-08", 0, 2, 2, 1000000),
+        ("2024-01-08", 1, 1, 2, 500000),
+    ]
+
+    fn, sql = RELATIONAL_QUERIES["retention_cohorts"]
+    got = [tuple(r) for r in fn(spark, str(tmp_path)).collect()]
+    assert got == expect
+
+    c = duckdb.connect()
+    c.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    assert c.sql(sql).fetchall() == expect
