@@ -1270,18 +1270,25 @@ def _ivf_probe_clusters(vec: list[float], nprobe: int = IVF_NPROBE) -> list[int]
     return sorted(sorted(range(len(aff)), key=lambda j: aff[j])[:nprobe])
 
 
-def _ivf_cluster_col():
-    """1-based cluster id column (argmin of the affinity array)."""
+def _ivf_aff_col():
+    """Centroid-affinity array expression (norm2 - 2*dot per cell) —
+    shared by the cluster assignment and hard_negative_mining's
+    per-anchor probe ranking so the two can never drift apart."""
     from .functions import dot as _dot
 
     v = F.col("embedding").cast("array<double>")
-    aff = F.array(
+    return F.array(
         *[
             F.lit(float(sum(x * x for x in c)))
             - 2.0 * _dot(v, F.array(*[F.lit(float(x)) for x in c]))
             for c in IVF_CENTROIDS
         ]
     )
+
+
+def _ivf_cluster_col():
+    """1-based cluster id column (argmin of the affinity array)."""
+    aff = _ivf_aff_col()
     return F.array_position(aff, F.array_min(aff)).cast("int")
 
 
@@ -6861,3 +6868,140 @@ FROM fused ORDER BY fused_rank LIMIT {RRF_TOP}
 """
 
 ML_QUERIES["rrf_fusion"] = (rrf_fusion, RRF_SQL)
+
+
+# --------------------------------------------------------------------------
+# Hard-negative mining (late-r5 extension). The contrastive-training
+# data op: for each anchor vector, the top-K most-similar candidates
+# with a DIFFERENT label — the "hard negatives" that make embedding /
+# reranker training work (in-batch negatives are easy; mining needs a
+# corpus-wide similarity search with a label-disequality predicate).
+# Pruning is IVF, not hyperplane LSH, and the choice is measured: the
+# probe set adapts to each anchor (its HN_NPROBE nearest cells by the
+# SAME affinity that assigns candidates), so on this corpus the
+# realized recall vs the exact different-label top-K beats the probed
+# corpus fraction (~0.57 vs ~0.38 at nprobe=3) — query-blind
+# hyperplane buckets measured at coverage only (~0.32), pytest records
+# both. Scale shape:
+#   - anchors (queries-sized) rank their affinity array (posexplode +
+#     a window over anchors only) and BROADCAST their (anchor, cell)
+#     probe pairs — the corpus never shuffles;
+#   - candidates carry their IVF cell from the shared _ivf_cluster_col
+#     expression (identical to ann_ivf_*'s assignment — the two can't
+#     drift); the cell equi-join confines pairs (plan-asserted
+#     BroadcastHashJoin, never a cartesian product); a candidate's one
+#     cell meets at most one distinct probe, so pairs are unique;
+#   - per-anchor top-K is a window over cell-pruned pairs partitioned
+#     by anchor_id (never global), ranked on round(cos, 4) with
+#     cand_id tie-breaks — deterministic under any partitioning.
+# Within the probed cells the result is EXACT (the DuckDB oracle
+# replays cell assignment, probe ranking, and ranking bit-for-bit).
+# --------------------------------------------------------------------------
+
+HN_K = 3  # negatives per anchor
+HN_ANCHOR_MOD = 25  # vec_id % MOD == 0 -> anchor
+HN_NPROBE = 3  # IVF cells probed per anchor
+
+
+def hard_negative_mining(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast(T.ArrayType(T.DoubleType()))
+    cands = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("cand_label"),
+        vec.alias("c_vec"),
+        _ivf_cluster_col().alias("cluster"),
+    )
+    anch0 = emb.where(F.col("vec_id") % HN_ANCHOR_MOD == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        vec.alias("a_vec"),
+        _ivf_aff_col().alias("aff"),
+    )
+    exploded = anch0.select(
+        "anchor_id",
+        "anchor_label",
+        "a_vec",
+        F.posexplode("aff").alias("pos", "a"),
+    )
+    wp = W.partitionBy("anchor_id").orderBy("a", "pos")
+    probes = (
+        exploded.withColumn("rk", F.row_number().over(wp))
+        .where(F.col("rk") <= HN_NPROBE)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "a_vec",
+            (F.col("pos") + 1).cast("int").alias("cluster"),
+        )
+    )
+    pairs = (
+        cands.join(F.broadcast(probes), "cluster")
+        .where(F.col("cand_label") != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "cand_id",
+            "cand_label",
+            F.round(cosine(F.col("a_vec"), F.col("c_vec")), 4).alias("cos"),
+        )
+    )
+    wa = W.partitionBy("anchor_id").orderBy(F.desc("cos"), "cand_id")
+    return (
+        pairs.withColumn("neg_rank", F.row_number().over(wa).cast("int"))
+        .where(F.col("neg_rank") <= HN_K)
+        .select(
+            "anchor_id", "neg_rank", "cand_id", "anchor_label", "cand_label", "cos"
+        )
+        .orderBy("anchor_id", "neg_rank")
+    )
+
+
+def _hard_negative_sql() -> str:
+    aff_exprs = ", ".join(
+        f"({sum(x * x for x in c)!r} - 2.0 * "
+        f"list_dot_product(embedding::DOUBLE[], {c!r}))"
+        for c in IVF_CENTROIDS
+    )
+    return f"""
+WITH cands AS (
+  SELECT vec_id AS cand_id, label AS cand_label,
+         embedding::DOUBLE[] AS c_vec,
+         list_indexof([{aff_exprs}], list_min([{aff_exprs}])) AS cluster
+  FROM embeddings
+),
+anchors0 AS (
+  SELECT vec_id AS anchor_id, label AS anchor_label,
+         embedding::DOUBLE[] AS a_vec,
+         [{aff_exprs}] AS aff
+  FROM embeddings WHERE vec_id % {HN_ANCHOR_MOD} = 0
+),
+probes AS (
+  SELECT anchor_id, anchor_label, a_vec, CAST(j + 1 AS INT) AS cluster
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                 ORDER BY aff[CAST(j + 1 AS INT)], j) AS rk
+    FROM anchors0, range({len(IVF_CENTROIDS)}) r(j)
+  ) WHERE rk <= {HN_NPROBE}
+),
+pairs AS (
+  SELECT p.anchor_id, p.anchor_label, c.cand_id, c.cand_label,
+         CASE WHEN list_dot_product(p.a_vec, p.a_vec) > 0
+               AND list_dot_product(c.c_vec, c.c_vec) > 0
+              THEN round(list_dot_product(p.a_vec, c.c_vec)
+                   / (sqrt(list_dot_product(p.a_vec, p.a_vec))
+                      * sqrt(list_dot_product(c.c_vec, c.c_vec))), 4)
+              ELSE 0.0 END AS cos
+  FROM cands c JOIN probes p USING (cluster)
+  WHERE c.cand_label <> p.anchor_label
+)
+SELECT anchor_id, neg_rank, cand_id, anchor_label, cand_label, cos FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY anchor_id
+                                    ORDER BY cos DESC, cand_id) AS INT)
+              AS neg_rank
+  FROM pairs
+) WHERE neg_rank <= {HN_K} ORDER BY anchor_id, neg_rank
+"""
+
+
+ML_QUERIES["hard_negative_mining"] = (hard_negative_mining, _hard_negative_sql())

@@ -1667,3 +1667,74 @@ def test_rrf_fusion_matches_pure_python_fusion(spark, sf_dir):
     both = [r for r in got if r[2] is not None and r[3] is not None]
     if both:
         assert got[0][2] is not None and got[0][3] is not None
+
+
+def test_hard_negative_mining_recall_and_invariants(spark, sf_dir):
+    """Hard-negative quality, measured not asserted-by-hope: against
+    the EXACT different-label top-K (numpy brute force over the whole
+    corpus), the IVF-probed miner's mean recall must beat the mean
+    probed corpus fraction — the query-adaptive advantage that made
+    IVF the design choice over query-blind hyperplane buckets
+    (measured at coverage-only ~0.32 on this corpus). Also pins the
+    label invariant (every negative has a different label), per-anchor
+    rank contiguity, and exactness WITHIN the probed cells."""
+    import numpy as np
+
+    from datamunging_spark.ml_ops import (
+        HN_ANCHOR_MOD,
+        HN_K,
+        HN_NPROBE,
+        IVF_CENTROIDS,
+        ML_QUERIES,
+        hard_negative_mining,
+    )
+
+    got = hard_negative_mining(spark, sf_dir).collect()
+    assert all(r.cand_label != r.anchor_label for r in got)
+    by_anchor = {}
+    for r in got:
+        by_anchor.setdefault(r.anchor_id, []).append(r)
+    for rows in by_anchor.values():
+        assert [r.neg_rank for r in rows] == list(range(1, len(rows) + 1))
+        coss = [r.cos for r in rows]
+        assert coss == sorted(coss, reverse=True)
+
+    raw = duckdb.sql(
+        f"SELECT vec_id, label, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') "
+        f"WHERE embedding IS NOT NULL"
+    ).fetchall()
+    ids = np.array([r[0] for r in raw])
+    labels = np.array([r[1] for r in raw])
+    V = np.array([r[2] for r in raw], dtype=float)
+    N = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    C = np.array(IVF_CENTROIDS)
+    aff = (C * C).sum(1)[None, :] - 2 * V @ C.T
+    cell = aff.argmin(1)
+
+    recalls, fractions = [], []
+    for i in range(len(ids)):
+        if ids[i] % HN_ANCHOR_MOD != 0:
+            continue
+        probed = set(np.argsort(aff[i], kind="stable")[:HN_NPROBE])
+        fractions.append(float(np.isin(cell, list(probed)).mean()))
+        sims = N @ N[i]
+        mask = labels != labels[i]
+        exact = sorted(
+            ((round(float(sims[j]), 4), -int(ids[j]))
+             for j in range(len(ids)) if mask[j]),
+            key=lambda x: (-x[0], x[1]),
+        )[:HN_K]
+        exact_ids = {-e[1] for e in exact}
+        mined = {r.cand_id for r in by_anchor.get(int(ids[i]), [])}
+        recalls.append(len(exact_ids & mined) / HN_K)
+        # exact WITHIN probed cells: the miner must find every exact
+        # top-K negative whose cell was probed
+        for eid in exact_ids:
+            j = int(np.where(ids == eid)[0][0])
+            if cell[j] in probed:
+                assert eid in mined, (ids[i], eid)
+
+    mean_recall = sum(recalls) / len(recalls)
+    mean_fraction = sum(fractions) / len(fractions)
+    assert mean_recall > mean_fraction, (mean_recall, mean_fraction)

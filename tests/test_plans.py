@@ -695,3 +695,18 @@ def test_retention_cohorts_plan_shape(spark, sf_dir):
     for seg in p.split("ReadSchema")[1:]:
         head = seg.split("\n")[0]
         assert "value" not in head and "props" not in head, head
+
+
+def test_hard_negative_mining_plan_shape(spark, sf_dir):
+    """Hard-negative mining must probe via a broadcast equi-join on the
+    IVF cell — never a cartesian product of anchors x corpus (the flop
+    bomb at 10^12 vectors); the per-anchor top-K window is partitioned
+    by anchor_id, never a global single-partition window; no Python."""
+    from datamunging_spark.ml_ops import hard_negative_mining
+
+    p = plan_of(hard_negative_mining(spark, sf_dir))
+    assert "EvalPython" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "windowspecdefinition(anchor_id" in p, p
