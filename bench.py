@@ -85,6 +85,8 @@ HEADLINE = [
     "funnel_events",
     "rrf_fusion",
     "scd2_history",
+    "retention_cohorts",
+    "hard_negative_mining",
 ]
 
 ALL = {**RELATIONAL_QUERIES, **ML_QUERIES}
