@@ -7005,3 +7005,95 @@ SELECT anchor_id, neg_rank, cand_id, anchor_label, cand_label, cos FROM (
 
 
 ML_QUERIES["hard_negative_mining"] = (hard_negative_mining, _hard_negative_sql())
+
+
+# --------------------------------------------------------------------------
+# Equi-depth quantile bucketing (late-r5 extension). Curriculum /
+# difficulty bucketing for training-data ordering: split the corpus
+# into QB_BUCKETS equal-count buckets by a scalar quality score
+# (n_chars here; production plugs any scalar — a gopher composite, a
+# classifier logit). The scale-correct recipe is the classic two-pass
+# equi-depth histogram, NOT a global ntile (a single-partition window
+# over 10^12 rows) and NOT interpolated percentiles (float boundaries
+# whose last-ulp can differ between engines and flip tie buckets):
+#   - pass 1 groups by score (score-cardinality-sized shuffle, tiny vs
+#     the corpus) and takes a running count; boundary_k = min score
+#     with 10*cum >= k*n — ALL integer arithmetic, bit-identical
+#     everywhere (the cum window is global but runs over distinct
+#     scores, not rows; commented as such);
+#   - the 9 boundaries collect to the driver (model-scalar precedent)
+#     and assignment is a codegen literal-array filter on scan 2 —
+#     join-free, one corpus pass.
+# Ties sit entirely in one bucket (score <= boundary_k), so depths are
+# equal modulo tie multiplicity; pytest bounds the skew by the largest
+# tie group and pins the semantics on a hand corpus vs pure Python.
+# --------------------------------------------------------------------------
+
+QB_BUCKETS = 10
+
+
+def quantile_buckets(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select(F.col("n_chars").alias("score"))
+    hist = docs.groupBy("score").agg(F.count("*").alias("c"))
+    # global window, but over DISTINCT scores (hundreds), not the corpus
+    wcum = W.orderBy("score").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = hist.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "n", F.sum("c").over(W.partitionBy())
+    )
+    agg = cum.agg(
+        *[
+            F.min(
+                F.when(F.col("cum") * 10 >= F.col("n") * k, F.col("score"))
+            ).alias(f"b{k}")
+            for k in range(1, QB_BUCKETS)
+        ],
+    ).collect()[0]
+    bounds = [agg[f"b{k}"] for k in range(1, QB_BUCKETS)]
+    blit = F.array(*[F.lit(int(b)) for b in bounds])
+    bucket = (
+        F.size(F.filter(blit, lambda b: b < F.col("score"))) + 1
+    ).cast("int")
+    return (
+        docs.select("score", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("score").cast("long").alias("lo"),
+            F.max("score").cast("long").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _quantile_buckets_sql() -> str:
+    ks = range(1, QB_BUCKETS)
+    bmins = ",\n         ".join(
+        f"min(CASE WHEN cum * 10 >= n * {k} THEN score END) AS b{k}" for k in ks
+    )
+    blist = "[" + ", ".join(f"b{k}" for k in ks) + "]"
+    return f"""
+WITH scored AS (SELECT n_chars AS score FROM documents),
+hist AS (SELECT score, count(*) AS c FROM scored GROUP BY score),
+cums AS (
+  SELECT score, c,
+         sum(c) OVER (ORDER BY score
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER () AS n
+  FROM hist
+),
+bounds AS (
+  SELECT {bmins}
+  FROM cums
+),
+assigned AS (
+  SELECT score,
+         CAST(1 + len(list_filter({blist}, b -> b < score)) AS INT) AS bucket
+  FROM scored CROSS JOIN bounds
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(score) AS BIGINT) AS lo, CAST(max(score) AS BIGINT) AS hi
+FROM assigned GROUP BY bucket ORDER BY bucket
+"""
+
+
+ML_QUERIES["quantile_buckets"] = (quantile_buckets, _quantile_buckets_sql())

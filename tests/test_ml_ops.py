@@ -1738,3 +1738,71 @@ def test_hard_negative_mining_recall_and_invariants(spark, sf_dir):
     mean_recall = sum(recalls) / len(recalls)
     mean_fraction = sum(fractions) / len(fractions)
     assert mean_recall > mean_fraction, (mean_recall, mean_fraction)
+
+
+def test_quantile_buckets_hand_ties_and_invariants(spark, sf_dir, tmp_path):
+    """Equi-depth bucketing pinned vs pure Python on a corpus with a
+    heavy tie group crossing a boundary (ties sit entirely in one
+    bucket), plus invariants on real data: depths sum to n, ranges are
+    ordered and non-overlapping, and per-bucket depth deviates from
+    n/B by at most the largest tie-group size."""
+    from datamunging_spark.ml_ops import QB_BUCKETS, ML_QUERIES, quantile_buckets
+
+    # hand corpus: 20 docs, score 7 repeated 8x so it straddles several
+    # 10%-boundaries — the whole tie group must land in ONE bucket
+    scores = [1, 2, 3, 4, 5, 6] + [7] * 8 + [8, 9, 10, 11, 12, 13]
+    spark.createDataFrame(
+        [(i, s) for i, s in enumerate(scores)], "doc_id long, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    def buckets_py(vals, nb):
+        n = len(vals)
+        svals = sorted(vals)
+        hist = {}
+        for v in svals:
+            hist[v] = hist.get(v, 0) + 1
+        cum, run = {}, 0
+        for v in sorted(hist):
+            run += hist[v]
+            cum[v] = run
+        bounds = [
+            min(v for v in cum if cum[v] * 10 >= n * k) for k in range(1, nb)
+        ]
+        out = {}
+        for v in vals:
+            b = 1 + sum(1 for x in bounds if x < v)
+            lo, hi, c = out.get(b, (v, v, 0))
+            out[b] = (min(lo, v), max(hi, v), c + 1)
+        return sorted((b, c, lo, hi) for b, (lo, hi, c) in out.items())
+
+    expect = buckets_py(scores, QB_BUCKETS)
+    got = [
+        (r.bucket, r.n_docs, r.lo, r.hi)
+        for r in quantile_buckets(spark, str(tmp_path)).collect()
+    ]
+    assert got == expect
+    # the 8-way tie at score 7 is one bucket
+    tie_buckets = [b for (b, c, lo, hi) in got if lo <= 7 <= hi]
+    assert len(tie_buckets) == 1
+
+    c = duckdb.connect()
+    c.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    assert [tuple(r) for r in c.sql(ML_QUERIES["quantile_buckets"][1]).fetchall()] \
+        == expect
+
+    # invariants on the real table
+    rows = quantile_buckets(spark, sf_dir).collect()
+    n = sum(r.n_docs for r in rows)
+    raw = duckdb.sql(
+        f"SELECT n_chars, count(*) c FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') GROUP BY 1"
+    ).fetchall()
+    assert n == sum(r[1] for r in raw)
+    max_tie = max(r[1] for r in raw)
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi < b.lo  # ordered, non-overlapping
+    for r in rows:
+        assert abs(r.n_docs - n / QB_BUCKETS) <= max_tie

@@ -710,3 +710,18 @@ def test_hard_negative_mining_plan_shape(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "BroadcastHashJoin" in p, p
     assert "windowspecdefinition(anchor_id" in p, p
+
+
+def test_quantile_buckets_plan_shape(spark, sf_dir):
+    """Equi-depth bucketing's assignment pass: the bucket expression is
+    a literal-array filter (codegen) — no join, no Python; the only
+    hash exchanges are the score histogram and the 10-row bucket
+    rollup, never a global row sort of the corpus."""
+    from datamunging_spark.ml_ops import quantile_buckets
+
+    p = plan_of(quantile_buckets(spark, sf_dir))
+    assert "EvalPython" not in p, p
+    assert "Join" not in p, p
+    for seg in p.split("ReadSchema")[1:]:
+        head = seg.split("\n")[0]
+        assert "text" not in head and "lang" not in head, head
