@@ -1635,9 +1635,12 @@ FUNNEL_STAGES = ["view", "click", "purchase"]
 FUNNEL_WINDOW_H = 6  # conversion window, hours between consecutive stages
 
 
-def q_funnel_events(spark, sf_dir):
+def funnel_user_flags(ev):
+    """Per-user funnel completion flags (user_id, r1, r2, r3) from an
+    events frame with (user_id, event_id, ts, event_type) — shared by
+    the batch query and streaming.jobs.run_streaming_funnel so the two
+    can never drift on the window/ordering semantics."""
     s1, s2, s3 = FUNNEL_STAGES
-    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
     w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
@@ -1671,12 +1674,19 @@ def q_funnel_events(spark, sf_dir):
             )
         ).over(w),
     )
-    per_user = step3.groupBy("user_id").agg(
+    return step3.groupBy("user_id").agg(
         F.max(F.col("t1").isNotNull().cast("int")).alias("r1"),
         F.max(F.col("t2").isNotNull().cast("int")).alias("r2"),
         F.max(F.col("t3").isNotNull().cast("int")).alias("r3"),
     )
-    totals = per_user.agg(
+
+
+def funnel_triangle(flags):
+    """3-row funnel triangle (stage counts + integer-ppm conversion)
+    from a per-user flags frame — the presentation half of the funnel,
+    shared with the streaming twin."""
+    s1, s2, s3 = FUNNEL_STAGES
+    totals = flags.agg(
         F.sum("r1").cast("long").alias("n1"),
         F.sum("r2").cast("long").alias("n2"),
         F.sum("r3").cast("long").alias("n3"),
@@ -1694,6 +1704,13 @@ def q_funnel_events(spark, sf_dir):
         .cast("long")
         .alias("conv_from_prev_ppm"),
     ).orderBy("stage")
+
+
+def q_funnel_events(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    return funnel_triangle(funnel_user_flags(ev))
 
 
 Q_FUNNEL_SQL = f"""

@@ -548,3 +548,87 @@ def read_curated(spark: SparkSession, output_path: str) -> DataFrame:
     return _dedupe_on_read(
         spark.read.parquet(output_path), ["h"], ["doc_id", "batch_id"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming funnel: the incremental twin of queries.funnel_events, with
+# EXACT late/out-of-order handling. A late stage-1 event can
+# retroactively change a user's whole funnel (it resets t1, which gates
+# t2, which gates t3), so flag state alone is NOT a sufficient
+# statistic — the job keeps the per-user STAGE-EVENT history (stage
+# events only: a bounded fraction of the firehose) as an
+# output-as-checkpoint table and recomputes flags ONLY for users
+# touched by the micro-batch, through the SAME funnel_user_flags
+# expressions the batch query uses. Scale shape per batch: one
+# semi-join of history against the batch's distinct users (broadcast —
+# batch-sized), one window pass over those users' events, two appends.
+# The triangle is derived on read from the latest flags per user, so a
+# replayed batch (crash between append and checkpoint commit) is
+# neutralized by dedupe-on-read: stage events by event_id, flags by
+# (user, latest batch).
+# ---------------------------------------------------------------------------
+
+EVENTS_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string"
+
+
+def run_streaming_funnel(
+    spark: SparkSession,
+    events_dir: str,
+    output_path: str,
+    checkpoint_dir: str,
+) -> None:
+    from ..queries import FUNNEL_STAGES, funnel_user_flags
+
+    state_dir = f"{output_path}/stage_events"
+    flags_dir = f"{output_path}/flags"
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(events_dir)
+    )
+
+    def process_batch(df: DataFrame, epoch_id: int) -> None:
+        new = df.where(F.col("event_type").isin(FUNNEL_STAGES)).select(
+            "user_id", "event_id", "ts", "event_type"
+        )
+        touched = new.select("user_id").distinct()
+        prior = _read_output_or_none(spark, state_dir)
+        hist = new
+        if prior is not None:
+            hist = (
+                prior.select("user_id", "event_id", "ts", "event_type")
+                .join(F.broadcast(touched), "user_id", "left_semi")
+                .unionByName(new)
+            )
+        # replay safety: the same input file can re-deliver after a
+        # crash; event_id is the idempotency key
+        hist = _dedupe_on_read(hist, ["event_id"], [F.col("ts")])
+        flags = funnel_user_flags(hist).withColumn("batch_id", F.lit(epoch_id))
+        new.withColumn("batch_id", F.lit(epoch_id)).write.mode("append").parquet(
+            state_dir
+        )
+        flags.write.mode("append").parquet(flags_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_funnel(spark: SparkSession, output_path: str) -> DataFrame:
+    """The streaming funnel's current triangle: latest flags per user
+    (a replayed flags append is identical, so any latest row is the
+    right one), fed through the SAME presentation half as the batch
+    query."""
+    from ..queries import funnel_triangle
+
+    flags = _dedupe_on_read(
+        spark.read.parquet(f"{output_path}/flags"),
+        ["user_id"],
+        [F.col("batch_id").desc()],
+    )
+    return funnel_triangle(flags.select("user_id", "r1", "r2", "r3"))

@@ -569,3 +569,58 @@ def test_streaming_embedding_dedup_matches_simulation(spark, sf_dir, tmp_path_fa
     assert any(i >= 100000 for i in dropped)
     # replayed rows are invisible through read_embedding_deduped
     assert len(got) < n_raw
+
+
+def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_path_factory):
+    """Streaming funnel equals the batch funnel_events on the same
+    corpus — with deliberately hostile arrival order (each user's
+    events split across micro-batches by event_id parity, so stage-1
+    events routinely arrive AFTER the stage-2/3 events they gate: flag
+    state alone would get this wrong, the kept stage-event history
+    makes it exact), across a mid-stream restart, and across a
+    simulated replayed batch (crash between append and checkpoint
+    commit)."""
+    from datamunging_spark.queries import (
+        funnel_triangle,
+        funnel_user_flags,
+    )
+    from datamunging_spark.streaming.jobs import (
+        read_funnel,
+        run_streaming_funnel,
+    )
+
+    base = tmp_path_factory.mktemp("sfunnel")
+    events_dir = str(base / "events")
+    out = str(base / "out")
+    ckpt = str(base / "ckpt")
+
+    full = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    # hostile arrival order: parity split interleaves every user's
+    # timeline across the two tranches
+    a = full.where(F.col("event_id") % 2 == 0).coalesce(1)
+    b = full.where(F.col("event_id") % 2 == 1).coalesce(1)
+
+    a.write.parquet(events_dir)
+    run_streaming_funnel(spark, events_dir, out, ckpt)
+    phase1 = {r.stage: r.users for r in read_funnel(spark, out).collect()}
+    assert phase1[1] > 0
+
+    # simulated replay of batch 0 (stage events AND flags re-append)
+    se0 = spark.read.parquet(f"{out}/stage_events").where(F.col("batch_id") == 0)
+    se0.write.mode("append").parquet(f"{out}/stage_events")
+    fl0 = spark.read.parquet(f"{out}/flags").where(F.col("batch_id") == 0)
+    fl0.write.mode("append").parquet(f"{out}/flags")
+
+    # restart: the rest lands, SAME checkpoint resumes; recomputation
+    # over the duplicated state must stay exact (event_id idempotency)
+    b.write.mode("append").parquet(events_dir)
+    run_streaming_funnel(spark, events_dir, out, ckpt)
+
+    got = [tuple(r) for r in read_funnel(spark, out).collect()]
+    want = [
+        tuple(r)
+        for r in funnel_triangle(funnel_user_flags(full)).collect()
+    ]
+    assert got == want
