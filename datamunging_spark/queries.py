@@ -1686,10 +1686,13 @@ def funnel_triangle(flags):
     from a per-user flags frame — the presentation half of the funnel,
     shared with the streaming twin."""
     s1, s2, s3 = FUNNEL_STAGES
+    # coalesce: an empty flags frame (no stage-relevant user yet) means
+    # zero completions, not NULL counts — keeps the streaming twin and
+    # the empty-corpus batch case exact (oracle mirrors the coalesce)
     totals = flags.agg(
-        F.sum("r1").cast("long").alias("n1"),
-        F.sum("r2").cast("long").alias("n2"),
-        F.sum("r3").cast("long").alias("n3"),
+        F.coalesce(F.sum("r1"), F.lit(0)).cast("long").alias("n1"),
+        F.coalesce(F.sum("r2"), F.lit(0)).cast("long").alias("n2"),
+        F.coalesce(F.sum("r3"), F.lit(0)).cast("long").alias("n3"),
     )
     stages = totals.selectExpr(
         f"stack(3, 1, '{s1}', n1, n1, 2, '{s2}', n2, n1, 3, '{s3}', n3, n2) "
@@ -1745,8 +1748,9 @@ per_user AS (
   FROM w3 GROUP BY user_id
 ),
 tot AS (
-  SELECT CAST(sum(r1) AS BIGINT) AS n1, CAST(sum(r2) AS BIGINT) AS n2,
-         CAST(sum(r3) AS BIGINT) AS n3
+  SELECT CAST(coalesce(sum(r1), 0) AS BIGINT) AS n1,
+         CAST(coalesce(sum(r2), 0) AS BIGINT) AS n2,
+         CAST(coalesce(sum(r3), 0) AS BIGINT) AS n3
   FROM per_user
 ),
 stages AS (

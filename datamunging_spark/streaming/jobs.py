@@ -626,9 +626,11 @@ def read_funnel(spark: SparkSession, output_path: str) -> DataFrame:
     query."""
     from ..queries import funnel_triangle
 
-    flags = _dedupe_on_read(
-        spark.read.parquet(f"{output_path}/flags"),
-        ["user_id"],
-        [F.col("batch_id").desc()],
-    )
+    raw = _read_output_or_none(spark, f"{output_path}/flags")
+    if raw is None:
+        # no stage-relevant user yet: zero completions, not an error
+        raw = spark.createDataFrame(
+            [], "user_id long, r1 int, r2 int, r3 int, batch_id long"
+        )
+    flags = _dedupe_on_read(raw, ["user_id"], [F.col("batch_id").desc()])
     return funnel_triangle(flags.select("user_id", "r1", "r2", "r3"))

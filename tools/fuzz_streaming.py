@@ -506,6 +506,71 @@ def fuzz_embedding_dedup(spark, tmp: Path, rng: random.Random) -> list[str]:
     return []
 
 
+def fuzz_funnel(spark, tmp: Path, rng: random.Random) -> list[str]:
+    """Streaming funnel vs the batch funnel on a randomized corpus:
+    random users/types (stage and non-stage), random timestamps WITH
+    forced ties, arrival order randomized independently of event time
+    (late stage-1 events routinely gate already-arrived stage-2/3
+    events), two waves + restart + a simulated replayed batch."""
+    from datamunging_spark.queries import (
+        FUNNEL_STAGES,
+        funnel_triangle,
+        funnel_user_flags,
+    )
+    from datamunging_spark.streaming.jobs import (
+        EVENTS_SCHEMA,
+        read_funnel,
+        run_streaming_funnel,
+    )
+
+    ev_dir, out, ckpt = str(tmp / "ev"), str(tmp / "out"), str(tmp / "ck")
+    n_users = rng.randint(2, 6)
+    n_ev = rng.randint(15, 50)
+    types = list(FUNNEL_STAGES) + ["error", "other"]
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for eid in range(n_ev):
+        # coarse minute grid + small range forces same-ts ties
+        ts = t0 + datetime.timedelta(minutes=rng.randint(0, 900))
+        rows.append((eid, ts, rng.randrange(n_users), rng.choice(types)))
+
+    arrival = rows[:]
+    rng.shuffle(arrival)
+    cut = rng.randint(3, n_ev - 3)
+    base = _time.time() - 1000
+    _write_wave(spark, arrival[:cut], EVENTS_SCHEMA, ev_dir, base,
+                ["event_id"])
+    run_streaming_funnel(spark, ev_dir, out, ckpt)
+
+    # simulated replay of batch 0 (stage events AND flags re-append)
+    for sub in ("stage_events", "flags"):
+        try:
+            b0 = spark.read.parquet(f"{out}/{sub}").where(
+                F.col("batch_id") == 0
+            )
+            if b0.count():
+                b0.write.mode("append").parquet(f"{out}/{sub}")
+        except Exception as e:
+            if ("PATH_NOT_FOUND" not in str(e)
+                    and "Path does not exist" not in str(e)):
+                raise
+
+    _write_wave(spark, arrival[cut:], EVENTS_SCHEMA, ev_dir, base + 10,
+                ["event_id"])
+    run_streaming_funnel(spark, ev_dir, out, ckpt)  # restart + resume
+
+    got = [tuple(r) for r in read_funnel(spark, out).collect()]
+    want = [
+        tuple(r)
+        for r in funnel_triangle(
+            funnel_user_flags(spark.createDataFrame(rows, EVENTS_SCHEMA))
+        ).collect()
+    ]
+    if got != want:
+        return [f"funnel: {got} != {want}"]
+    return []
+
+
 def main() -> int:
     spark = get_spark(app_name="fuzz-streaming")
     failures: list[str] = []
@@ -520,6 +585,7 @@ def main() -> int:
                 ("munge", fuzz_munge),
                 ("sessionize", fuzz_sessionize),
                 ("embdedup", fuzz_embedding_dedup),
+                ("funnel", fuzz_funnel),
             ):
                 fs = fn(spark, tmp / name, rng)
                 n_checked += 1
