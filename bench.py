@@ -87,6 +87,7 @@ HEADLINE = [
     "scd2_history",
     "retention_cohorts",
     "hard_negative_mining",
+    "quantile_buckets",
 ]
 
 ALL = {**RELATIONAL_QUERIES, **ML_QUERIES}
