@@ -568,7 +568,9 @@ def read_curated(spark: SparkSession, output_path: str) -> DataFrame:
 # (user, latest batch).
 # ---------------------------------------------------------------------------
 
-EVENTS_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string"
+FUNNEL_EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string"
+)
 
 
 def run_streaming_funnel(
@@ -583,7 +585,7 @@ def run_streaming_funnel(
     flags_dir = f"{output_path}/flags"
 
     stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(FUNNEL_EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 2)
         .parquet(events_dir)
     )

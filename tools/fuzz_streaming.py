@@ -518,7 +518,7 @@ def fuzz_funnel(spark, tmp: Path, rng: random.Random) -> list[str]:
         funnel_user_flags,
     )
     from datamunging_spark.streaming.jobs import (
-        EVENTS_SCHEMA,
+        FUNNEL_EVENTS_SCHEMA,
         read_funnel,
         run_streaming_funnel,
     )
@@ -538,7 +538,7 @@ def fuzz_funnel(spark, tmp: Path, rng: random.Random) -> list[str]:
     rng.shuffle(arrival)
     cut = rng.randint(3, n_ev - 3)
     base = _time.time() - 1000
-    _write_wave(spark, arrival[:cut], EVENTS_SCHEMA, ev_dir, base,
+    _write_wave(spark, arrival[:cut], FUNNEL_EVENTS_SCHEMA, ev_dir, base,
                 ["event_id"])
     run_streaming_funnel(spark, ev_dir, out, ckpt)
 
@@ -555,7 +555,7 @@ def fuzz_funnel(spark, tmp: Path, rng: random.Random) -> list[str]:
                     and "Path does not exist" not in str(e)):
                 raise
 
-    _write_wave(spark, arrival[cut:], EVENTS_SCHEMA, ev_dir, base + 10,
+    _write_wave(spark, arrival[cut:], FUNNEL_EVENTS_SCHEMA, ev_dir, base + 10,
                 ["event_id"])
     run_streaming_funnel(spark, ev_dir, out, ckpt)  # restart + resume
 
@@ -563,7 +563,7 @@ def fuzz_funnel(spark, tmp: Path, rng: random.Random) -> list[str]:
     want = [
         tuple(r)
         for r in funnel_triangle(
-            funnel_user_flags(spark.createDataFrame(rows, EVENTS_SCHEMA))
+            funnel_user_flags(spark.createDataFrame(rows, FUNNEL_EVENTS_SCHEMA))
         ).collect()
     ]
     if got != want:
