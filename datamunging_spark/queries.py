@@ -1961,3 +1961,108 @@ FROM cells ORDER BY cohort_week, week_offset
 
 
 RELATIONAL_QUERIES["retention_cohorts"] = (q_retention_cohorts, Q_RETENTION_SQL)
+
+
+# --------------------------------------------------------------------------
+# CDC apply (late-r5 extension). The snapshot-side twin of scd2_history
+# and catalog.merge_upsert: given an ordered change feed of
+# insert/update/delete ops per key (md5-synthesized from the customer
+# keys — seq 0 is always the insert, later ops are updates with a 10%
+# delete rate), materialize the CURRENT snapshot: latest op per key
+# wins, a latest 'D' removes the key. Latest-wins is a per-key window
+# (row_number over seq DESC) and the audit columns (n_ops, n_updates)
+# ride the SAME HashPartitioning(c_custkey) as full-partition windows —
+# one corpus-sized shuffle total, no join (plan-asserted). At 10^12
+# keys this is exactly Iceberg/Delta MERGE flattening a CDC backlog:
+# one hash shuffle on the key, latest-wins reduction, delete filter.
+# --------------------------------------------------------------------------
+
+CDC_OPS = 4  # feed entries per key (seq 0..3)
+
+
+def q_cdc_apply(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer").select("c_custkey")
+    feed = cust.select(
+        "c_custkey",
+        F.explode(F.array(*[F.lit(j) for j in range(CDC_OPS)])).alias("seq"),
+    ).select(
+        "c_custkey",
+        "seq",
+        F.when(F.col("seq") == 0, F.lit("I"))
+        .when(
+            _md5_long60(F.concat_ws(":", F.lit("cdc:op"), "c_custkey", "seq")) % 10
+            == 9,
+            F.lit("D"),
+        )
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.element_at(
+            F.array(*[F.lit(s) for s in SCD_SEGMENTS]),
+            (
+                _md5_long60(F.concat_ws(":", F.lit("cdc:val"), "c_custkey", "seq"))
+                % len(SCD_SEGMENTS)
+                + 1
+            ).cast("int"),
+        ).alias("segment"),
+    )
+    wk = W.partitionBy("c_custkey")
+    wseq = wk.orderBy(F.desc("seq"))
+    latest = feed.select(
+        "c_custkey",
+        "seq",
+        "op",
+        "segment",
+        F.row_number().over(wseq).alias("rn"),
+        F.count("*").over(wk).cast("long").alias("n_ops"),
+        F.sum(F.when(F.col("op") == "U", 1).otherwise(0))
+        .over(wk)
+        .cast("long")
+        .alias("n_updates"),
+    ).where(F.col("rn") == 1)
+    return (
+        latest.where(F.col("op") != "D")
+        .select(
+            "c_custkey",
+            "segment",
+            F.col("seq").cast("int").alias("last_seq"),
+            "n_ops",
+            "n_updates",
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def _cdc_apply_sql() -> str:
+    def h(tag: str) -> str:
+        return (
+            f"CAST(concat('0x', substr(md5(concat('{tag}:', "
+            f"CAST(c_custkey AS VARCHAR), ':', CAST(seq AS VARCHAR))), 1, 15)) "
+            f"AS BIGINT)"
+        )
+
+    seglit = "[" + ", ".join(f"'{s}'" for s in SCD_SEGMENTS) + "]"
+    return f"""
+WITH feed AS (
+  SELECT c_custkey, seq,
+         CASE WHEN seq = 0 THEN 'I'
+              WHEN {h('cdc:op')} % 10 = 9 THEN 'D'
+              ELSE 'U' END AS op,
+         ({seglit})[CAST({h('cdc:val')} % {len(SCD_SEGMENTS)} + 1 AS INT)]
+           AS segment
+  FROM customer, range({CDC_OPS}) r(seq)
+),
+latest AS (
+  SELECT c_custkey, seq, op, segment,
+         row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn,
+         CAST(count(*) OVER (PARTITION BY c_custkey) AS BIGINT) AS n_ops,
+         CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END)
+                OVER (PARTITION BY c_custkey) AS BIGINT) AS n_updates
+  FROM feed
+)
+SELECT c_custkey, segment, CAST(seq AS INT) AS last_seq, n_ops, n_updates
+FROM latest WHERE rn = 1 AND op <> 'D'
+ORDER BY c_custkey
+"""
+
+
+RELATIONAL_QUERIES["cdc_apply"] = (q_cdc_apply, _cdc_apply_sql())

@@ -725,3 +725,19 @@ def test_quantile_buckets_plan_shape(spark, sf_dir):
     for seg in p.split("ReadSchema")[1:]:
         head = seg.split("\n")[0]
         assert "text" not in head and "lang" not in head, head
+
+
+def test_cdc_apply_plan_shape(spark, sf_dir):
+    """CDC apply: latest-wins reduction + audit counts all ride ONE
+    HashPartitioning(c_custkey) (row_number and the two full-partition
+    windows share it; Catalyst adds sorts, never a second hash
+    shuffle); no join, no Python, c_custkey-only scan."""
+    from datamunging_spark.queries import q_cdc_apply
+
+    p = plan_of(q_cdc_apply(spark, sf_dir))
+    assert "EvalPython" not in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "Join" not in p, p
+    for seg in p.split("ReadSchema")[1:]:
+        head = seg.split("\n")[0]
+        assert "struct<c_custkey:bigint>" in head, head

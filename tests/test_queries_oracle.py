@@ -298,3 +298,56 @@ def test_retention_cohorts_hand_corpus(spark, tmp_path):
         f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
     )
     assert c.sql(sql).fetchall() == expect
+
+
+def test_cdc_apply_pure_python(spark, tmp_path):
+    """CDC snapshot semantics pinned vs a pure-Python THIRD
+    implementation (hashlib replay of the synthesized feed): latest op
+    per key wins, a latest delete removes the key, audit counts cover
+    the whole feed (not just surviving rows)."""
+    import hashlib
+
+    from datamunging_spark.queries import (
+        CDC_OPS,
+        RELATIONAL_QUERIES,
+        SCD_SEGMENTS,
+    )
+
+    keys = list(range(40))
+    spark.createDataFrame([(k,) for k in keys], "c_custkey long").write.parquet(
+        f"{tmp_path}/customer.parquet"
+    )
+
+    def h60(tag, k, j):
+        return int(hashlib.md5(f"{tag}:{k}:{j}".encode()).hexdigest()[:15], 16)
+
+    expect = []
+    any_deleted = False
+    for k in keys:
+        ops = []
+        for j in range(CDC_OPS):
+            op = (
+                "I" if j == 0
+                else "D" if h60("cdc:op", k, j) % 10 == 9
+                else "U"
+            )
+            seg = SCD_SEGMENTS[h60("cdc:val", k, j) % len(SCD_SEGMENTS)]
+            ops.append((j, op, seg))
+        last = ops[-1]
+        n_updates = sum(1 for (_, op, _) in ops if op == "U")
+        if last[1] == "D":
+            any_deleted = True
+            continue
+        expect.append((k, last[2], last[0], CDC_OPS, n_updates))
+    assert any_deleted  # the corpus must actually exercise the D path
+
+    fn, sql = RELATIONAL_QUERIES["cdc_apply"]
+    got = [tuple(r) for r in fn(spark, str(tmp_path)).collect()]
+    assert got == expect
+
+    c = duckdb.connect()
+    c.sql(
+        "CREATE VIEW customer AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/customer.parquet/*.parquet')"
+    )
+    assert c.sql(sql).fetchall() == expect
