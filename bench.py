@@ -88,6 +88,8 @@ HEADLINE = [
     "retention_cohorts",
     "hard_negative_mining",
     "quantile_buckets",
+    "cdc_apply",
+    "dedup_levenshtein",
 ]
 
 ALL = {**RELATIONAL_QUERIES, **ML_QUERIES}
