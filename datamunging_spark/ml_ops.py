@@ -7187,3 +7187,126 @@ ORDER BY keep_id, drop_id
 
 
 ML_QUERIES["dedup_levenshtein"] = (dedup_levenshtein, _dedup_levenshtein_sql())
+
+
+# --------------------------------------------------------------------------
+# Triangle counting over the synthesized link graph (late-r5 extension;
+# same md5 edge model as pagerank_links, made undirected). The classic
+# graph-analytics scale hazard is the wedge join: joining the raw edge
+# list with itself explodes on high-degree hubs (a degree-d node emits
+# d^2 wedges). The standard fix — and the engine's design — is
+# DEGREE ORIENTATION (Chiba–Nishizeki / "compact-forward"): orient every
+# undirected edge from its lower-(degree, id) endpoint to the higher
+# one. Every node's ORIENTED out-degree is then O(sqrt(m)) regardless of
+# its raw degree, so the wedge join is bounded by m^1.5 total — the best
+# possible for exact triangle listing — and each triangle is generated
+# exactly once (its apex is the unique (degree,id)-minimum vertex), so
+# no post-hoc /3 or /6 dedup pass.
+# Plan shape: two equi-joins on node ids (wedge build + closure probe),
+# both hash-shuffled on the join key; the degree table is node-sized
+# (broadcastable). No cartesian anywhere (plan-asserted in pytest).
+# The oracle replays the naive u<v<w canonical 3-way self-join — a
+# different algorithm producing the same triangle set.
+# --------------------------------------------------------------------------
+
+
+def _link_edges_undirected(spark, sf_dir):
+    """Canonical undirected edge list (u < v) of the pagerank link
+    graph: 3 md5 destinations per non-dangling doc, self-loops dropped,
+    direction collapsed."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+
+    def h(j: int) -> str:
+        return (
+            f"(CAST(conv(substring(md5(concat('pr{j}:', "
+            f"CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % {n})"
+        )
+
+    directed = (
+        docs.where(F.expr(f"doc_id % {_PR_DANGLE_MOD} <> 3"))
+        .selectExpr(
+            "doc_id AS src",
+            f"explode(array({h(0)}, {h(1)}, {h(2)})) AS dst",
+        )
+        .where("dst <> src")
+    )
+    return directed.select(
+        F.least("src", "dst").alias("u"),
+        F.greatest("src", "dst").alias("v"),
+    ).distinct()
+
+
+def triangle_count(spark, sf_dir):
+    und = _link_edges_undirected(spark, sf_dir)
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .unionAll(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("d"))
+    )
+    e = und.join(
+        deg.select(F.col("id").alias("u"), F.col("d").alias("du")), "u"
+    ).join(deg.select(F.col("id").alias("v"), F.col("d").alias("dv")), "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    )
+    o1 = oriented.select("a", F.col("b"), F.col("db"))
+    o2 = oriented.select(
+        "a", F.col("b").alias("c"), F.col("db").alias("dc")
+    )
+    wedges = o1.join(o2, "a").where(
+        (F.col("db") < F.col("dc"))
+        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    )
+    closing = oriented.select(
+        F.col("a").alias("b"), F.col("b").alias("c")
+    )
+    tris = wedges.join(closing, ["b", "c"])
+    return (
+        tris.select(
+            F.explode(F.array("a", "b", "c")).alias("node_id")
+        )
+        .groupBy("node_id")
+        .agg(F.count("*").cast("long").alias("n_tri"))
+        .orderBy("node_id")
+    )
+
+
+def _triangle_sql() -> str:
+    def h(j: int) -> str:
+        return (
+            f"(CAST(concat('0x', substr(md5(concat('pr{j}:', "
+            f"CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % n)"
+        )
+
+    cand = " UNION ALL ".join(
+        f"SELECT doc_id AS src, {h(j)} AS dst FROM documents, cnt "
+        f"WHERE doc_id % {_PR_DANGLE_MOD} <> 3"
+        for j in range(3)
+    )
+    return f"""
+WITH cnt AS (SELECT count(*) AS n FROM documents),
+cand AS ({cand}),
+ue AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM cand WHERE dst <> src
+),
+tri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM ue e1
+  JOIN ue e2 ON e1.v = e2.u
+  JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT node_id, CAST(count(*) AS BIGINT) AS n_tri
+FROM (SELECT unnest([x, y, z]) AS node_id FROM tri)
+GROUP BY node_id ORDER BY node_id
+"""
+
+
+ML_QUERIES["triangle_count"] = (triangle_count, _triangle_sql())

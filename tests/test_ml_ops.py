@@ -1839,3 +1839,30 @@ def test_dedup_levenshtein_recall_and_edges(spark, sf_dir, tmp_path):
     got = [tuple(r) for r in dedup_levenshtein(spark, str(tmp_path)).collect()]
     assert (0, 7, 0) in got  # the two empties
     assert (0, 200000, 1) not in got  # insertion class: blocked out
+
+
+def test_triangle_count_invariants(spark):
+    """Handshake identities of exact triangle listing: per-node counts
+    sum to 3x the number of distinct triangles; every listed node is a
+    graph node; counts are positive. (Exact values are pinned by the
+    DuckDB oracle, which replays the naive canonical u<v<w 3-way join —
+    a different algorithm than the engine's degree-oriented wedge
+    join.)"""
+    from datamunging_spark.ml_ops import (
+        _link_edges_undirected,
+        triangle_count,
+    )
+
+    got = triangle_count(spark, SF_DIR).toPandas()
+    assert (got.n_tri > 0).all()
+    assert int(got.n_tri.sum()) % 3 == 0
+    edges = _link_edges_undirected(spark, SF_DIR).toPandas()
+    nodes = set(edges.u) | set(edges.v)
+    assert set(got.node_id).issubset(nodes)
+    # triangle inequality on participation: a node in k triangles has
+    # degree >= 2 (each triangle contributes 2 incident edges)
+    deg = {}
+    for u, v in edges.itertuples(index=False, name=None):
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    assert all(deg[n] >= 2 for n in got.node_id)

@@ -755,3 +755,16 @@ def test_dedup_levenshtein_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "Join" in p, p
+
+
+def test_triangle_count_plan_shape(spark, sf_dir):
+    """Degree-oriented triangle listing: every join is an equi-join on
+    node ids (wedge build + closure probe) — never a cartesian or a
+    nested-loop of the edge list against itself; no Python anywhere."""
+    from datamunging_spark.ml_ops import triangle_count
+
+    p = plan_of(triangle_count(spark, sf_dir))
+    assert "EvalPython" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "Join" in p, p
