@@ -7310,3 +7310,78 @@ GROUP BY node_id ORDER BY node_id
 
 
 ML_QUERIES["triangle_count"] = (triangle_count, _triangle_sql())
+
+
+# --------------------------------------------------------------------------
+# Per-domain quota sampling (late-r5 extension) — the crawl-curation
+# counterpart of stratified_sample: cap each registered domain's
+# contribution to the training mix at DOMAIN_CAP documents, keeping the
+# highest-quality ones (quality proxy: n_chars desc, doc_id tiebreak).
+# Every web-scale corpus does this (C4, RefinedWeb, FineWeb all cap
+# per-domain mass) because crawl frequency is a power law: without a
+# cap the top domains drown the tail.
+# Scale shape — the skew IS the point here: a naive
+# row_number() OVER (PARTITION BY domain) must shuffle-sort every row
+# of the biggest domain into one task. The engine instead runs the
+# SALTED TWO-PHASE top-K (same family as salted_heavy_hitters): phase 1
+# ranks within (domain, doc_id % SALT) — 8-way parallel per domain —
+# and keeps at most SALT*CAP candidate rows per domain; only those
+# survivors enter the phase-2 per-domain ranking, so the final
+# per-domain sort touches <= SALT*CAP rows no matter how hot the
+# domain. Both phases are codegen windows; correctness is exact (any
+# global top-CAP row is top-CAP within its salt bucket). The oracle is
+# the naive single window.
+# --------------------------------------------------------------------------
+
+DOMAIN_CAP = 5
+_DC_SALT = 8
+
+
+def domain_cap_sample(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    domain = F.concat(F.col("source"), F.lit("."), _url_tld(F.col("source")))
+    d = docs.select(domain.alias("domain"), "doc_id", "n_chars")
+    order = [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    w1 = W.partitionBy(F.col("domain"), F.col("doc_id") % _DC_SALT).orderBy(
+        *order
+    )
+    cand = (
+        d.withColumn("rk1", F.row_number().over(w1))
+        .where(F.col("rk1") <= DOMAIN_CAP)
+        .drop("rk1")
+    )
+    w2 = W.partitionBy("domain").orderBy(*order)
+    return (
+        cand.withColumn("rk", F.row_number().over(w2))
+        .where(F.col("rk") <= DOMAIN_CAP)
+        .select(
+            "domain",
+            "doc_id",
+            F.col("rk").cast("int").alias("rk"),
+            "n_chars",
+        )
+        .orderBy("domain", "rk")
+    )
+
+
+DOMAIN_CAP_SQL = f"""
+WITH d AS (
+  SELECT concat(source, '.',
+           CASE CAST(concat('0x', substr(md5(concat('tld:', source)), 1, 15))
+                     AS BIGINT) % 3
+             WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END) AS domain,
+         doc_id, n_chars
+  FROM documents
+),
+r AS (
+  SELECT domain, doc_id, n_chars,
+         row_number() OVER (PARTITION BY domain
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM d
+)
+SELECT domain, doc_id, CAST(rk AS INT) AS rk, n_chars
+FROM r WHERE rk <= {DOMAIN_CAP}
+ORDER BY domain, rk
+"""
+
+ML_QUERIES["domain_cap_sample"] = (domain_cap_sample, DOMAIN_CAP_SQL)

@@ -1866,3 +1866,19 @@ def test_triangle_count_invariants(spark):
         deg[u] = deg.get(u, 0) + 1
         deg[v] = deg.get(v, 0) + 1
     assert all(deg[n] >= 2 for n in got.node_id)
+
+
+def test_domain_cap_sample_invariants(spark):
+    """Quota semantics: <= DOMAIN_CAP rows per domain, ranks are
+    1..k contiguous, and within a domain quality (n_chars) is
+    non-increasing with rank. The salted two-phase rewrite must equal
+    the naive single-window result (the DuckDB oracle IS that naive
+    form, so oracle equality already pins it — this re-asserts the
+    per-domain ordering property directly)."""
+    from datamunging_spark.ml_ops import DOMAIN_CAP, domain_cap_sample
+
+    got = domain_cap_sample(spark, SF_DIR).toPandas()
+    for dom, g in got.groupby("domain"):
+        assert len(g) <= DOMAIN_CAP
+        assert list(g.rk) == list(range(1, len(g) + 1))
+        assert list(g.n_chars) == sorted(g.n_chars, reverse=True)

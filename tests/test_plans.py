@@ -768,3 +768,15 @@ def test_triangle_count_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "Join" in p, p
+
+
+def test_domain_cap_sample_plan_shape(spark, sf_dir):
+    """Salted two-phase per-domain top-K: two window passes (the salted
+    pre-rank and the final per-domain rank), all codegen — no Python,
+    no joins, no cartesian."""
+    from datamunging_spark.ml_ops import domain_cap_sample
+
+    p = plan_of(domain_cap_sample(spark, sf_dir))
+    assert "EvalPython" not in p, p
+    assert "Join" not in p, p
+    assert p.count("Window") >= 2, p
