@@ -7385,3 +7385,54 @@ ORDER BY domain, rk
 """
 
 ML_QUERIES["domain_cap_sample"] = (domain_cap_sample, DOMAIN_CAP_SQL)
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling without replacement (late-r5 extension) — pick K
+# documents with probability increasing in a weight column (here
+# n_chars: long documents carry more training signal per row). The
+# textbook one-pass algorithm is Efraimidis–Spirakis (priority
+# -ln(u)/w, keep the K smallest), which composes with ANY partitioning:
+# each partition keeps its local K best, the global K is the best of
+# the locals — exactly Spark's TakeOrderedAndProject physical op, so
+# the corpus is never shuffled and never globally sorted.
+# The engine keeps the E–S *shape* but replaces the float exponential
+# key with an EXACT INTEGER priority u DIV w (u = md5 uniform in
+# [0, 2^60), w = weight): monotone in u, decreasing in w, and — the
+# lesson of the r4 differential-fuzz campaign (zero-vector ANN, Q1
+# rounding boundary) — bit-identical in Spark and DuckDB, where
+# -ln(u)/w can flip the K-th rank at a double ULP. The exponential-
+# clock distribution is approximated, not exact (documented trade; on
+# a real cluster where replay isn't bit-audited, swap the priority
+# expression for -ln(u)/w and keep the identical plan).
+# --------------------------------------------------------------------------
+
+WEIGHTED_K = 50
+
+
+def weighted_sample(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn(
+            "wt", F.greatest(F.col("n_chars").cast("long"), F.lit(1))
+        )
+        .withColumn("u", _md5_long("ws:", F.col("doc_id")))
+        .withColumn("priority", F.expr("u DIV wt"))
+        .select("doc_id", "wt", "priority")
+        .orderBy("priority", "doc_id")
+        .limit(WEIGHTED_K)
+    )
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+SELECT doc_id,
+       greatest(CAST(n_chars AS BIGINT), 1) AS wt,
+       CAST(concat('0x', substr(md5(concat('ws:', CAST(doc_id AS VARCHAR))),
+                   1, 15)) AS BIGINT)
+         // greatest(CAST(n_chars AS BIGINT), 1) AS priority
+FROM documents
+ORDER BY priority, doc_id
+LIMIT {WEIGHTED_K}
+"""
+
+ML_QUERIES["weighted_sample"] = (weighted_sample, WEIGHTED_SAMPLE_SQL)

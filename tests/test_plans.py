@@ -780,3 +780,15 @@ def test_domain_cap_sample_plan_shape(spark, sf_dir):
     assert "EvalPython" not in p, p
     assert "Join" not in p, p
     assert p.count("Window") >= 2, p
+
+
+def test_weighted_sample_plan_shape(spark, sf_dir):
+    """Priority sampling is a partial top-K: TakeOrderedAndProject
+    (per-partition K-best, merged on the driver) — never a global
+    sort-shuffle of the corpus; no Python."""
+    from datamunging_spark.ml_ops import weighted_sample
+
+    p = plan_of(weighted_sample(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p, p
+    assert "EvalPython" not in p, p
+    assert "Exchange hashpartitioning" not in p, p
