@@ -7436,3 +7436,84 @@ LIMIT {WEIGHTED_K}
 """
 
 ML_QUERIES["weighted_sample"] = (weighted_sample, WEIGHTED_SAMPLE_SQL)
+
+
+# --------------------------------------------------------------------------
+# Collocation mining (late-r5 extension) — rank adjacent word pairs by
+# pointwise association: lift = P(xy) / (P(x·) * P(·y)) over the bigram
+# table, the quantity whose log is PMI. Tokenizer-vocabulary curation
+# uses exactly this surface (merge candidates for BPE/unigram-LM seed
+# vocabularies; multi-word-expression detection for quality filters).
+# Determinism note: log() adds nothing to the RANKING (log is
+# monotone) but adds a float rank-flip hazard at the top-K boundary —
+# the r4 fuzz campaign's recurring bug class — so the engine scores
+# with the EXACT INTEGER parts-per-million lift c_xy*N*10^6 DIV
+# (c_x*c_y), bit-identical in Spark and DuckDB.
+# Scale shape: explode -> two map-side-combinable aggs (bigram counts,
+# then the two marginals, each tiny vs the corpus) -> two equi-joins on
+# word keys + one broadcast of the 1-row total -> TakeOrdered top-K.
+# The corpus is scanned once; everything after the first groupBy is
+# vocabulary-sized.
+# --------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5
+PMI_TOPK = 30
+
+
+def pmi_collocations(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    pairs = (
+        docs.select(F.split(F.col("text"), " ").alias("ws"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(ws, 1, size(ws) - 1), "
+                    "(x, i) -> struct(x AS w1, ws[i + 1] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .where((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    cnt = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    lx = cnt.groupBy("w1").agg(F.sum("c").alias("cx"))
+    ly = cnt.groupBy("w2").agg(F.sum("c").alias("cy"))
+    tot = cnt.agg(F.sum("c").alias("n"))
+    return (
+        cnt.join(lx, "w1")
+        .join(ly, "w2")
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("c") >= PMI_MIN_COUNT)
+        .select(
+            "w1",
+            "w2",
+            F.col("c").cast("long").alias("c_xy"),
+            F.expr("c * n * 1000000 DIV (cx * cy)")
+            .cast("long")
+            .alias("lift_ppm"),
+        )
+        .orderBy(F.col("lift_ppm").desc(), "w1", "w2")
+        .limit(PMI_TOPK)
+    )
+
+
+PMI_SQL = f"""
+WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents),
+pairs AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM ws, LATERAL (SELECT unnest(range(1, len(w))) AS i) r
+  WHERE w[i] <> '' AND w[i + 1] <> ''
+),
+cnt AS (SELECT w1, w2, count(*) AS c FROM pairs GROUP BY 1, 2),
+tot AS (SELECT sum(c) AS n FROM cnt),
+lx AS (SELECT w1, sum(c) AS cx FROM cnt GROUP BY 1),
+ly AS (SELECT w2, sum(c) AS cy FROM cnt GROUP BY 1)
+SELECT w1, w2, CAST(c AS BIGINT) AS c_xy,
+       CAST(c * n * 1000000 // (cx * cy) AS BIGINT) AS lift_ppm
+FROM cnt JOIN lx USING (w1) JOIN ly USING (w2), tot
+WHERE c >= {PMI_MIN_COUNT}
+ORDER BY lift_ppm DESC, w1, w2
+LIMIT {PMI_TOPK}
+"""
+
+ML_QUERIES["pmi_collocations"] = (pmi_collocations, PMI_SQL)

@@ -1904,3 +1904,41 @@ def test_weighted_sample_invariants(spark):
     # the top-K merge is order-insensitive
     again = weighted_sample(spark, SF_DIR).toPandas()
     assert list(got.doc_id) == list(again.doc_id)
+
+
+def test_pmi_collocations_invariants(spark):
+    """Association scores: every returned pair clears the support
+    floor; lift_ppm is positive; scores are non-increasing; and the
+    scaled lift agrees with a pandas recomputation of
+    c_xy * N * 1e6 // (c_x * c_y) from raw bigram counts."""
+    from datamunging_spark.ml_ops import (
+        PMI_MIN_COUNT,
+        pmi_collocations,
+    )
+    from datamunging_spark.queries import t as t_
+
+    got = pmi_collocations(spark, SF_DIR).toPandas()
+    assert (got.c_xy >= PMI_MIN_COUNT).all()
+    assert (got.lift_ppm > 0).all()
+    assert list(got.lift_ppm) == sorted(got.lift_ppm, reverse=True)
+    texts = [
+        r.text for r in t_(spark, SF_DIR, "documents").select("text").collect()
+    ]
+    from collections import Counter
+
+    cnt: Counter = Counter()
+    for txt in texts:
+        ws = [w for w in txt.split(" ")]
+        for a, b in zip(ws, ws[1:]):
+            if a and b:
+                cnt[(a, b)] += 1
+    n = sum(cnt.values())
+    cx: Counter = Counter()
+    cy: Counter = Counter()
+    for (a, b), c in cnt.items():
+        cx[a] += c
+        cy[b] += c
+    for row in got.itertuples(index=False):
+        c = cnt[(row.w1, row.w2)]
+        assert c == row.c_xy
+        assert c * n * 1_000_000 // (cx[row.w1] * cy[row.w2]) == row.lift_ppm

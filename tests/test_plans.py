@@ -792,3 +792,16 @@ def test_weighted_sample_plan_shape(spark, sf_dir):
     assert "TakeOrderedAndProject" in p, p
     assert "EvalPython" not in p, p
     assert "Exchange hashpartitioning" not in p, p
+
+
+def test_pmi_collocations_plan_shape(spark, sf_dir):
+    """Collocation scoring: one corpus scan feeding vocabulary-sized
+    aggregations; the total is a broadcast 1-row frame (never a
+    cartesian of data-sized sides); final top-K is TakeOrdered; no
+    Python anywhere."""
+    from datamunging_spark.ml_ops import pmi_collocations
+
+    p = plan_of(pmi_collocations(spark, sf_dir))
+    assert "EvalPython" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "TakeOrderedAndProject" in p, p
