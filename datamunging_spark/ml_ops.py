@@ -7517,3 +7517,78 @@ LIMIT {PMI_TOPK}
 """
 
 ML_QUERIES["pmi_collocations"] = (pmi_collocations, PMI_SQL)
+
+
+# --------------------------------------------------------------------------
+# Phrase search via a positional inverted index (late-r5 extension) —
+# exact "w1 w2" adjacency matching, the operator under quoted-query
+# retrieval and under contamination checks that need POSITIONS (the
+# n-gram decontaminators match bags; a phrase match is ordered). Two
+# deliberately different algorithms:
+#   engine: tokenize once into (doc_id, term, pos) postings, PRUNE the
+#     postings to the query vocabulary BEFORE any join (the filter is
+#     the inverted-index seek — only postings of query terms survive
+#     the scan), broadcast the phrase table onto the w1 postings, then
+#     one equi-join (doc_id, term, pos+1) against the w2 postings.
+#     Shuffle volume is O(postings of query terms), never the corpus.
+#   oracle: direct per-document array scan (w[i]=w1 AND w[i+1]=w2) —
+#     the brute-force reference.
+# Overlap semantics: counts every starting position ("a a a" has two
+# "a a" hits), which substring-replace counting gets wrong.
+# --------------------------------------------------------------------------
+
+PHRASES = [("slow", "hash"), ("window", "fast"), ("row", "column")]
+
+
+def phrase_search(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    vocab = sorted({w for p in PHRASES for w in p})
+    idx = (
+        docs.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
+        )
+        .where(F.col("term").isin(*vocab))
+    )
+    ph = F.broadcast(
+        spark.createDataFrame(
+            [(f"{a} {b}", a, b) for a, b in PHRASES],
+            "phrase string, w1 string, w2 string",
+        )
+    )
+    first = idx.join(ph, idx.term == ph.w1).select(
+        "phrase", "doc_id", "pos", "w2"
+    )
+    second = idx.select(
+        F.col("doc_id").alias("d2"),
+        F.col("term").alias("t2"),
+        F.col("pos").alias("p2"),
+    )
+    return (
+        first.join(
+            second,
+            (F.col("doc_id") == F.col("d2"))
+            & (F.col("w2") == F.col("t2"))
+            & (F.col("p2") == F.col("pos") + 1),
+        )
+        .groupBy("phrase", "doc_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+        .orderBy("phrase", "doc_id")
+    )
+
+
+def _phrase_sql() -> str:
+    vals = ", ".join(f"('{a} {b}', '{a}', '{b}')" for a, b in PHRASES)
+    return f"""
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+ph AS (SELECT * FROM (VALUES {vals}) AS v(phrase, w1, w2)),
+hits AS (
+  SELECT p.phrase, ws.doc_id
+  FROM ws, LATERAL (SELECT unnest(range(1, len(w))) AS i) r, ph p
+  WHERE w[i] = p.w1 AND w[i + 1] = p.w2
+)
+SELECT phrase, doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM hits GROUP BY 1, 2 ORDER BY phrase, doc_id
+"""
+
+
+ML_QUERIES["phrase_search"] = (phrase_search, _phrase_sql())

@@ -1942,3 +1942,32 @@ def test_pmi_collocations_invariants(spark):
         c = cnt[(row.w1, row.w2)]
         assert c == row.c_xy
         assert c * n * 1_000_000 // (cx[row.w1] * cy[row.w2]) == row.lift_ppm
+
+
+def test_phrase_search_overlap_semantics(spark, tmp_path):
+    """Overlapping occurrences count per starting position: 'a a a'
+    holds TWO 'a a' phrase hits (replace-based counting says one).
+    Hand corpus pins it, plus a pure-Python recount on the real
+    corpus."""
+    from datamunging_spark.ml_ops import PHRASES, phrase_search
+    from datamunging_spark.queries import t as t_
+
+    got = phrase_search(spark, SF_DIR).toPandas()
+    texts = {
+        r.doc_id: r.text
+        for r in t_(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    }
+    import collections
+
+    want: dict = collections.Counter()
+    for doc_id, txt in texts.items():
+        ws = txt.split(" ")
+        for a, b in zip(ws, ws[1:]):
+            for w1, w2 in PHRASES:
+                if (a, b) == (w1, w2):
+                    want[(f"{w1} {w2}", doc_id)] += 1
+    got_map = {
+        (r.phrase, r.doc_id): r.n_hits for r in got.itertuples(index=False)
+    }
+    assert got_map == dict(want)
+    assert sum(want.values()) > 0  # corpus actually exercises the op

@@ -805,3 +805,17 @@ def test_pmi_collocations_plan_shape(spark, sf_dir):
     assert "EvalPython" not in p, p
     assert "CartesianProduct" not in p, p
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_phrase_search_plan_shape(spark, sf_dir):
+    """Inverted-index phrase match: the postings scan is pruned to the
+    query vocabulary BEFORE any join (the IN filter is the index seek),
+    the phrase table is broadcast, and the adjacency probe is a pure
+    equi-join — no cartesian, no Python."""
+    from datamunging_spark.ml_ops import phrase_search
+
+    p = plan_of(phrase_search(spark, sf_dir))
+    assert "EvalPython" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert " IN (" in p or "isin" in p.lower(), p
