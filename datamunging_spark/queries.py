@@ -921,6 +921,51 @@ FROM events GROUP BY 1, 2 ORDER BY day, event_type
 
 
 # --------------------------------------------------------------------------
+# Sliding (hopping) time window — every event lands in size/hop = 3
+# overlapping windows. Spark's native F.window(ts, size, slide) does
+# the multi-assignment inside codegen (an internal explode over the
+# covering window starts); the oracle replays it with an explicit
+# LATERAL unnest over k in [0, 3). Both engines are epoch-aligned at
+# midnight so the 2 h bucket grids coincide. Scale shape: the fan-out
+# is x3 BEFORE the partial aggregation, but the map-side combine
+# collapses it to (windows x types) rows per partition — the shuffle
+# carries the aggregated frame, not the exploded events.
+# --------------------------------------------------------------------------
+
+
+def q_sliding_window_events(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "6 hours", "2 hours").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias(
+                "wstart"
+            ),
+            "event_type",
+            "n",
+            "total",
+        )
+        .orderBy("wstart", "event_type")
+    )
+
+
+Q_SLIDING_SQL = """
+WITH assigned AS (
+  SELECT time_bucket(INTERVAL '2 hours', ts) - k * INTERVAL '2 hours'
+           AS ws,
+         event_type, value
+  FROM events, LATERAL (SELECT unnest(range(0, 3)) AS k) r
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M') AS wstart, event_type,
+       count(*) AS n, round(sum(value), 4) AS total
+FROM assigned GROUP BY 1, 2 ORDER BY wstart, event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # Catalog
 # --------------------------------------------------------------------------
 
@@ -948,6 +993,7 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "pivot_status": (q_pivot_status, Q_PIVOT_SQL),
     "sessionize_events": (q_sessionize_events, Q_SESSIONIZE_SQL),
     "tumbling_window_events": (q_tumbling_window_events, Q_TUMBLING_SQL),
+    "sliding_window_events": (q_sliding_window_events, Q_SLIDING_SQL),
 }
 
 

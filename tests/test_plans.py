@@ -819,3 +819,16 @@ def test_phrase_search_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in p, p
     assert "BroadcastHashJoin" in p, p
     assert " IN (" in p or "isin" in p.lower(), p
+
+
+def test_sliding_window_events_plan_shape(spark, sf_dir):
+    """Hopping windows: the x3 multi-assignment explode happens BEFORE
+    a partial (map-side) aggregation, so the shuffle carries aggregated
+    (window, type) rows; one hash exchange, no Python, no join."""
+    from datamunging_spark.queries import RELATIONAL_QUERIES
+
+    fn, _ = RELATIONAL_QUERIES["sliding_window_events"]
+    p = plan_of(fn(spark, sf_dir))
+    assert "EvalPython" not in p, p
+    assert "Join" not in p, p
+    assert "partial" in p.lower(), p
