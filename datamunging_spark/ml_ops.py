@@ -7592,3 +7592,79 @@ FROM hits GROUP BY 1, 2 ORDER BY phrase, doc_id
 
 
 ML_QUERIES["phrase_search"] = (phrase_search, _phrase_sql())
+
+
+# --------------------------------------------------------------------------
+# Table statistics profile (late-r5 extension) — ANALYZE TABLE's working
+# core: per-column row count, EXACT distinct count, null count, min /
+# max, and the heaviest value's frequency (the skew number that decides
+# salting and broadcast thresholds; the engine's own salted ops assume
+# someone measured it). Naive form is one agg with K countDistinct()s,
+# which Catalyst expands into K separate shuffles of the full table.
+# The engine instead MELTS the K profiled columns into (col, val) pairs
+# — a codegen explode, no Python — and runs ONE two-phase aggregation:
+# groupBy(col, val) with map-side combine collapses the x-K fan-out to
+# distinct values per partition, and the per-column rollup over that
+# (distinct-values-sized) frame yields every statistic at once. K
+# columns profiled = 2 shuffles total, independent of K.
+# --------------------------------------------------------------------------
+
+PROFILE_COLS = ["l_linenumber", "l_orderkey", "l_partkey", "l_suppkey"]
+
+
+def table_profile(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    melted = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.col(c).cast("long").alias("val"),
+                    )
+                    for c in PROFILE_COLS
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.col", "kv.val")
+    per_val = melted.groupBy("col", "val").agg(F.count("*").alias("c"))
+    return (
+        per_val.groupBy("col")
+        .agg(
+            F.sum("c").cast("long").alias("n_rows"),
+            F.count(F.when(F.col("val").isNotNull(), 1))
+            .cast("long")
+            .alias("n_distinct"),
+            F.coalesce(
+                F.sum(F.when(F.col("val").isNull(), F.col("c"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_nulls"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+            F.max("c").cast("long").alias("max_freq"),
+        )
+        .orderBy("col")
+    )
+
+
+def _table_profile_sql() -> str:
+    melt = " UNION ALL ".join(
+        f"SELECT '{c}' AS col, CAST({c} AS BIGINT) AS val FROM lineitem"
+        for c in PROFILE_COLS
+    )
+    return f"""
+WITH m AS ({melt}),
+pv AS (SELECT col, val, count(*) AS c FROM m GROUP BY 1, 2)
+SELECT col, CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(count(CASE WHEN val IS NOT NULL THEN 1 END) AS BIGINT)
+         AS n_distinct,
+       CAST(coalesce(sum(CASE WHEN val IS NULL THEN c END), 0) AS BIGINT)
+         AS n_nulls,
+       min(val) AS min_val, max(val) AS max_val,
+       CAST(max(c) AS BIGINT) AS max_freq
+FROM pv GROUP BY col ORDER BY col
+"""
+
+
+ML_QUERIES["table_profile"] = (table_profile, _table_profile_sql())

@@ -1971,3 +1971,45 @@ def test_phrase_search_overlap_semantics(spark, tmp_path):
     }
     assert got_map == dict(want)
     assert sum(want.values()) > 0  # corpus actually exercises the op
+
+
+def test_table_profile_null_semantics(spark, tmp_path):
+    """NULLs count into n_rows and n_nulls but never into n_distinct /
+    min / max; max_freq is the heaviest value's multiplicity. Pinned on
+    a hand-built lineitem with known nulls and a hot value."""
+    import shutil
+
+    from datamunging_spark.ml_ops import table_profile
+
+    src = f"{SF_DIR}"
+    d = tmp_path / "sf"
+    d.mkdir()
+    for tbl in TABLES:
+        shutil.copy(f"{src}/{tbl}.parquet", d / f"{tbl}.parquet")
+    rows = [
+        (1, 10, None, 1),
+        (1, 10, None, 2),
+        (2, 10, 7, 1),
+        (None, 20, 7, 1),
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int",
+    ).selectExpr(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "CAST(1.0 AS DOUBLE) AS l_quantity",
+        "CAST(1.0 AS DOUBLE) AS l_extendedprice",
+        "CAST(0.0 AS DOUBLE) AS l_discount",
+        "CAST(0.0 AS DOUBLE) AS l_tax",
+        "'N' AS l_returnflag", "'O' AS l_linestatus",
+        "CAST('2024-01-01' AS TIMESTAMP) AS l_shipdate",
+    ).write.mode("overwrite").parquet(str(d / "lineitem.parquet"))
+    got = table_profile(spark, str(d)).toPandas().set_index("col")
+    ok = got.loc["l_orderkey"]
+    assert (ok.n_rows, ok.n_distinct, ok.n_nulls) == (4, 2, 1)
+    assert (ok.min_val, ok.max_val, ok.max_freq) == (1, 2, 2)
+    sk = got.loc["l_suppkey"]
+    assert (sk.n_rows, sk.n_distinct, sk.n_nulls) == (4, 1, 2)
+    assert (sk.min_val, sk.max_val, sk.max_freq) == (7, 7, 2)
+    pk = got.loc["l_partkey"]
+    assert (pk.n_distinct, pk.n_nulls, pk.max_freq) == (2, 0, 3)

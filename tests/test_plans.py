@@ -832,3 +832,21 @@ def test_sliding_window_events_plan_shape(spark, sf_dir):
     assert "EvalPython" not in p, p
     assert "Join" not in p, p
     assert "partial" in p.lower(), p
+
+
+def test_table_profile_plan_shape(spark, sf_dir):
+    """Melt-based ANALYZE: exactly two hash exchanges for K profiled
+    columns (the (col,val) combine and the per-column rollup) — never
+    K countDistinct expansions each reshuffling the table; no Python,
+    no join, and the scan reads only the profiled columns."""
+    from datamunging_spark.ml_ops import PROFILE_COLS, table_profile
+
+    p = plan_of(table_profile(spark, sf_dir))
+    assert "EvalPython" not in p, p
+    assert "Join" not in p, p
+    assert p.count("Exchange hashpartitioning") == 2, p
+    for seg in p.split("ReadSchema")[1:]:
+        head = seg.split("\n")[0]
+        for c in PROFILE_COLS:
+            assert c in head, head
+        assert "l_extendedprice" not in head, head
