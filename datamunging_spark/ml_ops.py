@@ -7668,3 +7668,153 @@ FROM pv GROUP BY col ORDER BY col
 
 
 ML_QUERIES["table_profile"] = (table_profile, _table_profile_sql())
+
+
+# --------------------------------------------------------------------------
+# Exact set-similarity JOIN via prefix filtering (late-r5 extension) —
+# the AllPairs / SSJoin family (Bayardo et al. WWW'07; Chaudhuri et al.
+# ICDE'06): match a PROBE table of corrupted documents against the
+# corpus at token-Jaccard >= tau with ZERO false negatives — the
+# record-linkage counterpart of dedup (dedup asks "which rows repeat",
+# linkage asks "which rows of THAT table are these"). MinHash-LSH is
+# probabilistic (recall < 1 by construction); prefix filtering is the
+# exact alternative: under ANY fixed global token order, two sets with
+# J >= tau MUST share a token inside each other's first
+# |s| - ceil(tau*|s|) + 1 tokens, so joining the two tables' PREFIX
+# tokens only is a complete candidate generator. Probe synthesis: every
+# doc_id % 7 == 0 document reappears (id + 300000) with ~20% of its
+# distinct tokens md5-dropped (J ~ 0.8 against its source).
+# Scale shape: the prefix join is an equi-join on the token key whose
+# inputs are PREFIX tokens only (a tau-controlled fraction of each
+# set); verification rebuilds token sets ONLY for candidate ids
+# (broadcast semi-join prune, same pattern as the LSH verifier) and
+# thresholds on the EXACT INTEGER cross-product inter*DEN >= union*NUM
+# — no float boundary at tau. Global order here is md5(token); at
+# production scale use ascending document frequency (rarest-first),
+# which minimizes candidate counts — same plan, different sort key.
+# --------------------------------------------------------------------------
+
+FUZZY_TAU_NUM, FUZZY_TAU_DEN = 3, 5  # tau = 0.6
+_FJ_PROBE_OFFSET = 300000
+
+
+def _fj_tokens(docs, id_alias):
+    return (
+        docs.select(
+            F.col("doc_id").alias(id_alias),
+            F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+
+
+def _fj_prefix(tokdf, idc):
+    wsz = W.partitionBy(idc)
+    wrn = W.partitionBy(idc).orderBy(md5_long(F.col("tok")), F.col("tok"))
+    return (
+        tokdf.withColumn("sz", F.count("*").over(wsz))
+        .withColumn("rn", F.row_number().over(wrn))
+        .where(
+            F.expr(
+                f"rn <= sz - (({FUZZY_TAU_NUM} * sz + {FUZZY_TAU_DEN - 1}) "
+                f"DIV {FUZZY_TAU_DEN}) + 1"
+            )
+        )
+        .select(idc, "tok")
+    )
+
+
+def fuzzy_join_tokens(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    ltok = _fj_tokens(docs, "lid")
+    drop = md5_long(
+        F.concat(
+            F.lit("fj:drop:"), F.col("rid").cast("string"), F.lit(":"),
+            F.col("tok"),
+        )
+    )
+    rtok = (
+        _fj_tokens(docs.where(F.col("doc_id") % 7 == 0), "rid")
+        .where(drop % 5 != 0)
+        .select((F.col("rid") + _FJ_PROBE_OFFSET).alias("rid"), "tok")
+    )
+    cand = (
+        _fj_prefix(ltok, "lid")
+        .join(_fj_prefix(rtok, "rid"), "tok")
+        .select("lid", "rid")
+        .distinct()
+    )
+    lsets = (
+        ltok.join(F.broadcast(cand.select("lid").distinct()), "lid", "left_semi")
+        .groupBy("lid")
+        .agg(F.collect_set("tok").alias("lt"))
+    )
+    rsets = rtok.groupBy("rid").agg(F.collect_set("tok").alias("rt"))
+    return (
+        cand.join(lsets, "lid")
+        .join(rsets, "rid")
+        .withColumn("inter", F.size(F.array_intersect("lt", "rt")))
+        .withColumn("un", F.size(F.array_union("lt", "rt")))
+        .where(
+            F.col("inter") * FUZZY_TAU_DEN >= F.col("un") * FUZZY_TAU_NUM
+        )
+        .select(
+            "lid",
+            "rid",
+            F.round(F.col("inter") / F.col("un"), 4).alias("jaccard"),
+        )
+        .orderBy("lid", "rid")
+    )
+
+
+def _fuzzy_join_sql() -> str:
+    h = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+    plen = (
+        f"sz - (({FUZZY_TAU_NUM} * sz + {FUZZY_TAU_DEN - 1}) "
+        f"// {FUZZY_TAU_DEN}) + 1"
+    )
+
+    def pre(src, idc):
+        return f"""
+  SELECT {idc}, tok FROM (
+    SELECT {idc}, tok,
+      row_number() OVER (PARTITION BY {idc}
+                         ORDER BY {h.format(x='tok')}, tok) AS rn,
+      count(*) OVER (PARTITION BY {idc}) AS sz
+    FROM {src}
+  ) WHERE rn <= {plen}"""
+
+    drop_h = h.format(
+        x="concat('fj:drop:', CAST(doc_id AS VARCHAR), ':', tok)"
+    )
+    return f"""
+WITH ltok AS (
+  SELECT lid, tok FROM (
+    SELECT doc_id AS lid, unnest(list_distinct(string_split(text, ' '))) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+),
+rtok AS (
+  SELECT doc_id + {_FJ_PROBE_OFFSET} AS rid, tok FROM (
+    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+    FROM documents WHERE doc_id % 7 = 0
+  ) WHERE tok <> '' AND {drop_h} % 5 <> 0
+),
+lpre AS ({pre('ltok', 'lid')}),
+rpre AS ({pre('rtok', 'rid')}),
+cand AS (SELECT DISTINCT lid, rid FROM lpre JOIN rpre USING (tok)),
+lsets AS (SELECT lid, list(tok) AS lt FROM ltok GROUP BY lid),
+rsets AS (SELECT rid, list(tok) AS rt FROM rtok GROUP BY rid),
+v AS (
+  SELECT lid, rid,
+         len(list_intersect(lt, rt)) AS inter,
+         len(list_distinct(lt || rt)) AS un
+  FROM cand JOIN lsets USING (lid) JOIN rsets USING (rid)
+)
+SELECT lid, rid, round(CAST(inter AS DOUBLE) / un, 4) AS jaccard
+FROM v WHERE inter * {FUZZY_TAU_DEN} >= un * {FUZZY_TAU_NUM}
+ORDER BY lid, rid
+"""
+
+
+ML_QUERIES["fuzzy_join_tokens"] = (fuzzy_join_tokens, _fuzzy_join_sql())

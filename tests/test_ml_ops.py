@@ -2013,3 +2013,56 @@ def test_table_profile_null_semantics(spark, tmp_path):
     assert (sk.min_val, sk.max_val, sk.max_freq) == (7, 7, 2)
     pk = got.loc["l_partkey"]
     assert (pk.n_distinct, pk.n_nulls, pk.max_freq) == (2, 0, 3)
+
+
+def test_fuzzy_join_prefix_filter_complete(spark):
+    """THE prefix-filtering theorem, checked empirically: the join
+    returns EXACTLY the set of (corpus, probe) pairs with token-Jaccard
+    >= tau — computed here by brute-force over all pairs in Python (no
+    blocking at all). Zero false negatives is the property that
+    separates this from LSH; zero false positives comes from the exact
+    verify."""
+    import hashlib
+
+    from datamunging_spark.ml_ops import (
+        _FJ_PROBE_OFFSET,
+        FUZZY_TAU_DEN,
+        FUZZY_TAU_NUM,
+        fuzzy_join_tokens,
+    )
+    from datamunging_spark.queries import t as t_
+
+    docs = {
+        r.doc_id: r.text
+        for r in t_(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    }
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    lsets = {
+        i: {w for w in txt.split(" ") if w} for i, txt in docs.items()
+    }
+    lsets = {i: s for i, s in lsets.items() if s}
+    rsets = {}
+    for i, txt in docs.items():
+        if i % 7 != 0:
+            continue
+        kept = {
+            w
+            for w in {w for w in txt.split(" ") if w}
+            if h60(f"fj:drop:{i}:{w}") % 5 != 0
+        }
+        if kept:
+            rsets[i + _FJ_PROBE_OFFSET] = kept
+    want = set()
+    for lid, lt in lsets.items():
+        for rid, rt in rsets.items():
+            inter, un = len(lt & rt), len(lt | rt)
+            if inter * FUZZY_TAU_DEN >= un * FUZZY_TAU_NUM:
+                want.add((lid, rid))
+    got = fuzzy_join_tokens(spark, SF_DIR).toPandas()
+    assert {(r.lid, r.rid) for r in got.itertuples(index=False)} == want
+    # the planted corruption class is actually recovered
+    planted = {(rid - _FJ_PROBE_OFFSET, rid) for rid in rsets}
+    assert len(want & planted) > 0
