@@ -7674,22 +7674,25 @@ ML_QUERIES["table_profile"] = (table_profile, _table_profile_sql())
 # Exact set-similarity JOIN via prefix filtering (late-r5 extension) —
 # the AllPairs / SSJoin family (Bayardo et al. WWW'07; Chaudhuri et al.
 # ICDE'06): match a PROBE table of corrupted documents against the
-# corpus at token-Jaccard >= tau with ZERO false negatives — the
+# corpus at shingle-Jaccard >= tau with ZERO false negatives — the
 # record-linkage counterpart of dedup (dedup asks "which rows repeat",
 # linkage asks "which rows of THAT table are these"). MinHash-LSH is
 # probabilistic (recall < 1 by construction); prefix filtering is the
-# exact alternative: under ANY fixed global token order, two sets with
-# J >= tau MUST share a token inside each other's first
-# |s| - ceil(tau*|s|) + 1 tokens, so joining the two tables' PREFIX
-# tokens only is a complete candidate generator. Probe synthesis: every
-# doc_id % 7 == 0 document reappears (id + 300000) with ~20% of its
-# distinct tokens md5-dropped (J ~ 0.8 against its source).
-# Scale shape: the prefix join is an equi-join on the token key whose
-# inputs are PREFIX tokens only (a tau-controlled fraction of each
-# set); verification rebuilds token sets ONLY for candidate ids
+# exact alternative: under ANY fixed global element order, two sets
+# with J >= tau MUST share an element inside each other's first
+# |s| - ceil(tau*|s|) + 1 elements, so joining the two tables' PREFIX
+# elements only is a complete candidate generator. Sets are 3-word
+# shingles (the corpus's single-token sets all overlap heavily — a
+# 40-word vocabulary makes token Jaccard non-discriminative; shingles
+# restore separation: planted pairs ~0.8, random pairs ~0). Probe
+# synthesis: every doc_id % 7 == 0 document reappears (id + 300000)
+# with ~20% of its shingles md5-dropped.
+# Scale shape: the prefix join is an equi-join on the shingle key whose
+# inputs are PREFIX shingles only (a tau-controlled fraction of each
+# set); verification rebuilds shingle sets ONLY for candidate ids
 # (broadcast semi-join prune, same pattern as the LSH verifier) and
 # thresholds on the EXACT INTEGER cross-product inter*DEN >= union*NUM
-# — no float boundary at tau. Global order here is md5(token); at
+# — no float boundary at tau. Global order here is md5(shingle); at
 # production scale use ascending document frequency (rarest-first),
 # which minimizes candidate counts — same plan, different sort key.
 # --------------------------------------------------------------------------
@@ -7698,11 +7701,11 @@ FUZZY_TAU_NUM, FUZZY_TAU_DEN = 3, 5  # tau = 0.6
 _FJ_PROBE_OFFSET = 300000
 
 
-def _fj_tokens(docs, id_alias):
+def _fj_shingles(docs, id_alias):
     return (
         docs.select(
             F.col("doc_id").alias(id_alias),
-            F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+            F.explode(word_shingles(F.col("text"), 3)).alias("tok"),
         )
         .where(F.col("tok") != "")
     )
@@ -7724,9 +7727,9 @@ def _fj_prefix(tokdf, idc):
     )
 
 
-def fuzzy_join_tokens(spark, sf_dir):
+def fuzzy_join_shingles(spark, sf_dir):
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    ltok = _fj_tokens(docs, "lid")
+    ltok = _fj_shingles(docs, "lid")
     drop = md5_long(
         F.concat(
             F.lit("fj:drop:"), F.col("rid").cast("string"), F.lit(":"),
@@ -7734,7 +7737,7 @@ def fuzzy_join_tokens(spark, sf_dir):
         )
     )
     rtok = (
-        _fj_tokens(docs.where(F.col("doc_id") % 7 == 0), "rid")
+        _fj_shingles(docs.where(F.col("doc_id") % 7 == 0), "rid")
         .where(drop % 5 != 0)
         .select((F.col("rid") + _FJ_PROBE_OFFSET).alias("rid"), "tok")
     )
@@ -7787,17 +7790,18 @@ def _fuzzy_join_sql() -> str:
     drop_h = h.format(
         x="concat('fj:drop:', CAST(doc_id AS VARCHAR), ':', tok)"
     )
+    probe_src = f"({_shingle_sql(3)} WHERE doc_id % 7 = 0)"
     return f"""
-WITH ltok AS (
+WITH lsh AS ({_shingle_sql(3)}),
+ltok AS (
   SELECT lid, tok FROM (
-    SELECT doc_id AS lid, unnest(list_distinct(string_split(text, ' '))) AS tok
-    FROM documents
+    SELECT doc_id AS lid, unnest(sh) AS tok FROM lsh
   ) WHERE tok <> ''
 ),
+rsh AS (SELECT doc_id, sh FROM {probe_src}),
 rtok AS (
   SELECT doc_id + {_FJ_PROBE_OFFSET} AS rid, tok FROM (
-    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
-    FROM documents WHERE doc_id % 7 = 0
+    SELECT doc_id, unnest(sh) AS tok FROM rsh
   ) WHERE tok <> '' AND {drop_h} % 5 <> 0
 ),
 lpre AS ({pre('ltok', 'lid')}),
@@ -7817,4 +7821,4 @@ ORDER BY lid, rid
 """
 
 
-ML_QUERIES["fuzzy_join_tokens"] = (fuzzy_join_tokens, _fuzzy_join_sql())
+ML_QUERIES["fuzzy_join_shingles"] = (fuzzy_join_shingles, _fuzzy_join_sql())

@@ -2017,18 +2017,18 @@ def test_table_profile_null_semantics(spark, tmp_path):
 
 def test_fuzzy_join_prefix_filter_complete(spark):
     """THE prefix-filtering theorem, checked empirically: the join
-    returns EXACTLY the set of (corpus, probe) pairs with token-Jaccard
-    >= tau — computed here by brute-force over all pairs in Python (no
-    blocking at all). Zero false negatives is the property that
-    separates this from LSH; zero false positives comes from the exact
-    verify."""
+    returns EXACTLY the set of (corpus, probe) pairs with
+    shingle-Jaccard >= tau — computed here by brute-force over all
+    pairs in Python (no blocking at all). Zero false negatives is the
+    property that separates this from LSH; zero false positives comes
+    from the exact verify."""
     import hashlib
 
     from datamunging_spark.ml_ops import (
         _FJ_PROBE_OFFSET,
         FUZZY_TAU_DEN,
         FUZZY_TAU_NUM,
-        fuzzy_join_tokens,
+        fuzzy_join_shingles,
     )
     from datamunging_spark.queries import t as t_
 
@@ -2040,18 +2040,22 @@ def test_fuzzy_join_prefix_filter_complete(spark):
     def h60(s: str) -> int:
         return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
-    lsets = {
-        i: {w for w in txt.split(" ") if w} for i, txt in docs.items()
-    }
+    def shingles(txt: str) -> set:
+        ws = txt.lower().split(" ")
+        if len(ws) >= 3:
+            sh = {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+        else:
+            sh = {txt}
+        return {s for s in sh if s}
+
+    lsets = {i: shingles(txt) for i, txt in docs.items()}
     lsets = {i: s for i, s in lsets.items() if s}
     rsets = {}
     for i, txt in docs.items():
         if i % 7 != 0:
             continue
         kept = {
-            w
-            for w in {w for w in txt.split(" ") if w}
-            if h60(f"fj:drop:{i}:{w}") % 5 != 0
+            w for w in shingles(txt) if h60(f"fj:drop:{i}:{w}") % 5 != 0
         }
         if kept:
             rsets[i + _FJ_PROBE_OFFSET] = kept
@@ -2061,7 +2065,7 @@ def test_fuzzy_join_prefix_filter_complete(spark):
             inter, un = len(lt & rt), len(lt | rt)
             if inter * FUZZY_TAU_DEN >= un * FUZZY_TAU_NUM:
                 want.add((lid, rid))
-    got = fuzzy_join_tokens(spark, SF_DIR).toPandas()
+    got = fuzzy_join_shingles(spark, SF_DIR).toPandas()
     assert {(r.lid, r.rid) for r in got.itertuples(index=False)} == want
     # the planted corruption class is actually recovered
     planted = {(rid - _FJ_PROBE_OFFSET, rid) for rid in rsets}

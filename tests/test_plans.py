@@ -852,14 +852,14 @@ def test_table_profile_plan_shape(spark, sf_dir):
         assert "l_extendedprice" not in head, head
 
 
-def test_fuzzy_join_tokens_plan_shape(spark, sf_dir):
+def test_fuzzy_join_shingles_plan_shape(spark, sf_dir):
     """Prefix-filter similarity join: candidate generation is an
     equi-join on the token key (prefix tokens only); the verify-side
     token rebuild is pruned by a broadcast semi-join on candidate ids;
     no cartesian, no Python."""
-    from datamunging_spark.ml_ops import fuzzy_join_tokens
+    from datamunging_spark.ml_ops import fuzzy_join_shingles
 
-    p = plan_of(fuzzy_join_tokens(spark, sf_dir))
+    p = plan_of(fuzzy_join_shingles(spark, sf_dir))
     assert "EvalPython" not in p, p
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
