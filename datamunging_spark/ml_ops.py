@@ -7822,3 +7822,111 @@ ORDER BY lid, rid
 
 
 ML_QUERIES["fuzzy_join_shingles"] = (fuzzy_join_shingles, _fuzzy_join_sql())
+
+
+# --------------------------------------------------------------------------
+# k-core decomposition (late-r5 extension) — the graph-cleaning peel:
+# repeatedly delete nodes of degree < k until the remaining subgraph
+# (the k-core) is stable. Link-graph curation uses it ahead of
+# PageRank/HITS (peel the low-degree fringe that contributes noise
+# mass) and it is the third member of this engine's iterative-graph
+# family (pagerank_links: fixed-point power iteration; dedup_clusters:
+# min-label propagation; k_core: monotone peeling).
+# Iteration contract (the dedup_clusters pattern): the engine loops a
+# degree-filter round — one map-side-combinable degree agg + two
+# LEFT SEMI joins pruning the edge list — until the edge count is
+# stable, RAISING if convergence takes more than _KCORE_MAX_ROUNDS
+# (peeling is monotone, so the edge count is strictly decreasing until
+# fixpoint). The DuckDB oracle unrolls exactly _KCORE_MAX_ROUNDS
+# rounds: monotonicity makes post-convergence rounds no-ops, so the
+# unrolled replay equals the early-stopped engine. Per-round edge
+# counts are driver-side model state (the audited collect class);
+# localCheckpoint cuts the per-round lineage so the plan doesn't grow
+# quadratically with rounds — at 10^12 edges this is a checkpoint to
+# cluster storage.
+# --------------------------------------------------------------------------
+
+KCORE_K = 4
+_KCORE_MAX_ROUNDS = 8
+
+
+def _edge_degrees(edges):
+    return (
+        edges.select(F.col("u").alias("id"))
+        .unionAll(edges.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("d"))
+    )
+
+
+def k_core(spark, sf_dir, k: int = KCORE_K):
+    edges = _link_edges_undirected(spark, sf_dir).localCheckpoint()
+    n_edges = edges.count()
+    for _ in range(_KCORE_MAX_ROUNDS):
+        keep = _edge_degrees(edges).where(F.col("d") >= k).select("id")
+        edges = (
+            edges.join(
+                keep.select(F.col("id").alias("u")), "u", "left_semi"
+            )
+            .join(keep.select(F.col("id").alias("v")), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        n_new = edges.count()
+        if n_new == n_edges:
+            break
+        n_edges = n_new
+    else:
+        raise RuntimeError(
+            f"k_core: no fixpoint within {_KCORE_MAX_ROUNDS} rounds"
+        )
+    return (
+        _edge_degrees(edges)
+        .select(F.col("id").alias("node_id"), F.col("d").cast("long").alias("core_deg"))
+        .orderBy("node_id")
+    )
+
+
+def _k_core_sql(k: int = KCORE_K) -> str:
+    def h(j: int) -> str:
+        return (
+            f"(CAST(concat('0x', substr(md5(concat('pr{j}:', "
+            f"CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % n)"
+        )
+
+    cand = " UNION ALL ".join(
+        f"SELECT doc_id AS src, {h(j)} AS dst FROM documents, cnt "
+        f"WHERE doc_id % {_PR_DANGLE_MOD} <> 3"
+        for j in range(3)
+    )
+    # every e{r} is referenced three times by round r+1 (FROM + the two
+    # IN probes via d{r}); DuckDB inlines plain CTEs, which would expand
+    # the 8-round unroll exponentially — MATERIALIZED pins each round to
+    # one evaluation.
+    parts = [
+        f"WITH cnt AS (SELECT count(*) AS n FROM documents), "
+        f"cand AS ({cand}), "
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, "
+        "greatest(src, dst) AS v FROM cand WHERE dst <> src)"
+    ]
+    for r in range(_KCORE_MAX_ROUNDS):
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT id, count(*) AS d FROM "
+            f"(SELECT u AS id FROM e{r} UNION ALL SELECT v FROM e{r}) "
+            f"GROUP BY id)"
+        )
+        parts.append(
+            f"e{r + 1} AS MATERIALIZED (SELECT u, v FROM e{r} "
+            f"WHERE u IN (SELECT id FROM d{r} WHERE d >= {k}) "
+            f"AND v IN (SELECT id FROM d{r} WHERE d >= {k}))"
+        )
+    last = f"e{_KCORE_MAX_ROUNDS}"
+    return (
+        ", ".join(parts)
+        + f" SELECT id AS node_id, CAST(count(*) AS BIGINT) AS core_deg "
+        f"FROM (SELECT u AS id FROM {last} UNION ALL SELECT v FROM {last}) "
+        "GROUP BY id ORDER BY node_id"
+    )
+
+
+ML_QUERIES["k_core"] = (k_core, _k_core_sql())

@@ -2070,3 +2070,40 @@ def test_fuzzy_join_prefix_filter_complete(spark):
     # the planted corruption class is actually recovered
     planted = {(rid - _FJ_PROBE_OFFSET, rid) for rid in rsets}
     assert len(want & planted) > 0
+
+
+def test_k_core_invariants(spark):
+    """Defining property of the k-core: every surviving node's degree
+    WITHIN the core is >= k; the core is maximal (re-running one peel
+    round on the returned subgraph removes nothing); and the peel is
+    idempotent vs a pure-Python replay on the same edges."""
+    from datamunging_spark.ml_ops import (
+        KCORE_K,
+        _link_edges_undirected,
+        k_core,
+    )
+
+    got = k_core(spark, SF_DIR).toPandas()
+    assert (got.core_deg >= KCORE_K).all()
+    edges = {
+        (r.u, r.v)
+        for r in _link_edges_undirected(spark, SF_DIR).collect()
+    }
+    E = set(edges)
+    while True:
+        deg: dict = {}
+        for u, v in E:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        keep = {n for n, d in deg.items() if d >= KCORE_K}
+        E2 = {(u, v) for u, v in E if u in keep and v in keep}
+        if E2 == E:
+            break
+        E = E2
+    want_deg: dict = {}
+    for u, v in E:
+        want_deg[u] = want_deg.get(u, 0) + 1
+        want_deg[v] = want_deg.get(v, 0) + 1
+    assert {(r.node_id, r.core_deg) for r in got.itertuples(index=False)} == set(
+        want_deg.items()
+    )
