@@ -7930,3 +7930,85 @@ def _k_core_sql(k: int = KCORE_K) -> str:
 
 
 ML_QUERIES["k_core"] = (k_core, _k_core_sql())
+
+
+# --------------------------------------------------------------------------
+# Snapshot diff (late-r5 extension) — the lakehouse audit primitive:
+# given two snapshots of the same table, emit exactly the delta
+# (added / removed / changed row keys). This is what validates an
+# ingestion rerun, a CDC replay (cdc_apply's output vs the previous
+# snapshot), or a migration backfill at 10^12 rows. Snapshot B is
+# synthesized from documents: doc_id % 11 == 0 deleted, % 13 == 0
+# edited (text suffix), % 17 == 5 re-inserted under doc_id + 400000
+# with a new source (deletes win over edits where both apply).
+# Scale shape: ONE full-outer shuffle join on the key with both sides
+# reduced to (key, fingerprint) BEFORE the shuffle — the md5 row
+# fingerprint collapses arbitrarily wide rows to 16 bytes, so the
+# shuffle moves keys + hashes, never payloads; only the delta is
+# emitted. On bucketed/Z-ordered snapshots the join is co-located and
+# shuffle-free (zorder_layout is the companion op).
+# --------------------------------------------------------------------------
+
+
+def _doc_fingerprint_expr():
+    return F.md5(F.concat_ws("|", "text", "lang", "source"))
+
+
+def snapshot_diff(spark, sf_dir):
+    a = t(spark, sf_dir, "documents")
+    b_mod = a.where(F.col("doc_id") % 11 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" [edited]"))
+        ).otherwise(F.col("text")),
+    )
+    b_new = a.where(F.col("doc_id") % 17 == 5).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        "text",
+        "lang",
+        F.lit("newsrc").alias("source"),
+        "n_chars",
+    )
+    b = b_mod.unionByName(b_new)
+    fa = a.select("doc_id", _doc_fingerprint_expr().alias("fpa"))
+    fb = b.select("doc_id", _doc_fingerprint_expr().alias("fpb"))
+    status = (
+        F.when(F.col("fpb").isNull(), "removed")
+        .when(F.col("fpa").isNull(), "added")
+        .when(F.col("fpa") != F.col("fpb"), "changed")
+    )
+    return (
+        fa.join(fb, "doc_id", "full_outer")
+        .select("doc_id", status.alias("status"))
+        .where(F.col("status").isNotNull())
+        .orderBy("doc_id")
+    )
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH a AS (SELECT doc_id, md5(concat_ws('|', text, lang, source)) AS fpa
+           FROM documents),
+b_rows AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN concat(text, ' [edited]')
+              ELSE text END AS text,
+         lang, source
+  FROM documents WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT doc_id + 400000, text, lang, 'newsrc' FROM documents
+  WHERE doc_id % 17 = 5
+),
+b AS (SELECT doc_id, md5(concat_ws('|', text, lang, source)) AS fpb
+      FROM b_rows)
+SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN fpb IS NULL THEN 'removed'
+            WHEN fpa IS NULL THEN 'added'
+            WHEN fpa <> fpb THEN 'changed' END AS status
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+WHERE (CASE WHEN fpb IS NULL THEN 'removed'
+            WHEN fpa IS NULL THEN 'added'
+            WHEN fpa <> fpb THEN 'changed' END) IS NOT NULL
+ORDER BY doc_id
+"""
+
+ML_QUERIES["snapshot_diff"] = (snapshot_diff, SNAPSHOT_DIFF_SQL)

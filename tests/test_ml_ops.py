@@ -2107,3 +2107,29 @@ def test_k_core_invariants(spark):
     assert {(r.node_id, r.core_deg) for r in got.itertuples(index=False)} == set(
         want_deg.items()
     )
+
+
+def test_snapshot_diff_classes(spark):
+    """Every mutation class lands in the right bucket: %11 keys are
+    'removed' (deletes win over edits), %13-and-not-%11 keys are
+    'changed', +400000 keys are 'added', and nothing else appears."""
+    from datamunging_spark.ml_ops import snapshot_diff
+    from datamunging_spark.queries import t as t_
+
+    ids = [
+        r.doc_id
+        for r in t_(spark, SF_DIR, "documents").select("doc_id").collect()
+    ]
+    got = {
+        (r.doc_id, r.status)
+        for r in snapshot_diff(spark, SF_DIR).toPandas().itertuples(index=False)
+    }
+    want = set()
+    for i in ids:
+        if i % 11 == 0:
+            want.add((i, "removed"))
+        elif i % 13 == 0:
+            want.add((i, "changed"))
+        if i % 17 == 5:
+            want.add((i + 400000, "added"))
+    assert got == want

@@ -864,3 +864,20 @@ def test_fuzzy_join_shingles_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "LeftSemi" in p, p
+
+
+def test_snapshot_diff_plan_shape(spark, sf_dir):
+    """Table diff: both snapshots reduce to (key, md5 fingerprint)
+    BEFORE the full-outer shuffle join — the md5 projection must sit
+    under the join, so the shuffle carries 16-byte hashes, not text
+    payloads; no Python."""
+    from datamunging_spark.ml_ops import snapshot_diff
+
+    p = plan_of(snapshot_diff(spark, sf_dir))
+    assert "EvalPython" not in p, p
+    assert "FullOuter" in p, p
+    # the shuffle key lists doc_id only — text/lang/source never cross
+    # an exchange (they are consumed by the md5 projection below it)
+    for seg in p.split("Exchange hashpartitioning")[1:]:
+        head = seg.split("\n")[0]
+        assert "text" not in head, head
