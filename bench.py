@@ -90,6 +90,13 @@ HEADLINE = [
     "quantile_buckets",
     "cdc_apply",
     "dedup_levenshtein",
+    # second late-r5 extension batch
+    "triangle_count",
+    "k_core",
+    "fuzzy_join_shingles",
+    "table_profile",
+    "domain_cap_sample",
+    "snapshot_diff",
 ]
 
 ALL = {**RELATIONAL_QUERIES, **ML_QUERIES}
