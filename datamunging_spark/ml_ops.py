@@ -8012,3 +8012,115 @@ ORDER BY doc_id
 """
 
 ML_QUERIES["snapshot_diff"] = (snapshot_diff, SNAPSHOT_DIFF_SQL)
+
+
+# --------------------------------------------------------------------------
+# Per-source quality calibration (late-r5 extension) — a raw quality
+# score is not comparable ACROSS sources (a mid-tier academic page
+# outscores a top-tier forum post on absolute features), so web-scale
+# curation thresholds the PER-SOURCE percentile, not the raw score:
+# keep each source's top X%. The engine emits the percent-rank as the
+# EXACT INTEGER ppm (rank-1) * 10^6 DIV (n-1) — percent_rank()'s exact
+# rational, avoiding the float window function whose equality-at-a-
+# threshold behavior is the usual rank-flip hazard (n == 1 pins to 0).
+# Quality proxy is n_chars with doc_id tiebreak (total order -> ranks
+# are deterministic).
+# Scale shape: one window per source key — same hash shuffle the final
+# per-source filter needs anyway; rank arithmetic is codegen.
+# --------------------------------------------------------------------------
+
+
+def quality_calibrate(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(W.partitionBy("source")))
+        .select(
+            "doc_id",
+            "source",
+            F.expr(
+                "CASE WHEN n = 1 THEN CAST(0 AS BIGINT) "
+                "ELSE (rk - 1) * 1000000 DIV (n - 1) END"
+            ).alias("pr_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUALITY_CALIBRATE_SQL = """
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS rk,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT doc_id, source,
+       CASE WHEN n = 1 THEN CAST(0 AS BIGINT)
+            ELSE CAST((rk - 1) * 1000000 // (n - 1) AS BIGINT) END AS pr_ppm
+FROM r ORDER BY doc_id
+"""
+
+ML_QUERIES["quality_calibrate"] = (quality_calibrate, QUALITY_CALIBRATE_SQL)
+
+
+# --------------------------------------------------------------------------
+# N-gram novelty (late-r5 extension) — the inverse of common_passages:
+# for each document, the fraction of its distinct 3-shingles that occur
+# in NO other document (document frequency 1). Low novelty = boilerplate
+# assembled from corpus-common fragments (memorization/duplication
+# risk); high novelty = fresh text. CCNet-style pipelines use exactly
+# this signal next to paragraph dedup.
+# Scale shape: one shingle explode -> df count (shuffle keyed on the
+# shingle hash — at 10^12 docs, hash the shingle to int64 first so the
+# shuffle moves 8-byte keys) -> join back on shingle -> per-doc agg.
+# The df table is the same intermediate the common-passages and
+# decontamination ops build; a production pipeline computes it once.
+# The ratio is the exact integer ppm unique*10^6 DIV total.
+# --------------------------------------------------------------------------
+
+
+def ngram_novelty(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("g")
+    ).where(F.col("g") != "")
+    df_tab = sh.groupBy("g").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        sh.join(df_tab, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum((F.col("df") == 1).cast("long")).alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.expr("n_unique * 1000000 DIV n_shingles").alias("novelty_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _ngram_novelty_sql() -> str:
+    return f"""
+WITH shg AS ({_shingle_sql(3)}),
+sh AS (
+  SELECT doc_id, g FROM (SELECT doc_id, unnest(sh) AS g FROM shg)
+  WHERE g <> ''
+),
+df_tab AS (SELECT g, count(DISTINCT doc_id) AS df FROM sh GROUP BY g),
+agg AS (
+  SELECT doc_id, count(*) AS n_shingles,
+         sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_unique
+  FROM sh JOIN df_tab USING (g) GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(n_unique * 1000000 // n_shingles AS BIGINT) AS novelty_ppm
+FROM agg ORDER BY doc_id
+"""
+
+
+ML_QUERIES["ngram_novelty"] = (ngram_novelty, _ngram_novelty_sql())

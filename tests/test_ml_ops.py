@@ -2133,3 +2133,67 @@ def test_snapshot_diff_classes(spark):
         if i % 17 == 5:
             want.add((i + 400000, "added"))
     assert got == want
+
+
+def test_quality_calibrate_invariants(spark):
+    """Percent-rank calibration: within every source the ppm rank spans
+    exactly [0, 1e6] (n > 1), is monotone in (n_chars, doc_id), and
+    each source's top-20% cut selects ~20% of its docs — the property
+    raw-score thresholds don't have."""
+    from datamunging_spark.ml_ops import quality_calibrate
+    from datamunging_spark.queries import t as t_
+
+    got = quality_calibrate(spark, SF_DIR).toPandas()
+    chars = {
+        r.doc_id: r.n_chars
+        for r in t_(spark, SF_DIR, "documents").select("doc_id", "n_chars").collect()
+    }
+    for src, g in got.groupby("source"):
+        if len(g) > 1:
+            assert g.pr_ppm.min() == 0
+            assert g.pr_ppm.max() == 1_000_000
+            ordered = g.sort_values(["pr_ppm", "doc_id"])
+            ranked = sorted(
+                g.doc_id, key=lambda i: (chars[i], i)
+            )
+            assert list(ordered.doc_id) == ranked
+            kept = (g.pr_ppm >= 800_000).sum()
+            assert abs(kept / len(g) - 0.2) < 0.05
+
+
+def test_ngram_novelty_python_recount(spark):
+    """novelty_ppm equals a pure-Python recount of df==1 shingles over
+    the full corpus; bounds hold; duplicate-free corpus still has
+    shared shingles (novelty < 1 for some doc)."""
+    from datamunging_spark.ml_ops import ngram_novelty
+    from datamunging_spark.queries import t as t_
+
+    docs = {
+        r.doc_id: r.text
+        for r in t_(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    }
+
+    def shingles(txt: str) -> set:
+        ws = txt.lower().split(" ")
+        sh = (
+            {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+            if len(ws) >= 3
+            else {txt}
+        )
+        return {s for s in sh if s}
+
+    sets = {i: shingles(tx) for i, tx in docs.items()}
+    from collections import Counter
+
+    df: Counter = Counter()
+    for s in sets.values():
+        for g in s:
+            df[g] += 1
+    got = ngram_novelty(spark, SF_DIR).toPandas()
+    for r in got.itertuples(index=False):
+        s = sets[r.doc_id]
+        assert r.n_shingles == len(s)
+        uniq = sum(1 for g in s if df[g] == 1)
+        assert r.novelty_ppm == uniq * 1_000_000 // len(s)
+    assert (got.novelty_ppm <= 1_000_000).all()
+    assert (got.novelty_ppm < 1_000_000).any()
