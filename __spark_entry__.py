@@ -122,17 +122,26 @@ DRIVER_PRIORITY = [
     "winnow_fingerprint",
     # (hash_split moved past the window late in r5: md5 split stays
     # driver-exercised inside curate_corpus; the op remains
-    # oracle-checked in pytest + CORRECTNESS_local.json. Freed slot
-    # goes to embedding_quantize — SQ8 int8 vector quantization +
-    # integer ADC top-k, the 100 TB vector-storage path, a capability
-    # the ANN family's in-window rows don't cover.)
-    "embedding_quantize",
+    # oracle-checked in pytest + CORRECTNESS_local.json. That slot
+    # briefly held embedding_quantize; in the final r5 batch the SQ8
+    # capability is driver-covered by ann_ivf_sq8 (which composes the
+    # identical int8 quantization + integer ADC), so the slot goes to
+    # triangle_count — the degree-oriented wedge join, a graph-analytics
+    # capability (exact subgraph listing) that pagerank/anchor_text
+    # don't exercise. embedding_quantize stays oracle-checked in pytest
+    # + CORRECTNESS_local.json.)
+    "triangle_count",
     "decontaminate_ngrams",
     # (pack_shards moved past the window late in r5: the packing family
-    # keeps pack_shards_bfd in-window below; the cumsum packer remains
-    # oracle-checked in pytest + CORRECTNESS_local.json. Freed slot goes
-    # to gopher_repetition — the repetition half of the Gopher filter.)
-    "gopher_repetition",
+    # keeps pack_shards_bfd in-window below. That slot briefly held
+    # gopher_repetition; in the final r5 batch the Gopher filter family
+    # is driver-covered by gopher_quality, so the slot goes to
+    # fuzzy_join_shingles — exact prefix-filter set-similarity JOIN
+    # (record linkage), a capability class no other in-window row has:
+    # cross-table fuzzy matching with zero false negatives, the
+    # deterministic complement of the MinHash-LSH row. gopher_repetition
+    # stays oracle-checked in pytest + CORRECTNESS_local.json.)
+    "fuzzy_join_shingles",
     "header_detect_relational",
     # round-3 flagship additions (freed slots: the grouping-sets family
     # keeps one driver representative, rollup_lineitem; the window
