@@ -7847,7 +7847,13 @@ ML_QUERIES["fuzzy_join_shingles"] = (fuzzy_join_shingles, _fuzzy_join_sql())
 # --------------------------------------------------------------------------
 
 KCORE_K = 4
-_KCORE_MAX_ROUNDS = 8
+# Round cap: sf tables converge in <= 6 rounds, but the differential
+# fuzzer's hostile small graphs peel much deeper (measured max 18 for
+# every synthesized size n < 130 — tiny random graphs at avg degree
+# ~5.6 peel to empty one layer at a time). 24 gives margin; the raise
+# below keeps the guard loud if a future corpus exceeds it, which the
+# fuzzer proved is the failure mode that actually happens.
+_KCORE_MAX_ROUNDS = 24
 
 
 def _edge_degrees(edges):
