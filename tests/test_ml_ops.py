@@ -2197,3 +2197,58 @@ def test_ngram_novelty_python_recount(spark):
         assert r.novelty_ppm == uniq * 1_000_000 // len(s)
     assert (got.novelty_ppm <= 1_000_000).all()
     assert (got.novelty_ppm < 1_000_000).any()
+
+
+def test_k_core_deep_peel_small_graph(spark, tmp_path):
+    """Regression for the fuzz-caught round-cap bug: small random
+    graphs peel MUCH deeper than the sf tables (n=40 needs 14 rounds
+    vs 6 at sf0.01; measured max 18 for all n < 130). Pin the n=40
+    case end-to-end against the pure-Python peel — the engine must
+    converge (no round-cap raise) and agree exactly. Also pins the
+    empty-core outcome: at n=40 the 4-core is empty."""
+    import shutil
+
+    from datamunging_spark.ml_ops import KCORE_K, k_core
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    for tbl in TABLES:
+        shutil.copy(f"{SF_DIR}/{tbl}.parquet", d / f"{tbl}.parquet")
+    docs = spark.range(40).selectExpr(
+        "id AS doc_id", "'x' AS text", "'en' AS lang", "'s' AS source",
+        "1 AS n_chars"
+    )
+    docs.write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    got = k_core(spark, str(d)).toPandas()
+    import hashlib
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    edges = set()
+    for i in range(40):
+        if i % 17 == 3:
+            continue
+        for j in range(3):
+            dst = h60(f"pr{j}:{i}") % 40
+            if dst != i:
+                edges.add((min(i, dst), max(i, dst)))
+    E = set(edges)
+    while True:
+        deg: dict = {}
+        for u, v in E:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        keep = {x for x, dg in deg.items() if dg >= KCORE_K}
+        E2 = {(u, v) for u, v in E if u in keep and v in keep}
+        if E2 == E:
+            break
+        E = E2
+    want: dict = {}
+    for u, v in E:
+        want[u] = want.get(u, 0) + 1
+        want[v] = want.get(v, 0) + 1
+    assert {
+        (r.node_id, r.core_deg) for r in got.itertuples(index=False)
+    } == set(want.items())
+    assert len(want) == 0  # n=40's 4-core peels to empty — the deep case
