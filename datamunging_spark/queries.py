@@ -966,6 +966,119 @@ FROM assigned GROUP BY 1, 2 ORDER BY wstart, event_type
 
 
 # --------------------------------------------------------------------------
+# TPC-H Q9 shape (product-type profit) — the join-REORDERING stress
+# query: a 5-table star (part is the selective filter, lineitem the
+# fact) grouped by (nation, order year). The testdata has no partsupp,
+# so profit is the revenue measure l_extendedprice * (1 - l_discount)
+# (the supplycost term is dropped; join shape and group-by match Q9).
+# Catalyst's CBO/AQE ordering note: the selective p_name filter must
+# reach the part scan (pushed) and part/supplier/nation should
+# broadcast — lineitem never builds a hash table (plan-asserted).
+# --------------------------------------------------------------------------
+
+
+def q9_product_profit(spark, sf_dir):
+    part = t(spark, sf_dir, "part").where(F.col("p_name").contains("red"))
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    orders = t(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("profit")
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INT) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q21 shape (suppliers who kept orders waiting) — the hardest
+# relational pattern in the suite: a correlated EXISTS and a correlated
+# NOT EXISTS against the same fact table. The testdata has no
+# l_receiptdate/l_commitdate, so "this supplier was late" is proxied by
+# l_returnflag = 'R'; the double-correlation shape is exact Q21: count
+# per supplier the multi-supplier orders where EXISTS another supplier
+# on the order AND NOT EXISTS another supplier who also failed.
+# Execution: both correlations compile to one LEFT SEMI + one LEFT ANTI
+# join on l_orderkey with a non-equi supplier guard — never a
+# per-row subquery (plan-asserted).
+# --------------------------------------------------------------------------
+
+
+def q21_waiting_suppliers(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    l1 = li.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    cand = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")),
+        "left_anti",
+    )
+    return (
+        cand.join(F.broadcast(supp), cand.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+Q21_SQL = """
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM lineitem l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+"""
+
+
+# --------------------------------------------------------------------------
 # Catalog
 # --------------------------------------------------------------------------
 
@@ -994,6 +1107,8 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "sessionize_events": (q_sessionize_events, Q_SESSIONIZE_SQL),
     "tumbling_window_events": (q_tumbling_window_events, Q_TUMBLING_SQL),
     "sliding_window_events": (q_sliding_window_events, Q_SLIDING_SQL),
+    "q9_product_profit": (q9_product_profit, Q9_SQL),
+    "q21_waiting_suppliers": (q21_waiting_suppliers, Q21_SQL),
 }
 
 

@@ -881,3 +881,30 @@ def test_snapshot_diff_plan_shape(spark, sf_dir):
     for seg in p.split("Exchange hashpartitioning")[1:]:
         head = seg.split("\n")[0]
         assert "text" not in head, head
+
+
+def test_q9_product_profit_plan_shape(spark, sf_dir):
+    """Q9 star join: the selective p_name predicate reaches the part
+    scan (pushed), part/supplier/nation broadcast, lineitem never
+    builds a hash table; no Python."""
+    from datamunging_spark.queries import RELATIONAL_QUERIES
+
+    fn, _ = RELATIONAL_QUERIES["q9_product_profit"]
+    p = plan_of(fn(spark, sf_dir))
+    assert "EvalPython" not in p, p
+    assert p.count("BroadcastHashJoin") >= 3, p
+    assert "Contains(p_name" in p, p
+
+
+def test_q21_waiting_suppliers_plan_shape(spark, sf_dir):
+    """Q21 double correlation compiles to set-operation joins — one
+    LeftSemi and one LeftAnti on l_orderkey with the non-equi supplier
+    guard — never a per-row subquery, never a cartesian."""
+    from datamunging_spark.queries import RELATIONAL_QUERIES
+
+    fn, _ = RELATIONAL_QUERIES["q21_waiting_suppliers"]
+    p = plan_of(fn(spark, sf_dir))
+    assert "EvalPython" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "LeftSemi" in p, p
+    assert "LeftAnti" in p, p
