@@ -91,6 +91,8 @@ HEADLINE = [
     "cdc_apply",
     "dedup_levenshtein",
     # second late-r5 extension batch
+    "q9_product_profit",
+    "q21_waiting_suppliers",
     "triangle_count",
     "k_core",
     "fuzzy_join_shingles",

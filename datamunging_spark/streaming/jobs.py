@@ -60,6 +60,27 @@ def windowed_event_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def sliding_event_counts(events: DataFrame) -> DataFrame:
+    """Hopping 6-hour windows sliding every 2 hours per event_type
+    (streaming twin of queries.q_sliding_window_events), 2-hour
+    watermark; append-mode compatible. Each event lands in size/hop = 3
+    open windows — Spark's multi-assignment runs inside the stateful
+    agg, and a window's state is evicted when the watermark passes its
+    END, so peak state is 3x the tumbling job's (the scale note: state
+    grows with size/hop, not with input rate)."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "6 hours", "2 hours").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            F.round("total", 4).alias("total"),
+        )
+    )
+
+
 SESSION_OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

@@ -624,3 +624,40 @@ def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_path_factory):
         for r in funnel_triangle(funnel_user_flags(full)).collect()
     ]
     assert got == want
+
+
+def test_sliding_counts_match_batch(spark, sf_dir, events_dir):
+    """Hopping-window streaming agg equals the batch hopping agg on
+    every window it emits (append mode emits only watermark-closed
+    windows; each event lives in 3 overlapping windows so the trailing
+    open set is up to 3x the tumbling case)."""
+    from datamunging_spark.streaming.jobs import (
+        read_events_stream,
+        sliding_event_counts,
+    )
+
+    stream = read_events_stream(spark, events_dir)
+    _drain(sliding_event_counts(stream), "slide_counts")
+    got = spark.sql("SELECT * FROM slide_counts")
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = (
+        batch.groupBy(
+            F.window("ts", "6 hours", "2 hours").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            F.round("total", 4).alias("total"),
+        )
+    )
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g <= w
+    n_types = len(batch.select("event_type").distinct().collect())
+    # trailing open windows: up to (watermark 2h + window 6h) / hop 2h
+    # = 4 starts per type, plus the same boundary slack the tumbling
+    # test allows
+    assert len(g) >= len(w) - 8 * n_types
