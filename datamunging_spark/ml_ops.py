@@ -8130,3 +8130,138 @@ FROM agg ORDER BY doc_id
 
 
 ML_QUERIES["ngram_novelty"] = (ngram_novelty, _ngram_novelty_sql())
+
+
+# --------------------------------------------------------------------------
+# Interval-overlap JOIN (final-r5 extension). span_interval_merge unions
+# intervals WITHIN one annotation set; the other half of span algebra is
+# joining TWO interval sets per document — e.g. PII spans x layout
+# blocks ("which blocks must be masked"), OCR-region boxes x paragraph
+# spans, quality spans x chunk boundaries. The naive plan is a per-doc
+# theta join (doc equality + overlap predicate), which Spark executes as
+# an equi-join on doc_id with the overlap as a residual filter — fine
+# until ONE monster doc carries 10^5 annotations (10^10 residual pairs
+# on a single key). Scale design here:
+#   - both sides explode to fixed-width position buckets (width G), so
+#     the join key is (doc_id, bucket): a monster doc's spans spread
+#     over its position axis instead of piling on one shuffle key —
+#     the same armor salting gives the cascade, but deterministic and
+#     semantic (bucket = position DIV G);
+#   - an interval pair that overlaps in several buckets would duplicate,
+#     so each pair is COUNTED ONLY in the bucket containing the overlap
+#     start (greatest(a_s, b_s) DIV G == bucket). Both intervals always
+#     explode that bucket (the overlap start lies inside both), so this
+#     dedupes exactly WITHOUT a distinct — no second shuffle;
+#   - per-pair math (overlap length) is pure codegen; the final per-doc
+#     agg is one partial-agg tree.
+# The oracle is deliberately the NAIVE DuckDB range join (doc equality +
+# s < e predicates) over identical md5-synthesized intervals — an
+# independent check that the bucket/dedup algebra reports every
+# overlapping pair exactly once.
+# --------------------------------------------------------------------------
+
+_OVL_G = 128  # bucket width (chars)
+_OVL_KA = 4  # annotation spans per doc
+_OVL_KB = 3  # layout blocks per doc
+
+
+def _ovl_side(docs, tag: str, k: int, base_len: int, len_mod: int):
+    return docs.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("j"),
+    ).select(
+        "doc_id",
+        F.col("j").alias(f"{tag}_id"),
+        (
+            _md5_long(f"ovl{tag}S:", F.concat_ws(":", "doc_id", "j")) % 1000
+        ).alias(f"{tag}_s"),
+        (
+            base_len
+            + _md5_long(f"ovl{tag}L:", F.concat_ws(":", "doc_id", "j"))
+            % len_mod
+        ).alias("ln"),
+    ).select(
+        "doc_id",
+        f"{tag}_id",
+        f"{tag}_s",
+        (F.col(f"{tag}_s") + F.col("ln")).alias(f"{tag}_e"),
+    )
+
+
+def _ovl_buckets(side, tag: str):
+    return side.select(
+        "doc_id",
+        f"{tag}_id",
+        f"{tag}_s",
+        f"{tag}_e",
+        F.explode(
+            F.sequence(
+                F.expr(f"{tag}_s DIV {_OVL_G}"),
+                F.expr(f"({tag}_e - 1) DIV {_OVL_G}"),
+            )
+        ).alias("bucket"),
+    )
+
+
+def interval_overlap_join(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    a = _ovl_buckets(_ovl_side(docs, "a", _OVL_KA, 10, 120), "a")
+    b = _ovl_buckets(_ovl_side(docs, "b", _OVL_KB, 30, 200), "b")
+    pairs = a.join(b, ["doc_id", "bucket"]).where(
+        (F.col("a_s") < F.col("b_e"))
+        & (F.col("b_s") < F.col("a_e"))
+        & (
+            F.expr(f"greatest(a_s, b_s) DIV {_OVL_G}") == F.col("bucket")
+        )
+    )
+    return (
+        pairs.select(
+            "doc_id",
+            (
+                F.least("a_e", "b_e") - F.greatest("a_s", "b_s")
+            ).alias("ov"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("ov").cast("long").alias("overlap_chars"),
+            F.max("ov").cast("long").alias("max_overlap"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _ovl_sql() -> str:
+    def h(tag: str) -> str:
+        return (
+            f"CAST(concat('0x', substr(md5(concat('{tag}', "
+            f"CAST(doc_id AS VARCHAR), ':', CAST(j AS VARCHAR))), 1, 15)) "
+            f"AS BIGINT)"
+        )
+
+    return f"""
+WITH a AS (
+  SELECT doc_id, {h('ovlaS:')} % 1000 AS a_s,
+         {h('ovlaS:')} % 1000 + 10 + {h('ovlaL:')} % 120 AS a_e
+  FROM documents, range({_OVL_KA}) r(j)
+),
+b AS (
+  SELECT doc_id, {h('ovlbS:')} % 1000 AS b_s,
+         {h('ovlbS:')} % 1000 + 30 + {h('ovlbL:')} % 200 AS b_e
+  FROM documents, range({_OVL_KB}) r(j)
+),
+pairs AS (
+  SELECT a.doc_id,
+         least(a_e, b_e) - greatest(a_s, b_s) AS ov
+  FROM a JOIN b ON a.doc_id = b.doc_id
+                AND a_s < b_e AND b_s < a_e
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(ov) AS BIGINT) AS overlap_chars,
+       CAST(max(ov) AS BIGINT) AS max_overlap
+FROM pairs GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+ML_QUERIES["interval_overlap_join"] = (interval_overlap_join, _ovl_sql())

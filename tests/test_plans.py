@@ -908,3 +908,27 @@ def test_q21_waiting_suppliers_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in p, p
     assert "LeftSemi" in p, p
     assert "LeftAnti" in p, p
+
+
+def test_interval_overlap_join_plan_shape(spark, sf_dir):
+    """Two-sided span-overlap join: the join key is (doc_id, bucket) —
+    an EQUI hash/sort-merge join with the overlap predicate as a
+    residual filter, never a cartesian or broadcast-nested-loop plan;
+    no distinct-driven second aggregation (the overlap-start bucket
+    trick dedupes inside the join); codegen end-to-end (no Python);
+    the scan reads ONLY doc_id."""
+    from datamunging_spark.ml_ops import interval_overlap_join
+
+    p = plan_of(interval_overlap_join(spark, sf_dir))
+    assert "EvalPython" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
+        "BroadcastHashJoin" in p
+    ), p
+    # one aggregate tree only (partial+final per-doc agg) — the dedup
+    # trick never adds a HashAggregate(distinct) pass
+    assert "partial_count" in p, p
+    for seg in p.split("ReadSchema")[1:]:
+        head = seg.split("\n")[0]
+        assert "struct<doc_id:bigint>" in head, head
