@@ -8265,3 +8265,161 @@ FROM pairs GROUP BY doc_id ORDER BY doc_id
 
 
 ML_QUERIES["interval_overlap_join"] = (interval_overlap_join, _ovl_sql())
+
+
+# --------------------------------------------------------------------------
+# Multimodal perceptual-hash near-dup (final-r5 extension). The dedup
+# family covers text (exact/MinHash/SimHash/substring/paragraph) and
+# embeddings (cosine buckets, SemDeDup); the interleaved corpus's MEDIA
+# spans need their own near-dup — re-encoded/resized copies of one image
+# share a perceptual hash within a few bits. Pipeline shape:
+#   decode -> 60-bit pHash  : Arrow-batched mapInPandas over the opaque
+#                             binary payload (real DCT-hash behind the
+#                             DECODE_AVAILABLE gate, same contract as
+#                             multimodal_features/resize; the fake path
+#                             plants md5-derived duplicate groups so
+#                             near-pairs EXIST deterministically);
+#   banding                 : 4 bands x 15 bits — pigeonhole guarantees
+#                             any pair within Hamming <= 3 shares >= 1
+#                             band, so recall at the tau=3 threshold is
+#                             EXACT, not probabilistic;
+#   bucket self-join        : equi-join on (band_idx, band_val) with
+#                             a_id < b_id — candidates are bucket-local,
+#                             never an all-pairs cross join;
+#   verify                  : bit_count(xor) <= tau in codegen; the
+#                             groupBy dedupes multi-band candidate hits
+#                             (candidate-sized, not corpus-sized).
+# The oracle is the NAIVE all-pairs DuckDB join at the same threshold —
+# an independent check of the pigeonhole recall guarantee (tau < bands).
+# Planted pairs sit at Hamming <= 2; random cross-group 60-bit hashes
+# collide within 3 bits with p ~ 3e-14 — no flaky oracle rows at any sf.
+# NOTE the in-query self-join evaluates the mapInPandas stage once per
+# branch (plan-asserted: 2 MapInPandas) — harmless here, but at 10^12
+# media spans the DECODE is the expensive stage, so production runs it
+# once and MATERIALIZES the (media_ref, phash) table (decode amortized
+# across every downstream consumer); the banding join below then reads
+# the 16-byte-per-row hash table, not the corpus.
+# --------------------------------------------------------------------------
+
+_PHASH_BITS = 60
+_PHASH_BANDS = 4
+_PHASH_BAND_BITS = 15  # 4 x 15 = 60
+_PHASH_TAU = 3  # < _PHASH_BANDS, so banding recall is exact
+_PHASH_GROUPS = 16
+_PHASH_DOCS = 400
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("phash", T.LongType(), False),
+    ]
+)
+
+
+def _phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        if DECODE_AVAILABLE:  # pragma: no cover
+            # real path: decode + 8x8 DCT low-band sign hash (pHash);
+            # _decode_real raises loudly until an image lib exists
+            hashes = [_decode_real(bytes(b)) for b in pdf["payload"]]
+        else:
+            # deterministic fake decode: duplicate GROUPS keyed off
+            # doc_id (group base hash; half the members get one md5-
+            # derived bit flip) so near-pairs exist and DuckDB can
+            # replay the construction exactly
+            hashes = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                h = _md5_int15("ph:" + str(d % _PHASH_GROUPS))
+                if (d // _PHASH_GROUPS) % 2 == 1:
+                    h ^= 1 << (_md5_int15("phb:" + str(d)) % _PHASH_BITS)
+                hashes.append(h)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "phash": pd.Series(hashes, dtype="int64"),
+            }
+        )
+
+
+def multimodal_phash_dedup(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").where(F.col("doc_id") < _PHASH_DOCS)
+    media = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    ph = media.repartition(8, "doc_id").mapInPandas(
+        _phash_batches, schema=PHASH_SCHEMA
+    )
+    bands = ph.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright("phash", _PHASH_BAND_BITS * i)
+                        .bitwiseAND(F.lit((1 << _PHASH_BAND_BITS) - 1))
+                        .alias("band_val"),
+                    )
+                    for i in range(_PHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "phash", "b.band_idx", "b.band_val")
+    a = bands.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("phash").alias("a_ph"),
+        "band_idx",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("phash").alias("b_ph"),
+        "band_idx",
+        "band_val",
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id", "a_ph", "b_ph")
+        .agg(F.count("*").alias("_nbands"))
+    )
+    return (
+        cand.select(
+            "a_id",
+            "b_id",
+            F.bit_count(
+                F.col("a_ph").bitwiseXOR(F.col("b_ph"))
+            ).cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= _PHASH_TAU)
+        .orderBy("a_id", "b_id")
+    )
+
+
+def _phash_sql() -> str:
+    base = (
+        "CAST(concat('0x', substr(md5(concat('ph:', "
+        f"CAST(doc_id % {_PHASH_GROUPS} AS VARCHAR))), 1, 15)) AS BIGINT)"
+    )
+    flipbit = (
+        "CAST(concat('0x', substr(md5(concat('phb:', "
+        "CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) "
+        f"% {_PHASH_BITS}"
+    )
+    return f"""
+WITH ph AS (
+  SELECT doc_id,
+         CASE WHEN (doc_id // {_PHASH_GROUPS}) % 2 = 1
+              THEN xor({base}, CAST(1 AS BIGINT) << CAST({flipbit} AS INT))
+              ELSE {base} END AS phash
+  FROM documents WHERE doc_id < {_PHASH_DOCS}
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {_PHASH_TAU}
+ORDER BY a_id, b_id
+"""
+
+
+ML_QUERIES["multimodal_phash_dedup"] = (multimodal_phash_dedup, _phash_sql())

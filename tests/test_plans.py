@@ -932,3 +932,20 @@ def test_interval_overlap_join_plan_shape(spark, sf_dir):
     for seg in p.split("ReadSchema")[1:]:
         head = seg.split("\n")[0]
         assert "struct<doc_id:bigint>" in head, head
+
+
+def test_multimodal_phash_dedup_plan_shape(spark, sf_dir):
+    """pHash media near-dup: exactly ONE Arrow-batched Python stage (the
+    decode->hash mapInPandas); banding/join/verify all codegen; the
+    candidate join is an EQUI join on (band_idx, band_val) — never a
+    cartesian all-pairs plan; the scan reads only doc_id + text."""
+    from datamunging_spark.ml_ops import multimodal_phash_dedup
+
+    p = plan_of(multimodal_phash_dedup(spark, sf_dir))
+    assert p.count("MapInPandas") == 2, p  # one per self-join branch
+    assert "BatchEvalPython" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
+        "BroadcastHashJoin" in p
+    ), p
