@@ -8423,3 +8423,155 @@ ORDER BY a_id, b_id
 
 
 ML_QUERIES["multimodal_phash_dedup"] = (multimodal_phash_dedup, _phash_sql())
+
+
+# --------------------------------------------------------------------------
+# HITS hubs & authorities (final-r5 extension). The second classic
+# iterative link-analysis prior next to pagerank_links — mutually
+# recursive: auth(v) = sum of hub over in-links, hub(u) = sum of auth
+# over out-links, each side L1-normalized per round. Differences from
+# PageRank that make it a distinct capability: TWO coupled score
+# vectors, NO teleport/dangling mass, and a normalization step instead
+# of a stochastic update.
+# Scale/determinism design:
+#   - scores are integer micropoints (x * SCALE DIV total) — the L1
+#     normalization is an integer floor division, so results are
+#     bit-identical under any partitioning/retry order (no float
+#     summation anywhere), the module's pagerank/picopoint idiom;
+#   - each half-round is one equi-join (edges x scores) + one partial-
+#     agg tree; the L1 total is a 1-row broadcast crossJoin — NO
+#     driver-side collect in the loop (unlike k-means, HITS needs no
+#     model scalars at all; the only scalar is the node count used by
+#     the md5 edge synthesis, shared with pagerank_links);
+#   - empty-graph guard: DIV greatest(total, 1) keeps hostile 1-doc
+#     fuzz corpora (all self-loops -> zero edges) NULL-free.
+# Oracle: full 2-iteration CTE unroll in DuckDB (HUGEINT sums cast back
+# to BIGINT at every normalize — same values as Spark's long algebra).
+# --------------------------------------------------------------------------
+
+_HITS_SCALE = 1_000_000
+_HITS_ITERS = 2
+
+
+def hits_scores(spark, sf_dir, n_iters: int = _HITS_ITERS):
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+
+    def h(j: int) -> str:
+        return (
+            f"(CAST(conv(substring(md5(concat('ht{j}:', "
+            f"CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % {n})"
+        )
+
+    edges = (
+        docs.selectExpr(
+            "doc_id AS src",
+            f"explode(array({h(0)}, {h(1)}, {h(2)})) AS dst",
+        )
+        .where("dst <> src")
+        .distinct()
+    )
+    ids = docs.select(F.col("doc_id").alias("id"))
+    hub = ids.select("id", F.lit(_HITS_SCALE).cast("long").alias("h"))
+    auth = None
+    norm = f"coalesce(raw, CAST(0 AS BIGINT)) * {_HITS_SCALE} DIV greatest(tot, CAST(1 AS BIGINT))"
+    for _ in range(n_iters):
+        araw = (
+            edges.join(hub.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum("h").alias("raw"))
+        )
+        atot = araw.agg(
+            F.coalesce(F.sum("raw"), F.lit(0)).cast("long").alias("tot")
+        )
+        auth = (
+            ids.join(araw, F.col("id") == F.col("dst"), "left")
+            .crossJoin(F.broadcast(atot))
+            .select("id", F.expr(norm).alias("a"))
+        )
+        hraw = (
+            edges.join(auth.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum("a").alias("raw"))
+        )
+        htot = hraw.agg(
+            F.coalesce(F.sum("raw"), F.lit(0)).cast("long").alias("tot")
+        )
+        hub = (
+            ids.join(hraw, F.col("id") == F.col("src"), "left")
+            .crossJoin(F.broadcast(htot))
+            .select("id", F.expr(norm).alias("h"))
+        )
+    return (
+        hub.join(
+            auth.select(F.col("id").alias("id2"), "a"),
+            F.col("id") == F.col("id2"),
+        )
+        .select(
+            F.col("id").alias("node_id"),
+            F.col("h").alias("hub_fp"),
+            F.col("a").alias("auth_fp"),
+        )
+        .orderBy("node_id")
+    )
+
+
+def _hits_sql(n_iters: int = _HITS_ITERS) -> str:
+    def h(j: int) -> str:
+        return (
+            f"(CAST(concat('0x', substr(md5(concat('ht{j}:', "
+            f"CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % n)"
+        )
+
+    cand = " UNION ALL ".join(
+        f"SELECT doc_id AS src, {h(j)} AS dst FROM documents, cnt"
+        for j in range(3)
+    )
+    norm = (
+        f"CAST(coalesce(raw, 0) * {_HITS_SCALE} "
+        "// greatest(tot, 1) AS BIGINT)"
+    )
+    parts = [
+        "WITH cnt AS (SELECT count(*) AS n FROM documents), "
+        f"cand AS ({cand}), "
+        "edges AS (SELECT DISTINCT src, dst FROM cand WHERE dst <> src), "
+        f"h0 AS (SELECT doc_id AS id, CAST({_HITS_SCALE} AS BIGINT) AS h "
+        "FROM documents)"
+    ]
+    for k in range(1, n_iters + 1):
+        parts.append(
+            f"a{k}raw AS (SELECT dst, sum(h) AS raw FROM edges "
+            f"JOIN h{k - 1} ON h{k - 1}.id = edges.src GROUP BY dst)"
+        )
+        parts.append(
+            f"a{k}tot AS (SELECT CAST(coalesce(sum(raw), 0) AS BIGINT) "
+            f"AS tot FROM a{k}raw)"
+        )
+        parts.append(
+            f"a{k} AS (SELECT d.doc_id AS id, {norm} AS a "
+            f"FROM documents d LEFT JOIN a{k}raw ON d.doc_id = a{k}raw.dst, "
+            f"a{k}tot)"
+        )
+        parts.append(
+            f"h{k}raw AS (SELECT src, sum(a) AS raw FROM edges "
+            f"JOIN a{k} ON a{k}.id = edges.dst GROUP BY src)"
+        )
+        parts.append(
+            f"h{k}tot AS (SELECT CAST(coalesce(sum(raw), 0) AS BIGINT) "
+            f"AS tot FROM h{k}raw)"
+        )
+        parts.append(
+            f"h{k} AS (SELECT d.doc_id AS id, {norm} AS h "
+            f"FROM documents d LEFT JOIN h{k}raw ON d.doc_id = h{k}raw.src, "
+            f"h{k}tot)"
+        )
+    return (
+        ", ".join(parts)
+        + f" SELECT h{n_iters}.id AS node_id, h{n_iters}.h AS hub_fp, "
+        f"a{n_iters}.a AS auth_fp "
+        f"FROM h{n_iters} JOIN a{n_iters} ON h{n_iters}.id = a{n_iters}.id "
+        "ORDER BY node_id"
+    )
+
+
+ML_QUERIES["hits_scores"] = (hits_scores, _hits_sql())

@@ -2252,3 +2252,77 @@ def test_k_core_deep_peel_small_graph(spark, tmp_path):
         (r.node_id, r.core_deg) for r in got.itertuples(index=False)
     } == set(want.items())
     assert len(want) == 0  # n=40's 4-core peels to empty — the deep case
+
+
+# ---------------------------------------------------------------------------
+# hits_scores (final r5): the two-vector iterative link scorer must agree
+# BIT-EXACTLY with an independent pure-Python replica (third
+# implementation — the DuckDB CTE unroll is the second), and the integer
+# L1 normalization must conserve mass up to floor losses.
+# ---------------------------------------------------------------------------
+
+
+def _py_hits(doc_ids, n_iters=2, scale=1_000_000):
+    """Independent HITS replica: same md5 edges, same DIV algebra."""
+    import hashlib
+
+    n = len(doc_ids)
+    edges = set()
+    for d in doc_ids:
+        for j in range(3):
+            hx = hashlib.md5(f"ht{j}:{d}".encode()).hexdigest()[:15]
+            dst = int(hx, 16) % n
+            if dst != d:
+                edges.add((d, dst))
+    hub = {d: scale for d in doc_ids}
+    auth = {}
+    for _ in range(n_iters):
+        araw = {}
+        for s, dst in edges:
+            araw[dst] = araw.get(dst, 0) + hub[s]
+        tot = max(sum(araw.values()), 1)
+        auth = {d: araw.get(d, 0) * scale // tot for d in doc_ids}
+        hraw = {}
+        for s, dst in edges:
+            hraw[s] = hraw.get(s, 0) + auth[dst]
+        tot = max(sum(hraw.values()), 1)
+        hub = {d: hraw.get(d, 0) * scale // tot for d in doc_ids}
+    return {d: (hub[d], auth[d]) for d in doc_ids}
+
+
+def test_hits_hand_graph_matches_python_replica(spark, tmp_path):
+    from datamunging_spark.ml_ops import hits_scores
+
+    ids = list(range(11))
+    spark.createDataFrame(
+        [(i, "x") for i in ids], "doc_id bigint, text string"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r.node_id: (r.hub_fp, r.auth_fp)
+        for r in hits_scores(spark, str(tmp_path)).collect()
+    }
+    assert got == _py_hits(ids)
+
+
+def test_hits_normalization_and_coverage(spark):
+    """Integer L1 accounting: each vector sums to SCALE minus at most
+    one floor unit per node, scores are non-negative, and the output
+    partitions the node set exactly. Plan: no Python stage, the L1
+    totals join as 1-row broadcasts (never a shuffle on the score
+    side), edge/score joins are equi-joins — no cartesian growth."""
+    from datamunging_spark.ml_ops import _HITS_SCALE, hits_scores
+    from datamunging_spark.queries import t as t_
+
+    df = hits_scores(spark, SF_DIR)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" in p, p  # the 1-row total crossJoins
+    rows = df.collect()
+    n = t_(spark, SF_DIR, "documents").count()
+    assert len(rows) == n
+    assert len({r.node_id for r in rows}) == n
+    for field in ("hub_fp", "auth_fp"):
+        total = sum(getattr(r, field) for r in rows)
+        assert _HITS_SCALE - n <= total <= _HITS_SCALE
+        assert all(getattr(r, field) >= 0 for r in rows)
