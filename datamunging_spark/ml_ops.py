@@ -8575,3 +8575,82 @@ def _hits_sql(n_iters: int = _HITS_ITERS) -> str:
 
 
 ML_QUERIES["hits_scores"] = (hits_scores, _hits_sql())
+
+
+# --------------------------------------------------------------------------
+# Pareto frontier / skyline (final-r5 extension). Multi-objective doc
+# selection: keep documents not DOMINATED on (quality, coverage) — a
+# point is dominated if another is >= on both axes and > on one. The
+# curation use: pick the quality-vs-novelty frontier instead of a
+# single weighted score.
+# Scale design — skyline without a dominance self-join:
+#   - scores are md5-synthesized integers in a BOUNDED domain [0, 1000)
+#     (real pipelines quantize quality scores exactly like this);
+#   - per-x pre-aggregation: only the max-y point per x can survive
+#     (same x, higher y dominates); max(struct(y, -doc_id)) picks it
+#     tie-deterministically in one partial-agg tree — the shuffle
+#     carries <= |x-domain| rows per partition, never the corpus;
+#   - the frontier test is then ONE running-max window over the x-desc
+#     ordered per-x rows: keep y > max(y) of all strictly-larger x.
+#     The window is global but runs over a DOMAIN-BOUNDED (<= 1000 row)
+#     pre-aggregated frame — the module's post-agg-window rule.
+# The oracle is the NAIVE quadratic NOT EXISTS dominance test — a
+# genuinely different algorithm, so the window/pre-agg reduction is
+# independently checked, including the tie classes (equal x, equal y
+# across different x, duplicate (x, y) points).
+# --------------------------------------------------------------------------
+
+
+def pareto_frontier(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    pts = docs.select(
+        "doc_id",
+        (_md5_long("paX:", F.col("doc_id")) % 1000).alias("x"),
+        (_md5_long("paY:", F.col("doc_id")) % 1000).alias("y"),
+    )
+    perx = (
+        pts.groupBy("x")
+        .agg(
+            F.max(
+                F.struct(F.col("y"), (-F.col("doc_id")).alias("nd"))
+            ).alias("m")
+        )
+        .select(
+            "x",
+            F.col("m.y").alias("y"),
+            (-F.col("m.nd")).alias("doc_id"),
+        )
+    )
+    w = W.orderBy(F.desc("x")).rowsBetween(W.unboundedPreceding, -1)
+    prev_max = F.max("y").over(w)
+    return (
+        perx.withColumn("pm", prev_max)
+        .where(F.col("pm").isNull() | (F.col("y") > F.col("pm")))
+        .select("doc_id", "x", "y")
+        .orderBy(F.desc("x"))
+    )
+
+
+def _pareto_sql() -> str:
+    def h(tag: str) -> str:
+        return (
+            f"CAST(concat('0x', substr(md5(concat('{tag}', "
+            f"CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000"
+        )
+
+    return f"""
+WITH pts AS (
+  SELECT doc_id, {h('paX:')} AS x, {h('paY:')} AS y FROM documents
+),
+nd AS (SELECT x, y, min(doc_id) AS doc_id FROM pts GROUP BY x, y)
+SELECT d.doc_id, d.x, d.y
+FROM nd d
+WHERE NOT EXISTS (
+  SELECT 1 FROM nd e
+  WHERE e.x >= d.x AND e.y >= d.y AND (e.x > d.x OR e.y > d.y)
+)
+ORDER BY d.x DESC
+"""
+
+
+ML_QUERIES["pareto_frontier"] = (pareto_frontier, _pareto_sql())

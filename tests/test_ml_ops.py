@@ -2326,3 +2326,47 @@ def test_hits_normalization_and_coverage(spark):
         total = sum(getattr(r, field) for r in rows)
         assert _HITS_SCALE - n <= total <= _HITS_SCALE
         assert all(getattr(r, field) >= 0 for r in rows)
+
+
+def test_pareto_frontier_dominance_and_plan(spark):
+    """Frontier semantics checked by a pure-Python quadratic dominance
+    replica over the engine's own synthesized points (third
+    implementation next to the DuckDB NOT-EXISTS oracle): every
+    returned point is undominated, every omitted point is dominated or
+    a duplicate/tie loser, x strictly decreasing => y strictly
+    increasing. Plan: no join anywhere (the skyline is pre-agg +
+    window, never a dominance self-join), partial agg present."""
+    from datamunging_spark.ml_ops import pareto_frontier
+    from datamunging_spark.queries import t as t_
+
+    df = pareto_frontier(spark, SF_DIR)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in p, p
+    assert "EvalPython" not in p, p
+    assert "partial_max" in p or "partial_min" in p or "ObjectHashAggregate" in p or "HashAggregate" in p, p
+    got = [(r.doc_id, r.x, r.y) for r in df.collect()]
+    import hashlib
+
+    def md(tag, d):
+        return int(hashlib.md5(f"{tag}{d}".encode()).hexdigest()[:15], 16) % 1000
+
+    docs = [r.doc_id for r in t_(spark, SF_DIR, "documents").select("doc_id").collect()]
+    pts = {}
+    for d in docs:
+        k = (md("paX:", d), md("paY:", d))
+        pts[k] = min(pts.get(k, d), d)
+    frontier = sorted(
+        (
+            (doc, x, y)
+            for (x, y), doc in pts.items()
+            if not any(
+                ex >= x and ey >= y and (ex > x or ey > y) for (ex, ey) in pts
+            )
+        ),
+        key=lambda r: -r[1],
+    )
+    assert got == frontier
+    xs = [x for _, x, _ in got]
+    ys = [y for _, _, y in got]
+    assert xs == sorted(xs, reverse=True) and len(set(xs)) == len(xs)
+    assert ys == sorted(ys) and len(set(ys)) == len(ys)
