@@ -8654,3 +8654,116 @@ ORDER BY d.x DESC
 
 
 ML_QUERIES["pareto_frontier"] = (pareto_frontier, _pareto_sql())
+
+
+# --------------------------------------------------------------------------
+# Thread-root resolution by pointer doubling (final-r5 extension).
+# Conversation/citation data arrives as (id, parent_id) reply chains;
+# training pipelines need every node's thread ROOT and DEPTH (to
+# assemble threads and cap context windows). Naive per-hop iteration
+# walks depth d in d joins; POINTER DOUBLING (Wyllie's algorithm, the
+# classic PRAM list-ranking primitive) squares the resolved distance
+# every round — depth d needs ceil(log2 d) self-joins, the only way a
+# 10^4-deep chain is tractable on a cluster.
+#   - each round is ONE equi self-join on ptr = id: ptr' = ptr[ptr],
+#     dist' = dist + dist[ptr]; roots are absorbing (ptr = self,
+#     dist = 0), so converged rows never change;
+#   - the join is LEFT so a pointer to a node absent from the corpus
+#     (hostile fuzz corpora) is absorbing too, never row-dropping;
+#   - convergence = sum(dist) unchanged (one 1-row agg per round — the
+#     k-means/k_core driver-scalar audit class); localCheckpoint per
+#     round cuts the doubling lineage; round cap 12 (= depth 4096)
+#     raises loudly past it.
+# Parent synthesis: id % 7 == 0 (and id <= 0) are roots; otherwise
+# parent = md5 % id, STRICTLY smaller — acyclic by construction (a
+# random recursive forest, max depth ~ e*ln n, far under 4096).
+# Oracle: DuckDB WITH RECURSIVE walks every chain hop-by-hop — a
+# different algorithm (linear walk vs doubling), independently checking
+# both root identity and the additive depth algebra.
+# --------------------------------------------------------------------------
+
+_THREAD_MAX_ROUNDS = 12
+
+_THREAD_PARENT_EXPR = (
+    "CASE WHEN doc_id % 7 = 0 OR doc_id <= 0 THEN doc_id "
+    "ELSE CAST(conv(substring(md5(concat('th:', CAST(doc_id AS STRING))), "
+    "1, 15), 16, 10) AS BIGINT) % greatest(doc_id, CAST(1 AS BIGINT)) END"
+)
+
+
+def thread_roots(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    cur = docs.selectExpr(
+        "doc_id AS id",
+        f"{_THREAD_PARENT_EXPR} AS ptr",
+    ).select(
+        "id",
+        "ptr",
+        F.when(F.col("ptr") == F.col("id"), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("dist"),
+    ).localCheckpoint()
+    total = cur.agg(F.sum("dist")).collect()[0][0] or 0
+    for _ in range(_THREAD_MAX_ROUNDS):
+        nxt = cur.select(
+            F.col("id").alias("jid"),
+            F.col("ptr").alias("jptr"),
+            F.col("dist").alias("jdist"),
+        )
+        cur = (
+            cur.join(nxt, cur["ptr"] == nxt["jid"], "left")
+            .select(
+                "id",
+                F.coalesce("jptr", "ptr").alias("ptr"),
+                (
+                    F.col("dist") + F.coalesce("jdist", F.lit(0))
+                ).alias("dist"),
+            )
+            .localCheckpoint()
+        )
+        new_total = cur.agg(F.sum("dist")).collect()[0][0] or 0
+        if new_total == total:
+            break
+        total = new_total
+    else:
+        raise RuntimeError(
+            f"thread_roots: no fixpoint within {_THREAD_MAX_ROUNDS} "
+            "doubling rounds (depth > 4096?)"
+        )
+    return (
+        cur.select(
+            F.col("id").alias("doc_id"),
+            F.col("ptr").alias("root_id"),
+            F.col("dist").alias("depth"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _thread_roots_sql() -> str:
+    parent = (
+        "CASE WHEN doc_id % 7 = 0 OR doc_id <= 0 THEN doc_id "
+        "ELSE CAST(concat('0x', substr(md5(concat('th:', "
+        "CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) "
+        "% greatest(doc_id, 1) END"
+    )
+    return f"""
+WITH RECURSIVE nodes AS (
+  SELECT doc_id AS id, CAST({parent} AS BIGINT) AS parent FROM documents
+),
+walk AS (
+  SELECT id, id AS cur, CAST(0 AS BIGINT) AS depth FROM nodes
+  UNION ALL
+  SELECT w.id, n.parent AS cur, w.depth + 1
+  FROM walk w JOIN nodes n ON w.cur = n.id
+  WHERE n.parent <> w.cur
+)
+SELECT id AS doc_id, cur AS root_id, depth
+FROM walk
+QUALIFY row_number() OVER (PARTITION BY id ORDER BY depth DESC) = 1
+ORDER BY doc_id
+"""
+
+
+ML_QUERIES["thread_roots"] = (thread_roots, _thread_roots_sql())

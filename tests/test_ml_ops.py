@@ -2370,3 +2370,68 @@ def test_pareto_frontier_dominance_and_plan(spark):
     ys = [y for _, _, y in got]
     assert xs == sorted(xs, reverse=True) and len(set(xs)) == len(xs)
     assert ys == sorted(ys) and len(set(ys)) == len(ys)
+
+
+# ---------------------------------------------------------------------------
+# thread_roots (final r5): pointer doubling must agree bit-exactly with a
+# pure-Python linear walk (third implementation next to the recursive-CTE
+# oracle), including the ghost-parent absorbing path on sparse corpora.
+# ---------------------------------------------------------------------------
+
+
+def _py_thread_roots(doc_ids):
+    import hashlib
+
+    ids = set(doc_ids)
+
+    def parent(d):
+        if d % 7 == 0 or d <= 0:
+            return d
+        h = int(hashlib.md5(f"th:{d}".encode()).hexdigest()[:15], 16)
+        return h % max(d, 1)
+
+    out = {}
+    for d in doc_ids:
+        cur, depth = d, 0
+        while cur in ids and parent(cur) != cur:
+            cur, depth = parent(cur), depth + 1
+        out[d] = (cur, depth)
+    return out
+
+
+def test_thread_roots_matches_python_walk(spark, tmp_path):
+    """Dense forest: doubling == linear walk bit-exactly; roots are
+    absorbing (depth 0, root_id = self)."""
+    from datamunging_spark.ml_ops import thread_roots
+
+    ids = list(range(40))
+    spark.createDataFrame(
+        [(i, "x") for i in ids], "doc_id bigint, text string"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r.doc_id: (r.root_id, r.depth)
+        for r in thread_roots(spark, str(tmp_path)).collect()
+    }
+    assert got == _py_thread_roots(ids)
+    assert got[0] == (0, 0) and got[7] == (7, 0)
+    assert any(d >= 2 for _, d in got.values())  # real multi-hop chains
+
+
+def test_thread_roots_ghost_parent_absorbing(spark, tmp_path):
+    """Sparse corpus: a parent pointer referencing an id absent from the
+    corpus must be ABSORBING (left-join path) — the row survives with
+    the ghost as its terminal, exactly like the oracle's walk, never
+    dropped by an inner join."""
+    from datamunging_spark.ml_ops import thread_roots
+
+    ids = [9, 50, 100, 14]  # 14 % 7 == 0 -> root; others chase ghosts
+    spark.createDataFrame(
+        [(i, "x") for i in ids], "doc_id bigint, text string"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r.doc_id: (r.root_id, r.depth)
+        for r in thread_roots(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == set(ids)  # no row dropped
+    assert got == _py_thread_roots(ids)
+    assert got[14] == (14, 0)
