@@ -99,6 +99,12 @@ HEADLINE = [
     "table_profile",
     "domain_cap_sample",
     "snapshot_diff",
+    # final-r5 extension batch
+    "interval_overlap_join",
+    "multimodal_phash_dedup",
+    "hits_scores",
+    "pareto_frontier",
+    "thread_roots",
 ]
 
 ALL = {**RELATIONAL_QUERIES, **ML_QUERIES}

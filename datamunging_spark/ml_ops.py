@@ -8767,3 +8767,101 @@ ORDER BY doc_id
 
 
 ML_QUERIES["thread_roots"] = (thread_roots, _thread_roots_sql())
+
+
+# --------------------------------------------------------------------------
+# Mutual-best pair mining (final-r5 extension). Bitext / parallel-pair
+# mining (Artetxe & Schwenk's margin family, the mutual-kNN special
+# case): align two embedding corpora by keeping (a, b) only when b is
+# a's best match AND a is b's best match — the standard
+# translation-pair / duplicate-page miner. Here side A = even vec_id,
+# side B = odd vec_id (two "languages"), both capped to vec_id < 80 so
+# the demo scores 40x40 pairs.
+# Scale design: the pair scores are computed ONCE and serve BOTH
+# directions — forward best = row_number over a, backward best =
+# row_number over b (two windows on the one scored frame; the second
+# window is one re-shuffle of top-k-sized data after AQE). The mutual
+# filter is an equi-join of two rank-1 frames (match-count-sized, not
+# pair-sized). At 10^12 vectors the brute-force scorer is replaced by
+# the module's IVF/ADC candidate legs per side; the mutual-filter
+# algebra downstream is unchanged. Ties break on candidate id, so the
+# rank-1 picks are deterministic in both engines.
+# --------------------------------------------------------------------------
+
+_MBP_CAP = 80
+
+
+def mutual_best_pairs(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings").where(F.col("vec_id") < _MBP_CAP)
+    a = emb.where(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").cast(T.ArrayType(T.DoubleType())).alias("a_vec"),
+    )
+    b = emb.where(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").cast(T.ArrayType(T.DoubleType())).alias("b_vec"),
+    )
+    scored = a.crossJoin(F.broadcast(b)).select(
+        "a_id", "b_id", cosine(F.col("a_vec"), F.col("b_vec")).alias("cos_raw")
+    )
+    wf = W.partitionBy("a_id").orderBy(F.desc("cos_raw"), "b_id")
+    wb = W.partitionBy("b_id").orderBy(F.desc("cos_raw"), "a_id")
+    fwd = (
+        scored.withColumn("rk", F.row_number().over(wf))
+        .where(F.col("rk") == 1)
+        .select("a_id", "b_id", "cos_raw")
+    )
+    bwd = (
+        scored.withColumn("rk", F.row_number().over(wb))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("a_id").alias("ba_id"), F.col("b_id").alias("bb_id")
+        )
+    )
+    return (
+        fwd.join(
+            bwd,
+            (F.col("a_id") == F.col("ba_id"))
+            & (F.col("b_id") == F.col("bb_id")),
+        )
+        .select("a_id", "b_id", F.round("cos_raw", 4).alias("cos"))
+        .orderBy("a_id")
+    )
+
+
+MUTUAL_BEST_SQL = f"""
+WITH a AS (
+  SELECT vec_id AS a_id, embedding::DOUBLE[] AS a_vec FROM embeddings
+  WHERE vec_id < {_MBP_CAP} AND vec_id % 2 = 0
+),
+b AS (
+  SELECT vec_id AS b_id, embedding::DOUBLE[] AS b_vec FROM embeddings
+  WHERE vec_id < {_MBP_CAP} AND vec_id % 2 = 1
+),
+scored AS (
+  SELECT a_id, b_id,
+         CASE WHEN list_dot_product(a_vec, a_vec) > 0
+               AND list_dot_product(b_vec, b_vec) > 0
+              THEN list_dot_product(a_vec, b_vec)
+                   / (sqrt(list_dot_product(a_vec, a_vec))
+                      * sqrt(list_dot_product(b_vec, b_vec)))
+              ELSE 0.0 END AS cos_raw
+  FROM a, b
+),
+fwd AS (
+  SELECT a_id, b_id, cos_raw FROM scored
+  QUALIFY row_number() OVER (PARTITION BY a_id
+                             ORDER BY cos_raw DESC, b_id) = 1
+),
+bwd AS (
+  SELECT a_id, b_id FROM scored
+  QUALIFY row_number() OVER (PARTITION BY b_id
+                             ORDER BY cos_raw DESC, a_id) = 1
+)
+SELECT f.a_id, f.b_id, round(f.cos_raw, 4) AS cos
+FROM fwd f JOIN bwd USING (a_id, b_id)
+ORDER BY f.a_id
+"""
+
+
+ML_QUERIES["mutual_best_pairs"] = (mutual_best_pairs, MUTUAL_BEST_SQL)

@@ -2435,3 +2435,46 @@ def test_thread_roots_ghost_parent_absorbing(spark, tmp_path):
     assert set(got) == set(ids)  # no row dropped
     assert got == _py_thread_roots(ids)
     assert got[14] == (14, 0)
+
+
+def test_mutual_best_pairs_is_matching(spark):
+    """Mutual-best output must be a one-to-one partial MATCHING (each
+    side appears at most once — the defining property the window ranks
+    guarantee), sides must respect the even/odd split, and every pair
+    must be verifiable as each other's argmax by a numpy recount.
+    Plan: the scorer is the broadcast cross of the tiny capped sides
+    (intended BroadcastNestedLoopJoin), never a shuffled cartesian."""
+    import numpy as np
+
+    from datamunging_spark.ml_ops import _MBP_CAP, mutual_best_pairs
+    from datamunging_spark.queries import t as t_
+
+    df = mutual_best_pairs(spark, SF_DIR)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p, p
+    assert "EvalPython" not in p, p
+    rows = df.collect()
+    assert rows, "no mutual pairs at all?"
+    a_ids = [r.a_id for r in rows]
+    b_ids = [r.b_id for r in rows]
+    assert len(set(a_ids)) == len(a_ids)
+    assert len(set(b_ids)) == len(b_ids)
+    assert all(a % 2 == 0 and a < _MBP_CAP for a in a_ids)
+    assert all(b % 2 == 1 and b < _MBP_CAP for b in b_ids)
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in t_(spark, SF_DIR, "embeddings")
+        .where(f"vec_id < {_MBP_CAP}")
+        .collect()
+    }
+
+    def cos(u, v):
+        nu, nv = np.dot(u, u), np.dot(v, v)
+        return float(np.dot(u, v) / (np.sqrt(nu) * np.sqrt(nv))) if nu > 0 and nv > 0 else 0.0
+
+    A = sorted(k for k in emb if k % 2 == 0)
+    B = sorted(k for k in emb if k % 2 == 1)
+    for r in rows:
+        best_b = max(B, key=lambda b: (cos(emb[r.a_id], emb[b]), -b))
+        best_a = max(A, key=lambda a: (cos(emb[a], emb[r.b_id]), -a))
+        assert best_b == r.b_id and best_a == r.a_id
