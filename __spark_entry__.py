@@ -110,7 +110,13 @@ DRIVER_PRIORITY = [
     "anchor_text_agg",
     "multimodal_resize",
     "lang_id_stopword",
-    "text_quality",
+    # (text_quality moved past the window in the final r5 batch: the
+    # quality family keeps gopher_quality (the strictly richer composite)
+    # + quality_classifier-adjacent signals in-window; text_quality stays
+    # oracle-checked in pytest + CORRECTNESS_local.json. Freed slot goes
+    # to thread_roots — pointer-doubling list ranking, an algorithm class
+    # (log-depth pointer jumping) nothing else in the window exercises.)
+    "thread_roots",
     # (token_stats moved past the window late in r5: the token family
     # keeps bpe_learn in-window; the op remains oracle-checked in pytest
     # + CORRECTNESS_local.json. Freed slot goes to url_normalize_dedup.)
