@@ -105,6 +105,9 @@ HEADLINE = [
     "hits_scores",
     "pareto_frontier",
     "thread_roots",
+    "mutual_best_pairs",
+    "k_anonymity_generalize",
+    "kcenter_select",
 ]
 
 ALL = {**RELATIONAL_QUERIES, **ML_QUERIES}

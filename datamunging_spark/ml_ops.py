@@ -8865,3 +8865,224 @@ ORDER BY f.a_id
 
 
 ML_QUERIES["mutual_best_pairs"] = (mutual_best_pairs, MUTUAL_BEST_SQL)
+
+
+# --------------------------------------------------------------------------
+# k-anonymity generalization cascade (final-r5 extension). Privacy
+# release prep for training corpora: an equivalence class over the
+# quasi-identifiers (lang, source, length-bucket) may only be released
+# if it holds >= K documents. Classes below K are NOT just dropped —
+# the standard mechanism GENERALIZES up a hierarchy first:
+#   level 0: (lang, source, len DIV 200)  — full precision;
+#   level 1: (lang, source, *)            — bucket generalized away;
+#   level 2: (*, *, *)                    — remainder suppressed.
+# Each level re-groups ONLY the remainder of the previous level, so a
+# doc is counted exactly once at the coarsest level that first clears
+# K. Three partial-agg trees (level-0 keys, level-1 keys, 1-row
+# suppression count) — the remainder join keys are group-count-sized
+# and broadcast; the corpus is scanned once per level at most, and at
+# 10^12 docs levels 1-2 run over the level-0 LOSERS only (a small
+# fraction when K << class sizes).
+# Oracle: identical cascade in CTEs. Output is the released-class
+# table (quasi values with '*' at generalized positions, level, n).
+# --------------------------------------------------------------------------
+
+_KANON_K = 5
+
+
+def k_anonymity_generalize(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr("length(text) DIV 200").alias("lb"),
+    )
+    g0 = docs.groupBy("lang", "source", "lb").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    ok0 = g0.where(F.col("n") >= _KANON_K).select(
+        "lang",
+        "source",
+        F.col("lb").cast("string").alias("len_bucket"),
+        F.lit(0).alias("level"),
+        "n",
+    )
+    losers0 = g0.where(F.col("n") < _KANON_K).select("lang", "source", "lb")
+    rem = docs.join(F.broadcast(losers0), ["lang", "source", "lb"])
+    g1 = rem.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    ok1 = g1.where(F.col("n") >= _KANON_K).select(
+        "lang",
+        "source",
+        F.lit("*").alias("len_bucket"),
+        F.lit(1).alias("level"),
+        "n",
+    )
+    losers1 = g1.where(F.col("n") < _KANON_K).select("lang", "source")
+    supp = (
+        rem.join(F.broadcast(losers1), ["lang", "source"])
+        .agg(F.count("*").cast("long").alias("n"))
+        .where(F.col("n") > 0)
+        .select(
+            F.lit("*").alias("lang"),
+            F.lit("*").alias("source"),
+            F.lit("*").alias("len_bucket"),
+            F.lit(2).alias("level"),
+            "n",
+        )
+    )
+    return ok0.unionByName(ok1).unionByName(supp).orderBy(
+        "level", "lang", "source", "len_bucket"
+    )
+
+
+K_ANON_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang, source, length(text) // 200 AS lb FROM documents
+),
+g0 AS (SELECT lang, source, lb, count(*) AS n FROM d GROUP BY ALL),
+ok0 AS (
+  SELECT lang, source, CAST(lb AS VARCHAR) AS len_bucket, 0 AS level,
+         CAST(n AS BIGINT) AS n
+  FROM g0 WHERE n >= {_KANON_K}
+),
+rem AS (
+  SELECT d.* FROM d
+  JOIN g0 ON d.lang = g0.lang AND d.source = g0.source AND d.lb = g0.lb
+  WHERE g0.n < {_KANON_K}
+),
+g1 AS (SELECT lang, source, count(*) AS n FROM rem GROUP BY ALL),
+ok1 AS (
+  SELECT lang, source, '*' AS len_bucket, 1 AS level, CAST(n AS BIGINT) AS n
+  FROM g1 WHERE n >= {_KANON_K}
+),
+supp AS (
+  SELECT '*' AS lang, '*' AS source, '*' AS len_bucket, 2 AS level,
+         CAST(count(*) AS BIGINT) AS n
+  FROM rem
+  JOIN g1 ON rem.lang = g1.lang AND rem.source = g1.source
+  WHERE g1.n < {_KANON_K}
+  HAVING count(*) > 0
+)
+SELECT * FROM ok0 UNION ALL SELECT * FROM ok1 UNION ALL SELECT * FROM supp
+ORDER BY level, lang, source, len_bucket
+"""
+
+
+ML_QUERIES["k_anonymity_generalize"] = (k_anonymity_generalize, K_ANON_SQL)
+
+
+# --------------------------------------------------------------------------
+# Greedy k-center selection / farthest-point sampling (final-r5
+# extension). Diverse-subset selection for data curation (coreset
+# seeding, eval-set picking, k-means++-style spread inits): start from
+# the lowest vec_id, then K-1 times pick the vector FARTHEST from the
+# selected set (max over candidates of min cosine-distance to any
+# selected vector; ties break on vec_id). The greedy rule is the
+# classic 2-approximation for the k-center objective.
+# Scale shape: each round is ONE corpus scan — the selected set is
+# K-sized MODEL STATE (the k-means-centroid audit class), carried as
+# literal vectors into a least()-of-cosine expression, so the scan is
+# pure codegen and the per-round driver traffic is a single row. At
+# 10^12 vectors the argmax is TakeOrdered(1); selected ids are
+# excluded via a K-sized isin literal, never a join. Candidates
+# already selected are excluded in BOTH engines so an all-duplicates
+# (all-zero-distance) hostile corpus still selects K distinct ids.
+# Oracle: full K-1-round CTE unroll (min-dist per candidate against
+# the materialized selected set, argmax by (md DESC, vec_id)).
+# --------------------------------------------------------------------------
+
+_KC_K = 6
+_KC_CAP = 200
+
+
+def kcenter_select(spark, sf_dir):
+    emb = (
+        t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < _KC_CAP)
+        .select(
+            "vec_id",
+            F.col("embedding").cast(T.ArrayType(T.DoubleType())).alias("v"),
+        )
+    )
+    seed = emb.orderBy("vec_id").limit(1).collect()
+    out_rows = []
+    sel_vecs = []
+    sel_ids = []
+    if seed:
+        sel_ids.append(seed[0].vec_id)
+        sel_vecs.append([float(x) for x in seed[0].v])
+        out_rows.append((0, seed[0].vec_id, None))
+    for rnd in range(1, _KC_K):
+        if not sel_vecs:
+            break
+        dists = [
+            F.lit(1.0) - cosine_to_literal(F.col("v"), sv)
+            for sv in sel_vecs
+        ]
+        mind = dists[0] if len(dists) == 1 else F.least(*dists)
+        pick = (
+            emb.where(~F.col("vec_id").isin(sel_ids))
+            .select("vec_id", "v", mind.alias("md"))
+            .orderBy(F.desc("md"), "vec_id")
+            .limit(1)
+            .collect()
+        )
+        if not pick:
+            break
+        sel_ids.append(pick[0].vec_id)
+        sel_vecs.append([float(x) for x in pick[0].v])
+        out_rows.append((rnd, pick[0].vec_id, round(pick[0].md, 4)))
+    return spark.createDataFrame(
+        out_rows, "round int, vec_id bigint, min_dist double"
+    ).orderBy("round")
+
+
+def _kcenter_sql() -> str:
+    def dist(a: str, b: str) -> str:
+        return (
+            f"1 - CASE WHEN list_dot_product({a}.v, {a}.v) > 0 "
+            f"AND list_dot_product({b}.v, {b}.v) > 0 "
+            f"THEN list_dot_product({a}.v, {b}.v) "
+            f"/ (sqrt(list_dot_product({a}.v, {a}.v)) "
+            f"* sqrt(list_dot_product({b}.v, {b}.v))) ELSE 0.0 END"
+        )
+
+    parts = [
+        f"WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v "
+        f"FROM embeddings WHERE vec_id < {_KC_CAP}), "
+        "sel0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1)"
+    ]
+    finals = [
+        "SELECT 0 AS round, vec_id, CAST(NULL AS DOUBLE) AS min_dist "
+        "FROM sel0"
+    ]
+    for r in range(1, _KC_K):
+        parts.append(
+            f"m{r} AS (SELECT e.vec_id, min({dist('e', 's')}) AS md "
+            f"FROM e, sel{r - 1} s "
+            f"WHERE e.vec_id NOT IN (SELECT vec_id FROM sel{r - 1}) "
+            "GROUP BY e.vec_id)"
+        )
+        parts.append(
+            f"p{r} AS (SELECT m{r}.vec_id, e.v, md FROM m{r} "
+            f"JOIN e USING (vec_id) ORDER BY md DESC, m{r}.vec_id LIMIT 1)"
+        )
+        parts.append(
+            f"sel{r} AS (SELECT vec_id, v FROM sel{r - 1} "
+            f"UNION ALL SELECT vec_id, v FROM p{r})"
+        )
+        finals.append(
+            f"SELECT {r} AS round, vec_id, round(md, 4) AS min_dist "
+            f"FROM p{r}"
+        )
+    return (
+        ", ".join(parts)
+        + " SELECT * FROM ("
+        + " UNION ALL ".join(finals)
+        + ") ORDER BY round"
+    )
+
+
+ML_QUERIES["kcenter_select"] = (kcenter_select, _kcenter_sql())

@@ -2478,3 +2478,90 @@ def test_mutual_best_pairs_is_matching(spark):
         best_b = max(B, key=lambda b: (cos(emb[r.a_id], emb[b]), -b))
         best_a = max(A, key=lambda a: (cos(emb[a], emb[r.b_id]), -a))
         assert best_b == r.b_id and best_a == r.a_id
+
+
+def test_k_anonymity_conservation_and_threshold(spark):
+    """Release rules: every released class holds >= K docs (the level-2
+    suppression row is the only sub-K-exempt row and is itself a
+    count), the cascade conserves the corpus exactly (every doc counted
+    once at its coarsest-clearing level), and a pure-Python replica of
+    the two-level generalization agrees row-for-row."""
+    from datamunging_spark.ml_ops import _KANON_K, k_anonymity_generalize
+    from datamunging_spark.queries import t as t_
+
+    rows = k_anonymity_generalize(spark, SF_DIR).collect()
+    total = t_(spark, SF_DIR, "documents").count()
+    assert sum(r.n for r in rows) == total
+    for r in rows:
+        if r.level in (0, 1):
+            assert r.n >= _KANON_K, r
+        assert (r.level >= 1) == (r.len_bucket == "*")
+        assert (r.level == 2) == (r.lang == "*" == r.source)
+    docs = (
+        t_(spark, SF_DIR, "documents")
+        .selectExpr("lang", "source", "length(text) DIV 200 AS lb")
+        .collect()
+    )
+    from collections import Counter
+
+    g0 = Counter((d.lang, d.source, d.lb) for d in docs)
+    exp = {}
+    rem = Counter()
+    for (lang, source, lb), n in g0.items():
+        if n >= _KANON_K:
+            exp[(lang, source, str(lb), 0)] = n
+        else:
+            rem[(lang, source)] += n
+    supp = 0
+    for (lang, source), n in rem.items():
+        if n >= _KANON_K:
+            exp[(lang, source, "*", 1)] = n
+        else:
+            supp += n
+    if supp:
+        exp[("*", "*", "*", 2)] = supp
+    got = {(r.lang, r.source, r.len_bucket, r.level): r.n for r in rows}
+    assert got == exp
+
+
+def test_kcenter_greedy_properties(spark):
+    """Farthest-point invariants: K distinct picks, the per-round
+    min-dist sequence is NON-INCREASING (each new center can only
+    shrink later candidates' min-dist — the 2-approximation's core
+    monotonicity), and a numpy replica reproduces the exact selection
+    order including tie-breaks."""
+    import numpy as np
+
+    from datamunging_spark.ml_ops import _KC_CAP, _KC_K, kcenter_select
+    from datamunging_spark.queries import t as t_
+
+    rows = kcenter_select(spark, SF_DIR).collect()
+    assert len(rows) == _KC_K
+    ids = [r.vec_id for r in rows]
+    assert len(set(ids)) == _KC_K
+    ds = [r.min_dist for r in rows[1:]]
+    assert all(a >= b for a, b in zip(ds, ds[1:]))
+    emb = {
+        r.vec_id: np.array(r.v, dtype=np.float64)
+        for r in t_(spark, SF_DIR, "embeddings")
+        .where(f"vec_id < {_KC_CAP}")
+        .selectExpr("vec_id", "CAST(embedding AS array<double>) AS v")
+        .collect()
+    }
+
+    def d(u, v):
+        nu, nv = np.dot(u, u), np.dot(v, v)
+        if nu <= 0 or nv <= 0:
+            return 1.0
+        return 1.0 - float(np.dot(u, v) / (np.sqrt(nu) * np.sqrt(nv)))
+
+    sel = [min(emb)]
+    for _ in range(_KC_K - 1):
+        cand = [
+            (min(d(emb[c], emb[s]) for s in sel), c)
+            for c in emb
+            if c not in sel
+        ]
+        best = max(cand, key=lambda t: (t[0], -t[1]))
+        sel.append(best[1])
+    assert ids == sel
