@@ -108,6 +108,7 @@ HEADLINE = [
     "mutual_best_pairs",
     "k_anonymity_generalize",
     "kcenter_select",
+    "isotonic_calibrate",
 ]
 
 ALL = {**RELATIONAL_QUERIES, **ML_QUERIES}

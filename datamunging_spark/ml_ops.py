@@ -9086,3 +9086,138 @@ def _kcenter_sql() -> str:
 
 
 ML_QUERIES["kcenter_select"] = (kcenter_select, _kcenter_sql())
+
+
+# --------------------------------------------------------------------------
+# Isotonic probability calibration, PAV (final-r5 extension). Quality-
+# classifier scores drive keep/drop decisions; raw scores are not
+# probabilities, and the standard fix is isotonic regression — fit the
+# best NONDECREASING step function of empirical label rates over score
+# buckets (pool-adjacent-violators). The curation use: calibrated
+# P(high-quality | score) thresholds transfer across domains; raw
+# score thresholds do not.
+# Scale shape: the corpus contributes ONE partial-agg tree (per-bucket
+# n and positive counts — the shuffle carries |bucket-domain| rows per
+# partition); PAV then runs on the BUCKET DOMAIN (~40 rows) as driver
+# model state (the k-means/kcenter audit class) and rejoins as a
+# broadcast. All arithmetic is exact: violation tests cross-multiply
+# integer (sum, count) pairs — no float means anywhere — and the
+# calibrated outputs are integer ppm (pooled_pos * 10^6 DIV pooled_n),
+# so the fit is bit-identical under any partitioning/retry.
+# Pooling rule: merge only on STRICT violation (prev mean > cur mean);
+# equal-mean neighbors stay separate blocks (same calibrated values).
+# Oracle: the exact PAV stack replayed in a DuckDB recursive CTE
+# carrying (S, N, E) list state — one recursion step either PUSHES the
+# next bucket or MERGES the top two blocks (the pack_shards_bfd list-
+# state pattern); pytest adds a pure-Python third implementation and
+# the monotonicity / block-mean-preservation invariants.
+# --------------------------------------------------------------------------
+
+_ISO_BUCKETS = 40
+
+
+def isotonic_calibrate(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    b_col = _md5_long("isoS:", F.col("doc_id")) % _ISO_BUCKETS
+    scored = docs.select(
+        b_col.alias("b"),
+        (
+            (_md5_long("isoL:", F.col("doc_id")) % 100)
+            < (F.lit(10) + b_col * 2)
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    agg = scored.groupBy("b").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    stats = sorted(agg.collect(), key=lambda r: r.b)
+    blocks = []  # [pooled_pos, pooled_n, [buckets]]
+    for r in stats:
+        blocks.append([r.pos, r.n, [r.b]])
+        while (
+            len(blocks) >= 2
+            and blocks[-2][0] * blocks[-1][1]
+            > blocks[-1][0] * blocks[-2][1]
+        ):
+            s2, n2, bs2 = blocks.pop()
+            blocks[-1][0] += s2
+            blocks[-1][1] += n2
+            blocks[-1][2].extend(bs2)
+    cal_rows = [
+        (int(b), int(s * 1_000_000 // n))
+        for s, n, bs in blocks
+        for b in bs
+    ]
+    if not cal_rows:
+        return spark.createDataFrame(
+            [], "b long, n long, pos long, cal_ppm long"
+        )
+    cal = spark.createDataFrame(cal_rows, "b long, cal_ppm long")
+    return (
+        agg.join(F.broadcast(cal), "b")
+        .select("b", "n", "pos", "cal_ppm")
+        .orderBy("b")
+    )
+
+
+def _isotonic_sql() -> str:
+    def h(tag: str) -> str:
+        return (
+            f"CAST(concat('0x', substr(md5(concat('{tag}', "
+            f"CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)"
+        )
+
+    L = "len(r.S)"
+    viol = (
+        f"({L} >= 2 AND r.S[{L} - 1] * r.N[{L}] > r.S[{L}] * r.N[{L} - 1])"
+    )
+    return f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, {h('isoS:')} % {_ISO_BUCKETS} AS b,
+         CASE WHEN {h('isoL:')} % 100
+                   < 10 + ({h('isoS:')} % {_ISO_BUCKETS}) * 2
+              THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+agg AS (SELECT b, count(*) AS n, sum(y) AS pos FROM d GROUP BY b),
+items AS (
+  SELECT b, CAST(n AS BIGINT) AS n, CAST(pos AS BIGINT) AS pos,
+         row_number() OVER (ORDER BY b) AS rn
+  FROM agg
+),
+cnt AS (SELECT count(*) AS c FROM items),
+rec AS (
+  SELECT CAST(0 AS BIGINT) AS i, CAST([] AS BIGINT[]) AS S,
+         CAST([] AS BIGINT[]) AS N, CAST([] AS BIGINT[]) AS E
+  UNION ALL
+  SELECT CASE WHEN {viol} THEN r.i ELSE r.i + 1 END,
+         CASE WHEN {viol}
+              THEN list_append(r.S[1:{L} - 2], r.S[{L} - 1] + r.S[{L}])
+              ELSE list_append(r.S, it.pos) END,
+         CASE WHEN {viol}
+              THEN list_append(r.N[1:{L} - 2], r.N[{L} - 1] + r.N[{L}])
+              ELSE list_append(r.N, it.n) END,
+         CASE WHEN {viol}
+              THEN list_append(r.E[1:{L} - 2], r.E[{L}])
+              ELSE list_append(r.E, r.i + 1) END
+  FROM rec r LEFT JOIN items it ON it.rn = r.i + 1, cnt
+  WHERE {viol} OR r.i < cnt.c
+),
+fin AS (
+  SELECT r.S, r.N, r.E FROM rec r, cnt
+  WHERE r.i = cnt.c AND NOT {viol.replace('r.S', 'r.S').replace('r.N', 'r.N')}
+),
+blocks AS (
+  SELECT S[j] AS bs, N[j] AS bn,
+         CASE WHEN j = 1 THEN 0 ELSE E[j - 1] END AS rn_lo, E[j] AS rn_hi
+  FROM fin, unnest(range(1, len(E) + 1)) AS u(j)
+)
+SELECT it.b, it.n, it.pos, bl.bs * 1000000 // bl.bn AS cal_ppm
+FROM items it JOIN blocks bl ON it.rn > bl.rn_lo AND it.rn <= bl.rn_hi
+ORDER BY it.b
+"""
+
+
+ML_QUERIES["isotonic_calibrate"] = (isotonic_calibrate, _isotonic_sql())

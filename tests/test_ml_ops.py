@@ -2565,3 +2565,48 @@ def test_kcenter_greedy_properties(spark):
         best = max(cand, key=lambda t: (t[0], -t[1]))
         sel.append(best[1])
     assert ids == sel
+
+
+def test_isotonic_calibrate_pav_properties(spark):
+    """PAV invariants: calibrated ppm is NONDECREASING in bucket order,
+    every pooled block's value is the exact integer ppm of its pooled
+    (pos, n) (mass preserved — checked by recomputing blocks from the
+    raw corpus with an independent pure-Python PAV), the raw bucket
+    means really do contain violations (so pooling is exercised), and
+    the engine matches the replica bucket-for-bucket."""
+    import hashlib
+
+    from datamunging_spark.ml_ops import _ISO_BUCKETS, isotonic_calibrate
+    from datamunging_spark.queries import t as t_
+
+    rows = isotonic_calibrate(spark, SF_DIR).collect()
+    cal = [r.cal_ppm for r in sorted(rows, key=lambda r: r.b)]
+    assert cal == sorted(cal)
+
+    def md(tag, d):
+        return int(hashlib.md5(f"{tag}{d}".encode()).hexdigest()[:15], 16)
+
+    stats = {}
+    for (d,) in t_(spark, SF_DIR, "documents").select("doc_id").collect():
+        b = md("isoS:", d) % _ISO_BUCKETS
+        y = 1 if md("isoL:", d) % 100 < 10 + b * 2 else 0
+        n, s = stats.get(b, (0, 0))
+        stats[b] = (n + 1, s + y)
+    raw = [(b, *stats[b]) for b in sorted(stats)]
+    raw_means = [s / n for _, n, s in raw]
+    assert any(a > b for a, b in zip(raw_means, raw_means[1:]))  # violations exist
+    blocks = []
+    for b, n, s in raw:
+        blocks.append([s, n, [b]])
+        while len(blocks) >= 2 and blocks[-2][0] * blocks[-1][1] > blocks[-1][0] * blocks[-2][1]:
+            s2, n2, bs2 = blocks.pop()
+            blocks[-1][0] += s2
+            blocks[-1][1] += n2
+            blocks[-1][2].extend(bs2)
+    exp = {}
+    for s, n, bs in blocks:
+        for b in bs:
+            exp[b] = (stats[b][0], stats[b][1], s * 1_000_000 // n)
+    got = {r.b: (r.n, r.pos, r.cal_ppm) for r in rows}
+    assert got == exp
+    assert any(len(bs) > 1 for _, _, bs in blocks)  # pooling really ran
