@@ -110,6 +110,7 @@ HEADLINE = [
     "kcenter_select",
     "isotonic_calibrate",
     "bfs_levels",
+    "content_chunk_dedup",
 ]
 
 ALL = {**RELATIONAL_QUERIES, **ML_QUERIES}

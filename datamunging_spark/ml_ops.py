@@ -9329,3 +9329,150 @@ ORDER BY node_id
 
 
 ML_QUERIES["bfs_levels"] = (bfs_levels, _bfs_sql())
+
+
+# --------------------------------------------------------------------------
+# Content-defined chunk dedup (final-r5 extension). Fixed-offset
+# chunking breaks under INSERTION (every later chunk shifts); the
+# rsync/FastCDC family cuts at CONTENT-defined positions — here: after
+# byte i when md5 of the trailing 8-byte window lands in a 1/64 target
+# class — so an edit changes only the chunk it touches. This is the
+# backup/CAS dedup primitive, and for training corpora the
+# shift-resistant complement of paragraph/substring dedup (binary and
+# media payloads included: the window hash reads opaque bytes).
+# Scale shape — NO Python anywhere:
+#   - the per-position window hash is a codegen explode (positions x
+#     md5(substr)): the fan-out is len(text) rows per doc, all
+#     map-side, collapsed back per doc in the SAME stage by the
+#     collect_list aggregation (one doc_id hash shuffle);
+#   - chunk extraction = sorted cut array -> posexplode -> substr
+#     (pure codegen); chunk identity = md5(chunk);
+#   - cross-doc dedup is ONE groupBy(chunk_hash) counting distinct
+#     docs — the shuffle carries 16-byte hashes, never chunk bodies;
+#   - per-doc output: chunk count, shared-chunk count, shared bytes —
+#     a join back on the hash table (chunk-count-sized).
+# At 10^12 docs the chunk-hash table is the materialized CAS index;
+# re-chunking touches only changed docs (the anti-join resume pattern).
+# Oracle: DuckDB replays the identical window-hash cut rule, island
+# grouping, and dedup counts.
+# --------------------------------------------------------------------------
+
+_CDC_WIN = 8  # trailing window bytes
+_CDC_MOD = 64  # 1/64 cut probability -> ~64-byte expected chunks
+_CDC_DOCS = 200
+
+
+def content_chunk_dedup(spark, sf_dir):
+    docs = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < _CDC_DOCS)
+        .select("doc_id", "text")
+        .where(F.length("text") >= _CDC_WIN)
+    )
+    # cut AFTER byte i (1-based, i >= _CDC_WIN) when the trailing
+    # window hash lands in class 0; len(text) is always a cut so the
+    # tail forms a chunk
+    pos = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(_CDC_WIN), F.length("text"))
+        ).alias("i"),
+    )
+    cuts = pos.where(
+        (
+            md5_long(F.substring(F.col("text"), F.col("i") - _CDC_WIN + 1, _CDC_WIN))
+            % _CDC_MOD
+            == 0
+        )
+        | (F.col("i") == F.length("text"))
+    )
+    bounds = cuts.groupBy("doc_id", "text").agg(
+        F.array_sort(F.collect_list("i")).alias("ends")
+    )
+    # chunk starts via lag-free algebra: start_j = ends[j-1] + 1
+    chunks = bounds.select(
+        "doc_id",
+        "text",
+        F.posexplode("ends").alias("j", "end"),
+        F.col("ends").alias("ends"),
+    ).select(
+        "doc_id",
+        F.col("end"),
+        F.when(F.col("j") == 0, F.lit(1))
+        .otherwise(F.element_at("ends", F.col("j")) + 1)
+        .alias("start"),
+        "text",
+    ).select(
+        "doc_id",
+        (F.col("end") - F.col("start") + 1).alias("nbytes"),
+        F.md5(
+            F.expr("substring(text, start, end - start + 1)")
+        ).alias("chash"),
+    )
+    df_tab = chunks.groupBy("chash").agg(
+        F.countDistinct("doc_id").alias("dfreq")
+    )
+    return (
+        chunks.join(df_tab, "chash")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum((F.col("dfreq") > 1).cast("long")).alias("n_shared"),
+            F.sum(
+                F.when(F.col("dfreq") > 1, F.col("nbytes")).otherwise(0)
+            )
+            .cast("long")
+            .alias("shared_bytes"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _cdc_sql() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id < {_CDC_DOCS} AND length(text) >= {_CDC_WIN}
+),
+pos AS (
+  SELECT doc_id, text, CAST(u.i AS BIGINT) AS i
+  FROM d, unnest(range({_CDC_WIN}, length(text) + 1)) AS u(i)
+),
+cuts AS (
+  SELECT doc_id, text, i FROM pos
+  WHERE CAST(concat('0x', substr(md5(
+          substr(text, CAST(i AS INT) - {_CDC_WIN} + 1, {_CDC_WIN})
+        ), 1, 15)) AS BIGINT) % {_CDC_MOD} = 0
+     OR i = length(text)
+),
+bounds AS (
+  SELECT doc_id, text, list_sort(list(i)) AS ends
+  FROM cuts GROUP BY doc_id, text
+),
+chunks AS (
+  SELECT doc_id,
+         ends[j] - (CASE WHEN j = 1 THEN 1
+                         ELSE ends[j - 1] + 1 END) + 1 AS nbytes,
+         md5(substr(text,
+             CAST(CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END AS INT),
+             CAST(ends[j] - (CASE WHEN j = 1 THEN 1
+                                  ELSE ends[j - 1] + 1 END) + 1 AS INT)
+         )) AS chash
+  FROM bounds, unnest(range(1, len(ends) + 1)) AS u(j)
+),
+df_tab AS (
+  SELECT chash, count(DISTINCT doc_id) AS dfreq FROM chunks GROUP BY chash
+)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN dfreq > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared,
+       CAST(sum(CASE WHEN dfreq > 1 THEN nbytes ELSE 0 END) AS BIGINT)
+         AS shared_bytes
+FROM chunks c JOIN df_tab USING (chash)
+GROUP BY c.doc_id ORDER BY c.doc_id
+"""
+
+
+ML_QUERIES["content_chunk_dedup"] = (content_chunk_dedup, _cdc_sql())

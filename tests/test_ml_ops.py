@@ -2663,3 +2663,66 @@ def test_bfs_levels_triangle_inequality_and_replica(spark, tmp_path):
         la, lb = lvl.get(a), lvl.get(b)
         if la is not None and lb is not None and a in ids and b in ids:
             assert abs(la - lb) <= 1
+
+
+def test_content_chunk_dedup_shift_resistance(spark, tmp_path):
+    """The defining CDC property: inserting one byte near the FRONT of
+    a long text changes only the chunk(s) containing the edit — the
+    chunk sets before/after share almost everything, where fixed-
+    offset chunking would share nothing. Also: chunks tile the text
+    exactly (sum nbytes == length), and two identical docs share 100%
+    of their bytes (full dedup)."""
+    import hashlib
+
+    from datamunging_spark.ml_ops import (
+        _CDC_MOD,
+        _CDC_WIN,
+        content_chunk_dedup,
+    )
+
+    def py_chunks(text):
+        cuts = [
+            i
+            for i in range(_CDC_WIN, len(text) + 1)
+            if int(
+                hashlib.md5(
+                    text[i - _CDC_WIN : i].encode()
+                ).hexdigest()[:15],
+                16,
+            )
+            % _CDC_MOD
+            == 0
+            or i == len(text)
+        ]
+        out, start = [], 0
+        for e in cuts:
+            out.append(text[start:e])
+            start = e
+        return out
+
+    base = "".join(
+        "abcdefghij"[int(hashlib.md5(f"cdc:{k}".encode()).hexdigest()[:2], 16) % 10]
+        for k in range(4000)
+    )
+    edited = base[:5] + "Z" + base[5:]
+    c0, c1 = py_chunks(base), py_chunks(edited)
+    assert abs(len(c0) - len(c1)) <= 2
+    shared = set(c0) & set(c1)
+    assert len(shared) >= len(c0) - 3  # only the edited chunk(s) differ
+    assert "".join(c0) == base and "".join(c1) == edited
+
+    # engine agreement + tiling + full-dup detection on a hand corpus
+    rows = [(0, base), (1, edited), (2, base), (3, "tiny")]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = {
+        r.doc_id: (r.n_chunks, r.n_shared, r.shared_bytes)
+        for r in content_chunk_dedup(spark, str(tmp_path)).collect()
+    }
+    assert got[0][0] == len(c0) and got[2] == got[0]
+    assert got[0][1] == got[0][0]  # doc 2 duplicates doc 0 entirely
+    assert got[0][2] == len(base)
+    # the edited doc shares all but the edited chunk(s)
+    assert got[1][1] >= got[1][0] - 3
+    assert 3 not in got  # < _CDC_WIN bytes -> filtered, like the oracle
