@@ -135,8 +135,8 @@ DRIVER_PRIORITY = [
     # triangle_count — the degree-oriented wedge join, a graph-analytics
     # capability (exact subgraph listing) that pagerank/anchor_text
     # don't exercise. embedding_quantize stays oracle-checked in pytest
-    # + CORRECTNESS_local.json.)
-    "triangle_count",
+    # + CORRECTNESS_local.json. In the final r5 batch triangle_count
+    # itself rotated past the window — see hll_distinct below.)
     "decontaminate_ngrams",
     # (pack_shards moved past the window late in r5: the packing family
     # keeps pack_shards_bfd in-window below. That slot briefly held
@@ -148,6 +148,15 @@ DRIVER_PRIORITY = [
     # deterministic complement of the MinHash-LSH row. gopher_repetition
     # stays oracle-checked in pytest + CORRECTNESS_local.json.)
     "fuzzy_join_shingles",
+    # (triangle_count moved past the window in the final r5 batch: the
+    # graph family keeps pagerank_links + anchor_text_agg + thread_roots
+    # in-window; exact wedge-join listing remains oracle-checked in
+    # pytest + CORRECTNESS_local.json. Freed slot goes to hll_distinct —
+    # the first MERGEABLE-SKETCH row: deterministic integer HyperLogLog
+    # whose register table partial-aggregates map-side, the class that
+    # replaces COUNT(DISTINCT) shuffles at 10^12 rows. Its sibling
+    # cms_heavy_hitters stays oracle-checked past the window.)
+    "hll_distinct",
     "header_detect_relational",
     # round-3 flagship additions (freed slots: the grouping-sets family
     # keeps one driver representative, rollup_lineitem; the window

@@ -111,6 +111,9 @@ HEADLINE = [
     "isotonic_calibrate",
     "bfs_levels",
     "content_chunk_dedup",
+    # mergeable-sketch family
+    "hll_distinct",
+    "cms_heavy_hitters",
 ]
 
 ALL = {**RELATIONAL_QUERIES, **ML_QUERIES}

@@ -9476,3 +9476,253 @@ GROUP BY c.doc_id ORDER BY c.doc_id
 
 
 ML_QUERIES["content_chunk_dedup"] = (content_chunk_dedup, _cdc_sql())
+
+
+# --------------------------------------------------------------------------
+# Mergeable-sketch family (final-r5 extension): deterministic
+# HyperLogLog cardinality. COUNT(DISTINCT key) at 10^12 rows shuffles
+# every distinct key to its reducer; the HLL register table is a FIXED
+# m-row mergeable summary whose partial aggregate (max per register)
+# combines map-side — the shuffle carries at most m rows per group
+# regardless of corpus size, and two corpora's sketches merge by
+# register-wise max (the union/backfill story). Classic HLL needs
+# floats (harmonic mean, alpha, ln in the small-range correction);
+# every float here is pinned to exact-integer form so the estimate is
+# bit-identical across engines, partitionings, and cluster layouts:
+#   - the sum of 2^-rho is scaled by 2^41 (every term is int64);
+#   - alpha_1024 ~= 0.72085 is pinned as the rational 721/1000;
+#   - the linear-counting branch m*ln(m/V) is a 1024-entry integer
+#     lookup table computed ONCE here and interpolated into BOTH
+#     engines' plans (V, the empty-register count, has only m values).
+# Subject: distinct l_orderkey per l_returnflag (~11k/flag at sf0.01
+# exercises the HLL branch; ~1.8k at sf0.001 exercises LC).
+# Oracle: DuckDB replays hash -> register -> integer estimator.
+# --------------------------------------------------------------------------
+
+import math
+
+_HLL_P = 10
+_HLL_M = 1 << _HLL_P  # 1024 registers
+_HLL_RMAX = (60 - _HLL_P) + 1  # md5_long is 60-bit; rho in [1, 51]
+_HLL_SCALE = 41  # sum of 2^(SCALE-rho) over 1024 registers stays < 2^61
+_HLL_ALPHA_NUM, _HLL_ALPHA_DEN = 721, 1000
+_HLL_LC_THRESH = 5 * _HLL_M // 2  # raw HLL biased below 2.5m -> LC branch
+# m * ln(m / V) for V = 1..m; index 0 is a pad so element_at(arr, V+1)
+# (1-based in both engines) reads entry V
+_HLL_LC = [0] + [
+    round(_HLL_M * math.log(_HLL_M / v)) for v in range(1, _HLL_M + 1)
+]
+
+
+def hll_distinct(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select("l_returnflag", "l_orderkey")
+    h = md5_long(F.concat(F.lit("hll:"), F.col("l_orderkey").cast("string")))
+    w = F.shiftright(h, _HLL_P)  # h >= 0, arithmetic shift is fine
+    # bit length via base-2 string: conv() never emits leading zeros
+    # except the literal '0' (DuckDB bin() identical); w = 0 -> 0 bits
+    bitlen = F.when(w == 0, F.lit(0)).otherwise(F.length(F.conv(w, 10, 2)))
+    reg = (
+        li.select(
+            "l_returnflag",
+            (h % _HLL_M).alias("b"),
+            (F.lit(_HLL_RMAX) - bitlen).cast("long").alias("rho"),
+        )
+        .groupBy("l_returnflag", "b")
+        .agg(F.max("rho").alias("r"))
+    )
+    term = F.expr(
+        f"CASE WHEN r >= {_HLL_SCALE} THEN CAST(1 AS BIGINT) "
+        f"ELSE shiftleft(CAST(1 AS BIGINT), {_HLL_SCALE} - CAST(r AS INT)) END"
+    )
+    per = reg.groupBy("l_returnflag").agg(
+        (F.lit(_HLL_M) - F.count("*")).cast("long").alias("n_zero"),
+        (
+            F.sum(term)
+            + (F.lit(_HLL_M) - F.count("*")) * F.lit(1 << _HLL_SCALE)
+        )
+        .cast("long")
+        .alias("s_scaled"),
+    )
+    # est_raw = alpha * m^2 / sum(2^-rho), all-integer: numerator
+    # m^2 * 2^SCALE = 2^61 fits int64; inner quotient <= 2^51 so the
+    # alpha multiply stays < 2^63. Both engines truncate identically
+    # (operands positive).
+    num = (_HLL_M * _HLL_M) << _HLL_SCALE
+    est_raw = F.expr(
+        f"((CAST({num} AS BIGINT) div s_scaled) * {_HLL_ALPHA_NUM}) "
+        f"div {_HLL_ALPHA_DEN}"
+    )
+    lc_arr = F.expr(
+        "array(" + ",".join(str(v) for v in _HLL_LC) + ")"
+    )
+    withraw = per.withColumn("est_raw", est_raw)
+    est = (
+        F.when(
+            (F.col("n_zero") > 0) & (F.col("est_raw") <= _HLL_LC_THRESH),
+            F.element_at(lc_arr, (F.col("n_zero") + 1).cast("int")),
+        )
+        .otherwise(F.col("est_raw"))
+        .cast("long")
+        .alias("est_distinct")
+    )
+    return withraw.select(
+        "l_returnflag", "n_zero", "s_scaled", est
+    ).orderBy("l_returnflag")
+
+
+def _hll_sql() -> str:
+    lc = "[" + ",".join(str(v) for v in _HLL_LC) + "]"
+    num = (_HLL_M * _HLL_M) << _HLL_SCALE
+    return f"""
+WITH h AS (
+  SELECT l_returnflag,
+         CAST(concat('0x', substr(md5(concat('hll:',
+           CAST(l_orderkey AS VARCHAR))), 1, 15)) AS BIGINT) AS hv
+  FROM lineitem
+),
+reg AS (
+  SELECT l_returnflag, hv % {_HLL_M} AS b,
+         max({_HLL_RMAX} - length(ltrim(bin(hv // {_HLL_M}), '0'))) AS r
+  FROM h GROUP BY l_returnflag, hv % {_HLL_M}
+),
+per AS (
+  SELECT l_returnflag,
+         CAST({_HLL_M} - count(*) AS BIGINT) AS n_zero,
+         CAST(sum(CASE WHEN r >= {_HLL_SCALE} THEN 1
+                       ELSE (CAST(1 AS BIGINT) << ({_HLL_SCALE} - r)) END)
+              + ({_HLL_M} - count(*)) * (CAST(1 AS BIGINT) << {_HLL_SCALE})
+              AS BIGINT) AS s_scaled
+  FROM reg GROUP BY l_returnflag
+),
+est AS (
+  SELECT *,
+         ((CAST({num} AS BIGINT) // s_scaled) * {_HLL_ALPHA_NUM})
+           // {_HLL_ALPHA_DEN} AS est_raw
+  FROM per
+)
+SELECT l_returnflag, n_zero, s_scaled,
+       CAST(CASE WHEN n_zero > 0 AND est_raw <= {_HLL_LC_THRESH}
+            THEN ({lc})[CAST(n_zero + 1 AS INT)]
+            ELSE est_raw END AS BIGINT) AS est_distinct
+FROM est ORDER BY l_returnflag
+"""
+
+
+ML_QUERIES["hll_distinct"] = (hll_distinct, _hll_sql())
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch + heavy hitters (final-r5 extension). The CMS is the
+# second mergeable sketch: a d x w counter grid where counter (j, c)
+# sums the counts of every item with hash_j(item) = c. It is a pure
+# SUM — partial-aggregable map-side, mergeable by cell-wise addition —
+# and point-estimates any item's frequency as min_j counter(j, h_j):
+# always >= the true count (collisions only ADD), so thresholding on
+# the estimate has NO false negatives — the property that makes it the
+# streaming/sharded heavy-hitter primitive. Subject: token bigrams of
+# the document corpus (916 distinct at sf0.01 vs w=512 -> real
+# collisions, real overestimates). The output carries the exact count
+# next to the estimate so the test (and a user) can see both the
+# guarantee and the collision inflation. Scale shape: the grid build is
+# one explode(d)/groupBy over (j, c) — at 10^12 tokens each map task
+# emits at most d*w=2048 partial cells; candidate scoring broadcasts
+# the 2048-row grid (plan-asserted), never shuffling the corpus. The
+# exact-count candidate table is the sf-scale verifier; on a real
+# 100 TB run you'd feed candidates from per-shard local top-k instead
+# (the grid's no-false-negative filter still applies).
+# Oracle: DuckDB replays grid, min-estimate, and threshold.
+# --------------------------------------------------------------------------
+
+_CMS_D = 4
+_CMS_W = 512
+_CMS_PHI_DEN = 640  # heavy = cms_est >= total_bigrams div 640
+
+
+def _cms_cells(col):
+    """The d (row, column) pairs of a bigram, identical literals in
+    both engines: hash_j = md5('cms{j}:' || bg) mod w."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    (
+                        md5_long(F.concat(F.lit(f"cms{j}:"), col)) % _CMS_W
+                    ).alias("c"),
+                )
+                for j in range(_CMS_D)
+            ]
+        )
+    )
+
+
+def cms_heavy_hitters(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select(
+        F.split(F.lower("text"), " ").alias("ts")
+    )
+    bg = docs.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(ts, 1, size(ts) - 1), "
+                "slice(ts, 2, size(ts) - 1), "
+                "(a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("bg")
+    )
+    cells = (
+        bg.select(_cms_cells(F.col("bg")).alias("jc"))
+        .select("jc.j", "jc.c")
+        .groupBy("j", "c")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    exact = bg.groupBy("bg").agg(F.count("*").cast("long").alias("exact_cnt"))
+    total = exact.agg(F.sum("exact_cnt").alias("tot"))
+    cand = exact.select(
+        "bg", "exact_cnt", _cms_cells(F.col("bg")).alias("jc")
+    ).select("bg", "exact_cnt", "jc.j", "jc.c")
+    est = (
+        cand.join(F.broadcast(cells), ["j", "c"])
+        .groupBy("bg", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return (
+        est.join(F.broadcast(total))
+        .where(F.col("cms_est") >= F.expr(f"tot div {_CMS_PHI_DEN}"))
+        .select("bg", "cms_est", "exact_cnt")
+        .orderBy(F.desc("cms_est"), "bg")
+    )
+
+
+def _cms_sql() -> str:
+    js = ",".join(str(j) for j in range(_CMS_D))
+    hj = (
+        "CAST(concat('0x', substr(md5(concat('cms' || CAST(j AS VARCHAR) "
+        f"|| ':', bg)), 1, 15)) AS BIGINT) % {_CMS_W}"
+    )
+    return f"""
+WITH tk AS (SELECT string_split(lower(text), ' ') AS ts FROM documents),
+bg AS (
+  SELECT ts[i] || ' ' || ts[i + 1] AS bg
+  FROM tk, unnest(range(1, len(ts))) u(i)
+),
+cells AS (
+  SELECT j, {hj} AS c, CAST(count(*) AS BIGINT) AS cnt
+  FROM bg, unnest([{js}]) t(j) GROUP BY 1, 2
+),
+exact AS (SELECT bg, CAST(count(*) AS BIGINT) AS exact_cnt FROM bg GROUP BY bg),
+tot AS (SELECT CAST(sum(exact_cnt) AS BIGINT) AS tot FROM exact),
+cand AS (
+  SELECT bg, exact_cnt, j, {hj} AS c
+  FROM exact, unnest([{js}]) t(j)
+),
+est AS (
+  SELECT bg, exact_cnt, min(cnt) AS cms_est
+  FROM cand JOIN cells USING (j, c) GROUP BY bg, exact_cnt
+)
+SELECT bg, CAST(cms_est AS BIGINT) AS cms_est, exact_cnt
+FROM est, tot WHERE cms_est >= tot // {_CMS_PHI_DEN}
+ORDER BY cms_est DESC, bg
+"""
+
+
+ML_QUERIES["cms_heavy_hitters"] = (cms_heavy_hitters, _cms_sql())

@@ -2726,3 +2726,146 @@ def test_content_chunk_dedup_shift_resistance(spark, tmp_path):
     # the edited doc shares all but the edited chunk(s)
     assert got[1][1] >= got[1][0] - 3
     assert 3 not in got  # < _CDC_WIN bytes -> filtered, like the oracle
+
+
+def test_hll_distinct_replica_error_bound_and_merge(spark):
+    """The full integer HLL estimator replayed in pure Python (third
+    implementation) must equal the engine bit-for-bit on the real
+    corpus; the estimate must sit inside the 1.04/sqrt(m) error
+    envelope (generous 4-sigma bound) against the exact distinct
+    count; and the register table must be MERGEABLE — registers of
+    the whole corpus equal the register-wise max of two disjoint
+    halves' registers (the sharded/backfill aggregation story)."""
+    import hashlib
+
+    import duckdb
+
+    from datamunging_spark.ml_ops import (
+        _HLL_LC,
+        _HLL_LC_THRESH,
+        _HLL_M,
+        _HLL_RMAX,
+        _HLL_SCALE,
+        hll_distinct,
+    )
+    from tests.test_queries_oracle import SF_DIR
+
+    pairs = duckdb.sql(
+        f"SELECT l_returnflag, l_orderkey FROM "
+        f"read_parquet('{SF_DIR}/lineitem.parquet')"
+    ).fetchall()
+
+    def registers(rows):
+        regs = {}
+        for flag, key in rows:
+            h = int(hashlib.md5(f"hll:{key}".encode()).hexdigest()[:15], 16)
+            r = regs.setdefault(flag, {})
+            b = h % _HLL_M
+            r[b] = max(r.get(b, 0), _HLL_RMAX - 1 - (h >> 10).bit_length() + 1)
+        return regs
+
+    def estimate(r):
+        nz = _HLL_M - len(r)
+        s = sum(
+            1 if v >= _HLL_SCALE else 1 << (_HLL_SCALE - v)
+            for v in r.values()
+        ) + nz * (1 << _HLL_SCALE)
+        est_raw = (((_HLL_M * _HLL_M << _HLL_SCALE) // s) * 721) // 1000
+        est = _HLL_LC[nz] if nz > 0 and est_raw <= _HLL_LC_THRESH else est_raw
+        return nz, s, est
+
+    regs = registers(pairs)
+    want = {f: estimate(r) for f, r in regs.items()}
+    got = {
+        r.l_returnflag: (r.n_zero, r.s_scaled, r.est_distinct)
+        for r in hll_distinct(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+    # accuracy: within 4 * 1.04/sqrt(1024) = 13% of the exact count
+    exact = {}
+    for flag, key in pairs:
+        exact.setdefault(flag, set()).add(key)
+    for flag, keys in exact.items():
+        est = got[flag][2]
+        assert abs(est - len(keys)) <= 0.13 * len(keys), (flag, est, len(keys))
+
+    # mergeability: full registers == register-wise max of two halves
+    h1 = registers([p for p in pairs if p[1] % 2 == 0])
+    h2 = registers([p for p in pairs if p[1] % 2 == 1])
+    for flag, r in regs.items():
+        merged = dict(h1.get(flag, {}))
+        for b, v in h2.get(flag, {}).items():
+            merged[b] = max(merged.get(b, 0), v)
+        assert merged == r, flag
+
+
+def test_cms_heavy_hitters_guarantees(spark, tmp_path):
+    """CMS contract pinned on a hand corpus with PLANTED heavy bigrams
+    and a long rare tail: (1) engine output equals a pure-Python
+    replica of grid/min-estimate/threshold, (2) the estimate never
+    undercounts (collisions only add), so (3) every truly-heavy bigram
+    is in the output — the no-false-negative guarantee the op exists
+    for. The rare tail forces real grid collisions (tail size >> w)."""
+    import hashlib
+    from collections import Counter
+
+    from datamunging_spark.ml_ops import (
+        _CMS_D,
+        _CMS_PHI_DEN,
+        _CMS_W,
+        cms_heavy_hitters,
+    )
+
+    texts = ["hot pair " * 400]  # 'hot pair'/'pair hot' dominate
+    texts += ["warm duo " * 120]
+    # 1500 distinct rare bigrams across w=512 columns -> collisions
+    texts += [f"u{i} v{i}" for i in range(1500)]
+    rows = [(i, s.strip()) for i, s in enumerate(texts)]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+
+    bgs = Counter()
+    for _, s in rows:
+        ts = s.lower().split(" ")
+        for a, b in zip(ts, ts[1:]):
+            bgs[f"{a} {b}"] += 1
+    grid = Counter()
+    cols = {
+        (j, bg): int(
+            hashlib.md5(f"cms{j}:{bg}".encode()).hexdigest()[:15], 16
+        )
+        % _CMS_W
+        for bg in bgs
+        for j in range(_CMS_D)
+    }
+    for bg, c in bgs.items():
+        for j in range(_CMS_D):
+            grid[(j, cols[(j, bg)])] += c
+    tot = sum(bgs.values())
+    thr = tot // _CMS_PHI_DEN
+    want = sorted(
+        (
+            (bg, min(grid[(j, cols[(j, bg)])] for j in range(_CMS_D)), c)
+            for bg, c in bgs.items()
+            if min(grid[(j, cols[(j, bg)])] for j in range(_CMS_D)) >= thr
+        ),
+        key=lambda r: (-r[1], r[0]),
+    )
+    got = [
+        (r.bg, r.cms_est, r.exact_cnt)
+        for r in cms_heavy_hitters(spark, str(tmp_path)).collect()
+    ]
+    assert got == want
+    # overestimate-only, and the planted heavies are all present
+    assert all(est >= c for _, est, c in got)
+    out_bgs = {bg for bg, _, _ in got}
+    for bg, c in bgs.items():
+        if c >= thr:
+            assert bg in out_bgs, (bg, c)
+    # the tail really collided somewhere (est > exact for some rare bigram)
+    assert any(
+        min(grid[(j, cols[(j, bg)])] for j in range(_CMS_D)) > c
+        for bg, c in bgs.items()
+    )

@@ -949,3 +949,23 @@ def test_multimodal_phash_dedup_plan_shape(spark, sf_dir):
     assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
         "BroadcastHashJoin" in p
     ), p
+
+
+def test_sketch_ops_plan_shapes(spark, sf_dir):
+    """Mergeable sketches must stay sketch-shaped in the plan: all
+    codegen (no Python stage), the HLL scan pruned to exactly its two
+    columns with map-side partial max, and CMS scoring joining the
+    2048-cell grid via BROADCAST (the corpus-sized side never
+    shuffles for the lookup)."""
+    from datamunging_spark.ml_ops import cms_heavy_hitters, hll_distinct
+
+    hll = plan_of(hll_distinct(spark, sf_dir))
+    assert "EvalPython" not in hll
+    read = hll.split("ReadSchema")[1].split("\n")[0]
+    assert "l_returnflag" in read and "l_orderkey" in read
+    assert "l_extendedprice" not in read and "l_partkey" not in read
+    assert "partial_max" in hll  # register max combines map-side
+
+    cms = plan_of(cms_heavy_hitters(spark, sf_dir))
+    assert "EvalPython" not in cms
+    assert "BroadcastHashJoin" in cms
