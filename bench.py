@@ -114,6 +114,8 @@ HEADLINE = [
     # mergeable-sketch family
     "hll_distinct",
     "cms_heavy_hitters",
+    # time-series resample + LOCF
+    "gapfill_locf",
 ]
 
 ALL = {**RELATIONAL_QUERIES, **ML_QUERIES}

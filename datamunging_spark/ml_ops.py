@@ -9726,3 +9726,84 @@ ORDER BY cms_est DESC, bg
 
 
 ML_QUERIES["cms_heavy_hitters"] = (cms_heavy_hitters, _cms_sql())
+
+
+# --------------------------------------------------------------------------
+# Time-series gap-fill + LOCF (final-r5 extension). Sparse event
+# streams get resampled onto a DENSE per-key calendar spine —
+# the missing-bucket rows are materialized with zero counts and the
+# last-observation-carried-forward value — the shape every metrics
+# warehouse / feature-store backfill needs and nothing else in the
+# catalog produces (every other event op emits only observed rows).
+# Determinism: the carried value is max(value) per day — pure
+# comparison, NO float arithmetic, so both engines agree bit-for-bit.
+# Scale shape: ONE shuffle on user_id (the daily pre-agg), the spine
+# explode is per-key bounded (sequence over that key's own [min,max]
+# range — a key active 2 days costs 2 rows, not the global calendar),
+# and the LOCF window is per-key partitioned, never global. Dense
+# output is keys x active-days — the caller's range cap, not the
+# engine's. Oracle: DuckDB generate_series + IGNORE NULLS window.
+# --------------------------------------------------------------------------
+
+
+def gapfill_locf(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.date_trunc("DAY", "ts")).alias("d"), "value"
+    )
+    daily = ev.groupBy("user_id", "d").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.max("value").alias("day_max"),
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+            ).alias("d"),
+        )
+    )
+    win = (
+        W.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "d"], "left")
+        .select(
+            "user_id",
+            # date-as-string output convention (comparator-stable)
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            F.last("day_max", ignorenulls=True).over(win).alias("filled_max"),
+            (F.col("day_max").isNull()).cast("int").alias("is_gap"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+GAPFILL_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(count(*) AS BIGINT) AS n_events, max(value) AS day_max
+  FROM events GROUP BY 1, 2
+),
+spine AS (
+  SELECT user_id, CAST(u.d AS DATE) AS d
+  FROM (SELECT user_id, min(d) AS d0, max(d) AS d1
+        FROM daily GROUP BY user_id),
+       unnest(generate_series(d0, d1, INTERVAL 1 DAY)) u(d)
+)
+SELECT s.user_id, strftime(s.d, '%Y-%m-%d') AS day,
+       coalesce(n_events, 0) AS n_events,
+       last_value(day_max IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.d
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_max,
+       CAST(day_max IS NULL AS INT) AS is_gap
+FROM spine s LEFT JOIN daily USING (user_id, d)
+ORDER BY s.user_id, day
+"""
+
+
+ML_QUERIES["gapfill_locf"] = (gapfill_locf, GAPFILL_SQL)

@@ -2869,3 +2869,41 @@ def test_cms_heavy_hitters_guarantees(spark, tmp_path):
         min(grid[(j, cols[(j, bg)])] for j in range(_CMS_D)) > c
         for bg, c in bgs.items()
     )
+
+
+def test_gapfill_locf_hand_corpus(spark, tmp_path):
+    """Gap-fill semantics pinned on a hand stream: user 1 has events
+    on days 1/4/6 -> days 2,3,5 materialize as gaps carrying the last
+    observed day-max; user 2 is single-day (spine of one row, no
+    gaps); per-key spines are independent (user 2's range must not
+    leak into user 1's). The filled value is max(value) per day —
+    comparison only, never float arithmetic."""
+    from datetime import datetime
+
+    from datamunging_spark.ml_ops import gapfill_locf
+
+    rows = [
+        (0, datetime(2024, 3, 1, 9), 1, "view", 5.0, "{}"),
+        (1, datetime(2024, 3, 1, 10), 1, "view", 7.0, "{}"),
+        (2, datetime(2024, 3, 4, 1), 1, "click", 3.0, "{}"),
+        (3, datetime(2024, 3, 6, 23), 1, "view", 9.0, "{}"),
+        (4, datetime(2024, 3, 2, 12), 2, "view", 4.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    got = [
+        (r.user_id, r.day, r.n_events, r.filled_max, r.is_gap)
+        for r in gapfill_locf(spark, str(tmp_path)).collect()
+    ]
+    assert got == [
+        (1, "2024-03-01", 2, 7.0, 0),
+        (1, "2024-03-02", 0, 7.0, 1),
+        (1, "2024-03-03", 0, 7.0, 1),
+        (1, "2024-03-04", 1, 3.0, 0),
+        (1, "2024-03-05", 0, 3.0, 1),
+        (1, "2024-03-06", 1, 9.0, 0),
+        (2, "2024-03-02", 1, 4.0, 0),
+    ]

@@ -969,3 +969,19 @@ def test_sketch_ops_plan_shapes(spark, sf_dir):
     cms = plan_of(cms_heavy_hitters(spark, sf_dir))
     assert "EvalPython" not in cms
     assert "BroadcastHashJoin" in cms
+
+
+def test_gapfill_locf_plan_shape(spark, sf_dir):
+    """Gap-fill must stay codegen (no Python stage) and its LOCF
+    window must be PARTITIONED by key — a global (unpartitioned)
+    running window would serialize the whole dense spine through one
+    task at 100 TB."""
+    from datamunging_spark.ml_ops import gapfill_locf
+
+    plan = plan_of(gapfill_locf(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "Window" in plan
+    import re
+
+    wins = re.findall(r"Window \[.*?\], \[(.*?)\]", plan)
+    assert wins and all("user_id" in w for w in wins), wins
