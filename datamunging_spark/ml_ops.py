@@ -9669,13 +9669,19 @@ def cms_heavy_hitters(spark, sf_dir):
             )
         ).alias("bg")
     )
-    cells = (
-        bg.select(_cms_cells(F.col("bg")).alias("jc"))
-        .select("jc.j", "jc.c")
-        .groupBy("j", "c")
-        .agg(F.count("*").cast("long").alias("cnt"))
-    )
     exact = bg.groupBy("bg").agg(F.count("*").cast("long").alias("exact_cnt"))
+    # The grid from the raw stream would explode d rows per OCCURRENCE;
+    # since this query materializes the exact (bg, count) table anyway
+    # (it is the candidate set AND the truth column), the identical grid
+    # falls out of a d-per-DISTINCT explode weighted by the count — one
+    # corpus scan total. On a true 100 TB run with local-top-k
+    # candidates instead of `exact`, build the grid from the raw stream:
+    # same (j, c) partial-agg shape, map-side combined.
+    cells = (
+        exact.select(_cms_cells(F.col("bg")).alias("jc"), "exact_cnt")
+        .groupBy("jc.j", "jc.c")
+        .agg(F.sum("exact_cnt").alias("cnt"))
+    )
     total = exact.agg(F.sum("exact_cnt").alias("tot"))
     cand = exact.select(
         "bg", "exact_cnt", _cms_cells(F.col("bg")).alias("jc")
