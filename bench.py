@@ -116,6 +116,8 @@ HEADLINE = [
     "cms_heavy_hitters",
     # time-series resample + LOCF
     "gapfill_locf",
+    # submodular selection
+    "maxcover_select",
 ]
 
 ALL = {**RELATIONAL_QUERIES, **ML_QUERIES}

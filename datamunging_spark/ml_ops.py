@@ -9813,3 +9813,117 @@ ORDER BY s.user_id, day
 
 
 ML_QUERIES["gapfill_locf"] = (gapfill_locf, GAPFILL_SQL)
+
+
+# --------------------------------------------------------------------------
+# Greedy max-coverage selection (final-r5 extension) — the submodular
+# data-selection primitive: pick K documents maximizing the number of
+# DISTINCT 3-word shingles covered (facility-location/eval-set
+# construction; greedy is the classic (1 - 1/e)-approximation and the
+# de-facto exact standard practitioners run). Distinct from
+# kcenter_select: that maximizes pairwise DISTANCE (diversity in
+# embedding space); this maximizes COVERAGE of discrete units.
+# Scale shape: the covered set lives as a TABLE, never driver memory —
+# each round is one left-anti join (remaining shingles vs covered) +
+# one gain aggregation + TakeOrdered(1); the only driver state is the
+# K picked ids and a running total (K-sized model state, the
+# kcenter/bpe_learn pattern). Gains are integers; tie-break is
+# (max gain, min doc_id) — bit-stable under any partitioning.
+# Oracle: full K-round unrolled CTE chain replaying the exact greedy
+# (the kcenter_select pattern); covered_total recomputed as the cross
+# join of the single-row pick CTEs.
+# --------------------------------------------------------------------------
+
+_MC_K = 6
+_MC_CAP = 300
+
+
+def maxcover_select(spark, sf_dir):
+    docs = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < _MC_CAP)
+        .select("doc_id", "text")
+    )
+    # word_shingles is already per-doc distinct -> (doc_id, s) is a set
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("s")
+    ).localCheckpoint()
+    sel: list = []
+    rows: list = []
+    total = 0
+    covered = None
+    for rnd in range(_MC_K):
+        rem = sh.where(~F.col("doc_id").isin(sel)) if sel else sh
+        if covered is not None:
+            rem = rem.join(covered, "s", "left_anti")
+        pick = (
+            rem.groupBy("doc_id")
+            .agg(F.count("*").alias("gain"))
+            .orderBy(F.desc("gain"), "doc_id")
+            .limit(1)
+            .collect()
+        )
+        if not pick:
+            break  # everything covered (or every doc selected)
+        total += pick[0].gain
+        sel.append(pick[0].doc_id)
+        rows.append((rnd, int(pick[0].doc_id), int(pick[0].gain), total))
+        newly = sh.where(F.col("doc_id") == pick[0].doc_id).select("s")
+        covered = (
+            covered.unionAll(newly).distinct()
+            if covered is not None
+            else newly
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        rows, "round int, doc_id bigint, gain bigint, covered_total bigint"
+    ).orderBy("round")
+
+
+def _maxcover_sql() -> str:
+    src = f"({_shingle_sql(3)} WHERE doc_id < {_MC_CAP})"
+    parts = [
+        f"WITH shl AS {src}",
+        "sh AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM shl)",
+        "g0 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain "
+        "FROM sh GROUP BY doc_id)",
+        "p0 AS (SELECT doc_id, gain FROM g0 ORDER BY gain DESC, doc_id "
+        "LIMIT 1)",
+        "cov0 AS (SELECT DISTINCT s FROM sh "
+        "WHERE doc_id IN (SELECT doc_id FROM p0))",
+    ]
+    finals = [
+        "SELECT 0 AS round, doc_id, gain, gain AS covered_total FROM p0"
+    ]
+    for r in range(1, _MC_K):
+        prev_sel = " UNION ALL ".join(
+            f"SELECT doc_id FROM p{i}" for i in range(r)
+        )
+        parts.append(
+            f"g{r} AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain "
+            f"FROM sh WHERE doc_id NOT IN ({prev_sel}) "
+            f"AND s NOT IN (SELECT s FROM cov{r - 1}) GROUP BY doc_id)"
+        )
+        parts.append(
+            f"p{r} AS (SELECT doc_id, gain FROM g{r} "
+            f"ORDER BY gain DESC, doc_id LIMIT 1)"
+        )
+        parts.append(
+            f"cov{r} AS (SELECT s FROM cov{r - 1} UNION "
+            f"SELECT s FROM sh WHERE doc_id IN (SELECT doc_id FROM p{r}))"
+        )
+        tot = " + ".join(f"p{i}.gain" for i in range(r + 1))
+        srcs = ", ".join(f"p{i}" for i in range(r + 1))
+        finals.append(
+            f"SELECT {r} AS round, p{r}.doc_id, p{r}.gain, "
+            f"{tot} AS covered_total FROM {srcs}"
+        )
+    return (
+        ", ".join(parts)
+        + " SELECT CAST(round AS INT) AS round, doc_id, gain, "
+        "CAST(covered_total AS BIGINT) AS covered_total FROM ("
+        + " UNION ALL ".join(finals)
+        + ") ORDER BY round"
+    )
+
+
+ML_QUERIES["maxcover_select"] = (maxcover_select, _maxcover_sql())

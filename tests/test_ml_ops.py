@@ -2907,3 +2907,78 @@ def test_gapfill_locf_hand_corpus(spark, tmp_path):
         (1, "2024-03-06", 1, 9.0, 0),
         (2, "2024-03-02", 1, 4.0, 0),
     ]
+
+
+def test_maxcover_select_greedy_replica_and_opt_ratio(spark, tmp_path):
+    """Greedy max-coverage pinned three ways on a hand corpus built
+    so greedy is NOT optimal (the classic overlap trap): (1) engine
+    equals a pure-Python greedy replica (same tie-break), (2) gains
+    are non-increasing and covered_total is their exact cumsum
+    (submodularity of coverage), (3) greedy coverage >= (1 - 1/e) of
+    the brute-force OPT over all C(n, K) subsets — the guarantee the
+    op exists for."""
+    from itertools import combinations
+
+    from datamunging_spark.ml_ops import maxcover_select
+
+    # words -> 3-shingles; craft docs via distinct token streams.
+    def doc(words):
+        return " ".join(words)
+
+    # big doc covers units A; two medium docs each half-overlap it,
+    # together covering more new ground than any single one
+    A = [f"a{i}" for i in range(12)]
+    B = [f"a{i}" for i in range(6)] + [f"b{i}" for i in range(8)]
+    C = [f"a{i}" for i in range(6, 12)] + [f"c{i}" for i in range(8)]
+    D = [f"d{i}" for i in range(5)]
+    rows = [(0, doc(A)), (1, doc(B)), (2, doc(C)), (3, doc(D))]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+
+    def shingles(text):
+        ws = text.lower().split(" ")
+        if len(ws) < 3:
+            return {text}
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    sets = {d: shingles(s) for d, s in rows}
+    K = 3
+
+    def greedy():
+        sel, covered, out = [], set(), []
+        for rnd in range(6):  # _MC_K
+            best = None
+            for d in sorted(sets):
+                if d in sel:
+                    continue
+                gain = len(sets[d] - covered)
+                if best is None or gain > best[1]:
+                    best = (d, gain)
+            # max gain 0 <=> no (unselected doc, uncovered shingle)
+            # pair remains <=> the engine's empty-rem break
+            if best is None or best[1] == 0:
+                break
+            sel.append(best[0])
+            covered |= sets[best[0]]
+            out.append((rnd, best[0], best[1], len(covered)))
+        return out
+
+    want = greedy()
+    got = [
+        (r.round, r.doc_id, r.gain, r.covered_total)
+        for r in maxcover_select(spark, str(tmp_path)).collect()
+    ]
+    assert got == want
+    gains = [g for _, _, g, _ in got]
+    assert gains == sorted(gains, reverse=True)  # non-increasing
+    assert [t for _, _, _, t in got] == [
+        sum(gains[: i + 1]) for i in range(len(gains))
+    ]
+    # (1 - 1/e) guarantee vs brute-force OPT at K picks
+    greedy_k = sum(gains[:K])
+    opt = max(
+        len(set().union(*(sets[d] for d in sub)))
+        for sub in combinations(sets, K)
+    )
+    assert greedy_k >= 0.632 * opt, (greedy_k, opt)
