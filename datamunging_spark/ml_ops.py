@@ -9739,8 +9739,10 @@ ML_QUERIES["cms_heavy_hitters"] = (cms_heavy_hitters, _cms_sql())
 # streams get resampled onto a DENSE per-key calendar spine —
 # the missing-bucket rows are materialized with zero counts and the
 # last-observation-carried-forward value — the shape every metrics
-# warehouse / feature-store backfill needs and nothing else in the
-# catalog produces (every other event op emits only observed rows).
+# warehouse / feature-store backfill needs. q_gapfill_events
+# (queries.py) zero-fills a GLOBAL hourly spine; what this op adds is
+# the per-key spine (each key pays only its own active range) and the
+# LOCF carry of the last observed value across the gap rows.
 # Determinism: the carried value is max(value) per day — pure
 # comparison, NO float arithmetic, so both engines agree bit-for-bit.
 # Scale shape: ONE shuffle on user_id (the daily pre-agg), the spine
@@ -9848,12 +9850,13 @@ def maxcover_select(spark, sf_dir):
     sh = docs.select(
         "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("s")
     ).localCheckpoint()
-    sel: list = []
     rows: list = []
     total = 0
     covered = None
     for rnd in range(_MC_K):
-        rem = sh.where(~F.col("doc_id").isin(sel)) if sel else sh
+        # no selected-doc exclusion needed: covered superset-of a
+        # picked doc's shingles, so the anti-join removes all its rows
+        rem = sh
         if covered is not None:
             rem = rem.join(covered, "s", "left_anti")
         pick = (
@@ -9864,9 +9867,8 @@ def maxcover_select(spark, sf_dir):
             .collect()
         )
         if not pick:
-            break  # everything covered (or every doc selected)
+            break  # every shingle covered
         total += pick[0].gain
-        sel.append(pick[0].doc_id)
         rows.append((rnd, int(pick[0].doc_id), int(pick[0].gain), total))
         newly = sh.where(F.col("doc_id") == pick[0].doc_id).select("s")
         covered = (
@@ -9895,13 +9897,12 @@ def _maxcover_sql() -> str:
         "SELECT 0 AS round, doc_id, gain, gain AS covered_total FROM p0"
     ]
     for r in range(1, _MC_K):
-        prev_sel = " UNION ALL ".join(
-            f"SELECT doc_id FROM p{i}" for i in range(r)
-        )
+        # no selected-doc exclusion: cov{r-1} contains every picked
+        # doc's shingles, so picked docs contribute zero rows here
         parts.append(
             f"g{r} AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain "
-            f"FROM sh WHERE doc_id NOT IN ({prev_sel}) "
-            f"AND s NOT IN (SELECT s FROM cov{r - 1}) GROUP BY doc_id)"
+            f"FROM sh WHERE s NOT IN (SELECT s FROM cov{r - 1}) "
+            "GROUP BY doc_id)"
         )
         parts.append(
             f"p{r} AS (SELECT doc_id, gain FROM g{r} "
