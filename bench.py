@@ -118,6 +118,9 @@ HEADLINE = [
     "gapfill_locf",
     # submodular selection
     "maxcover_select",
+    # incremental index-probe dedup + DP release
+    "dedup_incremental",
+    "dp_histogram",
 ]
 
 ALL = {**RELATIONAL_QUERIES, **ML_QUERIES}

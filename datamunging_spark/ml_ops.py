@@ -230,21 +230,13 @@ def _minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(docs: DataFrame, n_bands: int = N_BANDS,
-                        shingle_k: int = 3,
-                        block_cols: tuple = ()) -> DataFrame:
-    """Candidate near-dup pairs via LSH banding on minhash signatures.
-
-    ``n_bands`` trades precision for recall at fixed signature width:
-    8 bands × 4 rows targets j≥0.8 dedup; 16 bands × 2 rows pushes
-    per-pair miss probability at j=0.8 to (1-0.8²)^16 ≈ 8e-8, which is
-    what the clustering chain uses so its LSH-fed edges equal the exact
-    all-pairs edge set (pytest-asserted). ``block_cols`` (e.g. source)
-    join the bucket key so cross-block candidates never shuffle at all."""
+def _band_array(n_bands: int = N_BANDS):
+    """(band_id, band_hash) structs over a `sig` column — the ONE band
+    expression shared by `lsh_candidate_pairs` and `dedup_incremental`
+    (factored so in-set pairing and index-probe banding can't drift)."""
     rows_per_band = N_HASHES // n_bands
-    sig = _minhash_signatures(docs, shingle_k, block_cols)
     s = F.col("sig")
-    bands = F.array(
+    return F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
@@ -261,6 +253,21 @@ def lsh_candidate_pairs(docs: DataFrame, n_bands: int = N_BANDS,
             for b in range(n_bands)
         ]
     )
+
+
+def lsh_candidate_pairs(docs: DataFrame, n_bands: int = N_BANDS,
+                        shingle_k: int = 3,
+                        block_cols: tuple = ()) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding on minhash signatures.
+
+    ``n_bands`` trades precision for recall at fixed signature width:
+    8 bands × 4 rows targets j≥0.8 dedup; 16 bands × 2 rows pushes
+    per-pair miss probability at j=0.8 to (1-0.8²)^16 ≈ 8e-8, which is
+    what the clustering chain uses so its LSH-fed edges equal the exact
+    all-pairs edge set (pytest-asserted). ``block_cols`` (e.g. source)
+    join the bucket key so cross-block candidates never shuffle at all."""
+    sig = _minhash_signatures(docs, shingle_k, block_cols)
+    bands = _band_array(n_bands)
     exploded = sig.select(
         "doc_id", *block_cols, F.explode(bands).alias("b")
     ).select("doc_id", *block_cols, "b.band_id", "b.band_hash")
@@ -354,12 +361,13 @@ sh AS ({_shingle_sql(3)})
 """
 
 
-def _minhash_lsh_sql(threshold: float = MINHASH_THRESHOLD) -> str:
-    """DuckDB replay of the full MinHash+LSH pipeline: same shingles,
-    same md5→int64 base hash, same (a_k·h + b_k) mod 2^64 multiply-shift
-    minima (HUGEINT arithmetic — h < 2^60 so products fit 128 bits),
-    same md5 band hashes over the signed-int64 signature strings, same
-    bucket pairing and exact-Jaccard verification."""
+def _minhash_replay_ctes() -> str:
+    """The shingle→hash→signature→band CTE chain of the MinHash replay,
+    shared by `_minhash_lsh_sql` and `_inc_sql` (factored so the two
+    oracles can never drift): same md5→int64 base hash, same
+    (a_k·h + b_k) mod 2^64 multiply-shift minima (HUGEINT arithmetic —
+    h < 2^60 so products fit 128 bits), same md5 band hashes over the
+    signed-int64 signature strings."""
     sig_cols = ",\n         ".join(
         f"min((CAST({a} AS HUGEINT) * h + {b}) % 18446744073709551616) AS s{k}"
         for k, (a, b) in enumerate(zip(_MINHASH_A, _MINHASH_B))
@@ -383,8 +391,7 @@ def _minhash_lsh_sql(threshold: float = MINHASH_THRESHOLD) -> str:
             f" AS BIGINT) AS band_hash FROM sigs"
         )
     bands_sql = "\n  UNION ALL\n  ".join(band_selects)
-    return f"""
-WITH {_SH3_SQL.strip()},
+    return f"""{_SH3_SQL.strip()},
 hashes AS (
   SELECT doc_id,
          CAST(concat('0x', substr(md5(unnest(sh)), 1, 15)) AS BIGINT) AS h
@@ -396,7 +403,15 @@ sigs AS (
 ),
 bands AS (
   {bands_sql}
-),
+)"""
+
+
+def _minhash_lsh_sql(threshold: float = MINHASH_THRESHOLD) -> str:
+    """DuckDB replay of the full MinHash+LSH pipeline: the shared
+    signature/banding CTEs plus same bucket pairing and exact-Jaccard
+    verification."""
+    return f"""
+WITH {_minhash_replay_ctes()},
 cands AS (
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
   FROM bands a JOIN bands b
@@ -9928,3 +9943,181 @@ def _maxcover_sql() -> str:
 
 
 ML_QUERIES["maxcover_select"] = (maxcover_select, _maxcover_sql())
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup against a materialized LSH index (final-r5
+# extension) — THE production dedup pattern at 10^12 docs: yesterday's
+# corpus is never re-scanned; its (band_id, band_hash, doc_id) index
+# table persists (here a localCheckpoint stands in for the stored
+# table), and a new shard dedups by (1) banding only ITSELF, (2) one
+# equi-join of its bands against the index — new×old candidates only,
+# never old×old — and (3) exact-Jaccard verify on the candidate pairs
+# (the shared _verify_candidate_pairs prunes the shingle rebuild to
+# candidate docs of BOTH generations). Per new doc: keep/drop, the
+# smallest matching indexed doc (deterministic min), and that pair's
+# Jaccard (min_by d1 — unique per pair, bit-stable). Composes with the
+# pipeline's anti-join resume: processed shards append their bands to
+# the index, making the whole dedup incremental end to end. Band
+# expression and signature literals are the factored _band_array /
+# _minhash_signatures, so batch and incremental banding can't drift.
+# Oracle: the shared _minhash_replay_ctes with the join restricted to
+# old-side < split <= new-side.
+# --------------------------------------------------------------------------
+
+_INC_SPLIT = 250  # doc_id < split = indexed corpus; >= split = new shard
+
+
+def _inc_band_rows(docs: DataFrame) -> DataFrame:
+    sig = _minhash_signatures(docs, 3, ())
+    return sig.select("doc_id", F.explode(_band_array()).alias("b")).select(
+        "doc_id", "b.band_id", "b.band_hash"
+    )
+
+
+def dedup_incremental(spark, sf_dir, threshold: float = MINHASH_THRESHOLD):
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.where(F.col("doc_id") < _INC_SPLIT)
+    new = docs.where(F.col("doc_id") >= _INC_SPLIT)
+    idx = _inc_band_rows(old).localCheckpoint()  # the stored index table
+    cands = (
+        _inc_band_rows(new)
+        .withColumnRenamed("doc_id", "d2")
+        .join(
+            idx.withColumnRenamed("doc_id", "d1"),
+            ["band_id", "band_hash"],
+        )
+        .select("d1", "d2")
+        .distinct()
+    )
+    ver = _verify_candidate_pairs(
+        cands, docs, lambda c: word_shingles(c, 3), threshold
+    )
+    best = ver.groupBy("d2").agg(
+        F.min("d1").alias("dup_of"),
+        F.min_by("jaccard", "d1").alias("jaccard"),
+    )
+    return (
+        new.select("doc_id")
+        .join(best.withColumnRenamed("d2", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("dup_of").isNull().cast("int").alias("keep"),
+            "dup_of",
+            "jaccard",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _inc_sql(threshold: float = MINHASH_THRESHOLD) -> str:
+    return f"""
+WITH {_minhash_replay_ctes()},
+cands AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+  WHERE a.doc_id < {_INC_SPLIT} AND b.doc_id >= {_INC_SPLIT}
+),
+ver AS (
+  SELECT d1, d2, jaccard FROM (
+    SELECT c.d1, c.d2,
+           round(len(list_intersect(x.sh, y.sh))::DOUBLE
+                 / len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jaccard
+    FROM cands c JOIN sh x ON x.doc_id = c.d1 JOIN sh y ON y.doc_id = c.d2
+  ) WHERE jaccard >= {threshold}
+),
+best AS (
+  SELECT d2, min(d1) AS dup_of, arg_min(jaccard, d1) AS jaccard
+  FROM ver GROUP BY d2
+)
+SELECT d.doc_id, CAST(dup_of IS NULL AS INT) AS keep, dup_of, jaccard
+FROM (SELECT doc_id FROM documents WHERE doc_id >= {_INC_SPLIT}) d
+LEFT JOIN best ON d.doc_id = best.d2
+ORDER BY d.doc_id
+"""
+
+
+ML_QUERIES["dedup_incremental"] = (dedup_incremental, _inc_sql())
+
+
+# --------------------------------------------------------------------------
+# DP histogram release (final-r5 extension) — the privacy family's
+# second op beside k_anonymity_generalize: per-lang document counts
+# released with two-sided-geometric (discrete Laplace) noise, the
+# standard eps-DP mechanism for count queries (sensitivity 1). The
+# noise is SEEDED — u = md5('dp:<release>:<group>') as a 60-bit
+# uniform — which is the reproducible-release mode real governance
+# pipelines use (a fresh release tag gives fresh noise; a re-run of
+# the same release is bit-identical, auditable, and oracle-checkable).
+# The inverse CDF is NOT computed in floats at query time: the
+# truncated-renormalized CDF of the two-sided geometric (p = e^-eps,
+# support [-K, K]) is frozen HERE as 2K+1 integer thresholds over the
+# 2^60 hash space and interpolated into BOTH engines' plans (the
+# HLL-LC-table pattern); noise = -K + |{thresholds <= u}| is one
+# filter over a literal array. Scale shape: the histogram is one
+# partial-agg scan; the noise is a projection over the (tiny) group
+# domain. Released counts clamp at 0 (post-processing preserves DP).
+# --------------------------------------------------------------------------
+
+_DP_EPS = 0.5
+_DP_K = 40  # truncation: p^40 ~ 2e-9 tail mass, renormalized away
+_DP_RELEASE = "r5"
+
+
+def _dp_thresholds() -> list:
+    p = math.exp(-_DP_EPS)
+    w = [p ** abs(v) for v in range(-_DP_K, _DP_K + 1)]
+    z = sum(w)
+    acc, out = 0.0, []
+    for x in w:
+        acc += x
+        out.append(round(acc / z * (1 << 60)))
+    out[-1] = 1 << 60  # exact top boundary
+    return out
+
+
+_DP_T = _dp_thresholds()
+
+
+def dp_histogram(spark, sf_dir):
+    counts = (
+        t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    u = md5_long(F.concat(F.lit(f"dp:{_DP_RELEASE}:"), F.col("lang")))
+    arr = F.expr("array(" + ",".join(str(v) for v in _DP_T) + ")")
+    noise = (
+        F.size(F.filter(arr, lambda x: x <= u)) - _DP_K
+    ).cast("long")
+    return (
+        counts.select(
+            "lang",
+            F.greatest(F.lit(0).cast("long"), F.col("n") + noise).alias(
+                "released"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+def _dp_sql() -> str:
+    arr = "[" + ",".join(str(v) for v in _DP_T) + "]"
+    return f"""
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+),
+noisy AS (
+  SELECT lang, n,
+         CAST(len(list_filter({arr}, x -> x <=
+           CAST(concat('0x', substr(md5(concat('dp:{_DP_RELEASE}:', lang)),
+                1, 15)) AS BIGINT))) AS BIGINT) - {_DP_K} AS noise
+  FROM counts
+)
+SELECT lang, greatest(CAST(0 AS BIGINT), n + noise) AS released
+FROM noisy ORDER BY lang
+"""
+
+
+ML_QUERIES["dp_histogram"] = (dp_histogram, _dp_sql())

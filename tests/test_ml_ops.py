@@ -2982,3 +2982,79 @@ def test_maxcover_select_greedy_replica_and_opt_ratio(spark, tmp_path):
         for sub in combinations(sets, K)
     )
     assert greedy_k >= 0.632 * opt, (greedy_k, opt)
+
+
+def test_dedup_incremental_consistent_with_batch(spark):
+    """The incremental index-probe dedup must agree EXACTLY with the
+    batch LSH op restricted to cross-split pairs — banding and verify
+    are the same factored expressions, so a new-shard probe against
+    the materialized index finds precisely the batch pairs whose d1 is
+    indexed and d2 is new (same threshold, same Jaccard). dup_of must
+    be the smallest matching indexed doc."""
+    from datamunging_spark.ml_ops import (
+        _INC_SPLIT,
+        dedup_incremental,
+        dedup_minhash_lsh,
+    )
+    from tests.test_queries_oracle import SF_DIR
+
+    batch = {
+        (r.d1, r.d2): r.jaccard
+        for r in dedup_minhash_lsh(spark, SF_DIR).collect()
+    }
+    crossing = {}
+    for (d1, d2), j in batch.items():
+        if d1 < _INC_SPLIT <= d2:
+            cur = crossing.get(d2)
+            if cur is None or d1 < cur[0]:
+                crossing[d2] = (d1, j)
+    inc = {
+        r.doc_id: (r.keep, r.dup_of, r.jaccard)
+        for r in dedup_incremental(spark, SF_DIR).collect()
+    }
+    assert crossing, "corpus must contain cross-split near-dups"
+    for d2, (d1, j) in crossing.items():
+        assert inc[d2] == (0, d1, j), (d2, inc[d2], (d1, j))
+    for doc, (keep, dup_of, j) in inc.items():
+        if doc not in crossing:
+            assert keep == 1 and dup_of is None and j is None, (doc, keep)
+
+
+def test_dp_histogram_replica_and_noise_distribution(spark, tmp_path):
+    """The DP release pinned by a pure-Python replica (same seeded
+    uniform, same frozen threshold table) on a 2000-group corpus, plus
+    the mechanism's shape: every noise draw inside the truncated
+    [-K, K] support, empirical mean |noise| within a loose band of the
+    two-sided-geometric expectation (~1.92 at eps=0.5), zero-clamping
+    honored for tiny counts."""
+    import hashlib
+
+    from datamunging_spark.ml_ops import (
+        _DP_K,
+        _DP_RELEASE,
+        _DP_T,
+        dp_histogram,
+    )
+
+    langs = [f"g{i:04d}" for i in range(2000)]
+    rows = [(i, "x", langs[i % 2000]) for i in range(4000)]  # n=2 each
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    def noise(lang):
+        u = int(
+            hashlib.md5(f"dp:{_DP_RELEASE}:{lang}".encode()).hexdigest()[:15],
+            16,
+        )
+        return sum(1 for tv in _DP_T if tv <= u) - _DP_K
+
+    want = {g: max(0, 2 + noise(g)) for g in langs}
+    got = {r.lang: r.released for r in dp_histogram(spark, str(tmp_path)).collect()}
+    assert got == want
+    draws = [noise(g) for g in langs]
+    assert all(-_DP_K <= d <= _DP_K for d in draws)
+    mean_abs = sum(abs(d) for d in draws) / len(draws)
+    assert 1.2 <= mean_abs <= 2.6, mean_abs
+    # clamp really fires somewhere (n=2, noise <= -2 has prob ~0.18/group)
+    assert any(v == 0 for v in want.values())
