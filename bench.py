@@ -121,6 +121,9 @@ HEADLINE = [
     # incremental index-probe dedup + DP release
     "dedup_incremental",
     "dp_histogram",
+    # sketch family legs 3+4: rank summary + set algebra
+    "quantile_sketch",
+    "kmv_set_similarity",
 ]
 
 ALL = {**RELATIONAL_QUERIES, **ML_QUERIES}

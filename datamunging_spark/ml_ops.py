@@ -10121,3 +10121,317 @@ FROM noisy ORDER BY lang
 
 
 ML_QUERIES["dp_histogram"] = (dp_histogram, _dp_sql())
+
+
+# --------------------------------------------------------------------------
+# Mergeable quantile sketch (resumed-r5 extension) — the third leg of
+# the mergeable-sketch family beside hll_distinct (cardinality) and
+# cms_heavy_hitters (frequency): a FIXED-SIZE rank summary. Where
+# quantile_buckets' histogram is distinct-VALUE-sized (unbounded on a
+# continuous domain), this sketch is exactly B=256 equi-width cells
+# per group no matter the data: cell (g, b) counts rows whose value
+# falls in the b-th slice of [lo_g, hi_g]. A pure COUNT — partial-
+# aggregable map-side, mergeable by cell-wise addition (two shards'
+# sketches add; pytest pins the merge identity) — and any quantile q
+# reads off the first cell whose cumulative count reaches ceil(n*q):
+# the estimate is that cell's LOWER EDGE, so the rank error is bounded
+# by the heaviest cell, which the output carries (`max_bin_cnt`) next
+# to each estimate — the user sees the guarantee, not just a number.
+# Money doubles go exact via the q1 convention (round(x*10000) ->
+# int64, 1e-4 price units); every downstream step is integer, so the
+# result is bit-identical across engines and partitionings. The
+# per-group [lo, hi] domain comes from a min/max pre-agg — at 100 TB
+# that pass is FREE (parquet footer column stats), and the sketch
+# build is one scan whose shuffle carries <= 256 rows per group
+# regardless of corpus size. Oracle: DuckDB replays bin -> cumsum ->
+# threshold with identical integer arithmetic.
+# --------------------------------------------------------------------------
+
+_QS_B = 256
+_QS_QS = (50, 90, 99)
+
+
+def quantile_sketch(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 10000)
+        .cast("long")
+        .alias("v"),
+    )
+    stats = li.groupBy("l_returnflag").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    binned = li.join(F.broadcast(stats), "l_returnflag").select(
+        "l_returnflag",
+        "lo",
+        "hi",
+        F.expr(f"((v - lo) * {_QS_B}) div (hi - lo + 1)").alias("b"),
+    )
+    hist = binned.groupBy("l_returnflag", "lo", "hi", "b").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    wcum = W.partitionBy("l_returnflag").orderBy("b").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "n", F.sum("c").over(W.partitionBy("l_returnflag"))
+    )
+    # bin_q = first bin whose cumulative count reaches ceil(n*q/100):
+    # cum >= n*q/100  <=>  cum*100 >= n*q (all int64; cum <= n <= ~6e6
+    # at sf0.1 so cum*100 is nowhere near overflow). Both windows run
+    # over the 256-cells-per-group sketch, never the corpus.
+    per = cum.groupBy("l_returnflag", "lo", "hi").agg(
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("max_bin_cnt"),
+        *[
+            F.min(
+                F.when(F.col("cum") * 100 >= F.col("n") * q, F.col("b"))
+            ).alias(f"bq{q}")
+            for q in _QS_QS
+        ],
+    )
+    return per.select(
+        "l_returnflag",
+        "n_rows",
+        *[
+            F.expr(f"lo + (bq{q} * (hi - lo + 1)) div {_QS_B}").alias(
+                f"est_p{q}_e4"
+            )
+            for q in _QS_QS
+        ],
+        "max_bin_cnt",
+    ).orderBy("l_returnflag")
+
+
+def _qs_sql() -> str:
+    qcols = ",\n         ".join(
+        f"min(CASE WHEN cum * 100 >= n * {q} THEN b END) AS bq{q}"
+        for q in _QS_QS
+    )
+    ests = ",\n       ".join(
+        f"lo + (bq{q} * (hi - lo + 1)) // {_QS_B} AS est_p{q}_e4"
+        for q in _QS_QS
+    )
+    return f"""
+WITH v AS (
+  SELECT l_returnflag, CAST(round(l_extendedprice * 10000) AS BIGINT) AS v
+  FROM lineitem
+),
+stats AS (
+  SELECT l_returnflag, min(v) AS lo, max(v) AS hi FROM v GROUP BY l_returnflag
+),
+hist AS (
+  SELECT v.l_returnflag, lo, hi,
+         ((v - lo) * {_QS_B}) // (hi - lo + 1) AS b,
+         CAST(count(*) AS BIGINT) AS c
+  FROM v JOIN stats USING (l_returnflag)
+  GROUP BY 1, 2, 3, 4
+),
+cums AS (
+  SELECT *,
+         sum(c) OVER (PARTITION BY l_returnflag ORDER BY b
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER (PARTITION BY l_returnflag) AS n
+  FROM hist
+),
+per AS (
+  SELECT l_returnflag, lo, hi,
+         CAST(sum(c) AS BIGINT) AS n_rows,
+         CAST(max(c) AS BIGINT) AS max_bin_cnt,
+         {qcols}
+  FROM cums GROUP BY 1, 2, 3
+)
+SELECT l_returnflag, n_rows,
+       {ests},
+       max_bin_cnt
+FROM per ORDER BY l_returnflag
+"""
+
+
+ML_QUERIES["quantile_sketch"] = (quantile_sketch, _qs_sql())
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values / theta-sketch) set algebra (resumed-r5
+# extension) — the fourth mergeable sketch: where hll_distinct answers
+# "how many distinct" for ONE stream, the KMV sketch supports SET
+# OPERATIONS between streams: keep the K smallest hash values of each
+# group's distinct-token set; the union sketch of two groups is the K
+# smallest of the concatenation (mergeable by construction), the K-th
+# smallest value theta estimates the union cardinality
+# ((K-1) * U / h_K over hash domain U), and the fraction of the union
+# sketch present in BOTH input sketches estimates Jaccard — the
+# classic theta-sketch intersection, used for cross-corpus overlap
+# audits (which language/domain shards share vocabulary) without ever
+# joining the corpora. Determinism: the "random" hash is md5 truncated
+# to 44 bits, so U = 2^44 and (K-1)*U ~ 2^51 keeps ALL estimator
+# arithmetic in exact int64 (no HUGEINT, no floats); both engines run
+# the identical integer formula. Per-group sets smaller than K make
+# the sketch exhaustive — est falls back to the exact size (the
+# standard KMV rule), CASE-mirrored in the oracle. Exact union /
+# intersection columns ride along as the sf-scale verifier (the CMS
+# convention: at 100 TB you'd drop them; the sketch build is the scale
+# path — distinct (lang, h) is a vocab-bounded shuffle, the K-min per
+# group survives any sharding, and pair math runs on a groups-sized
+# frame). Oracle: DuckDB replays hash -> K-min -> union/intersect
+# estimators with identical integer arithmetic.
+# --------------------------------------------------------------------------
+
+_KMV_K = 128
+_KMV_BITS = 44  # 11 hex digits of md5; (K-1) << 44 ~ 2^51 << int64 max
+
+
+def kmv_set_similarity(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(F.split(F.lower("text"), " ")).alias("tk")
+    ).where(F.col("tk") != "")
+    hashed = tok.select(
+        "lang",
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("kmv:"), F.col("tk"))), 1, 11),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    n_h = hashed.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_distinct")
+    )
+    rn = F.row_number().over(W.partitionBy("lang").orderBy("h"))
+    ksm = (
+        hashed.withColumn("rn", rn)
+        .where(F.col("rn") <= _KMV_K)
+        .groupBy("lang")
+        .agg(F.sort_array(F.collect_list("h")).alias("kh"))
+    )
+    sk = ksm.join(n_h, "lang")
+    a = sk.select(
+        F.col("lang").alias("lang_a"),
+        F.col("kh").alias("ka"),
+        F.col("n_distinct").alias("n_a"),
+    )
+    b = sk.select(
+        F.col("lang").alias("lang_b"),
+        F.col("kh").alias("kb"),
+        F.col("n_distinct").alias("n_b"),
+    )
+    # groups-sized frames (5 langs): the inequality join is a tiny
+    # nested-loop, never corpus-sized
+    pairs = a.join(b, F.col("lang_a") < F.col("lang_b"))
+    inter = (
+        hashed.select(F.col("lang").alias("lang_a"), "h")
+        .join(hashed.select(F.col("lang").alias("lang_b"), "h"), "h")
+        .where(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count("*").cast("long").alias("exact_inter"))
+    )
+    num = (_KMV_K - 1) << _KMV_BITS
+    p = (
+        pairs.join(inter, ["lang_a", "lang_b"], "left")
+        .withColumn(
+            "exact_inter", F.coalesce("exact_inter", F.lit(0).cast("long"))
+        )
+        .withColumn("u_all", F.array_sort(F.array_union("ka", "kb")))
+        .withColumn(
+            "m", F.least(F.lit(_KMV_K), F.size("u_all")).cast("int")
+        )
+        .withColumn("uk", F.slice("u_all", F.lit(1), F.col("m")))
+        .withColumn("kth", F.element_at("uk", F.col("m")))
+        .withColumn(
+            "est_union",
+            F.when(
+                (F.col("n_a") <= _KMV_K) & (F.col("n_b") <= _KMV_K),
+                F.size("u_all").cast("long"),
+            ).otherwise(F.expr(f"CAST({num} AS BIGINT) div kth")),
+        )
+        .withColumn(
+            "jacc_num",
+            F.size(
+                F.array_intersect("uk", F.array_intersect("ka", "kb"))
+            ).cast("long"),
+        )
+    )
+    return p.select(
+        "lang_a",
+        "lang_b",
+        "n_a",
+        "n_b",
+        "est_union",
+        (F.col("n_a") + F.col("n_b") - F.col("exact_inter")).alias(
+            "exact_union"
+        ),
+        F.col("m").cast("long").alias("k_used"),
+        "jacc_num",
+        F.expr("(jacc_num * est_union) div m").alias("est_inter"),
+        "exact_inter",
+    ).orderBy("lang_a", "lang_b")
+
+
+def _kmv_sql() -> str:
+    num = (_KMV_K - 1) << _KMV_BITS
+    return f"""
+WITH tok AS (
+  SELECT lang, tk FROM (
+    SELECT lang, unnest(string_split(lower(text), ' ')) AS tk FROM documents
+  ) WHERE tk <> ''
+),
+hashed AS (
+  SELECT DISTINCT lang,
+         CAST(concat('0x', substr(md5(concat('kmv:', tk)), 1, 11))
+              AS BIGINT) AS h
+  FROM tok
+),
+nh AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_distinct FROM hashed GROUP BY lang
+),
+ksm AS (
+  SELECT lang, list_sort(list(h)) AS kh FROM (
+    SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+    FROM hashed
+  ) WHERE rn <= {_KMV_K} GROUP BY lang
+),
+sk AS (SELECT * FROM ksm JOIN nh USING (lang)),
+inter AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b,
+         CAST(count(*) AS BIGINT) AS exact_inter
+  FROM hashed a JOIN hashed b ON a.h = b.h AND a.lang < b.lang
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b, a.kh AS ka, b.kh AS kb,
+         a.n_distinct AS n_a, b.n_distinct AS n_b
+  FROM sk a JOIN sk b ON a.lang < b.lang
+),
+calc AS (
+  SELECT lang_a, lang_b, n_a, n_b,
+         coalesce(exact_inter, 0) AS exact_inter, ka, kb,
+         list_sort(list_distinct(list_concat(ka, kb))) AS u_all
+  FROM pairs LEFT JOIN inter USING (lang_a, lang_b)
+),
+calc2 AS (
+  SELECT *, least({_KMV_K}, len(u_all)) AS m,
+         u_all[1:least({_KMV_K}, CAST(len(u_all) AS INT))] AS uk,
+         u_all[least({_KMV_K}, CAST(len(u_all) AS INT))] AS kth
+  FROM calc
+),
+calc3 AS (
+  SELECT *,
+         CASE WHEN n_a <= {_KMV_K} AND n_b <= {_KMV_K}
+              THEN CAST(len(u_all) AS BIGINT)
+              ELSE CAST({num} AS BIGINT) // kth END AS est_union,
+         CAST(len(list_intersect(uk, list_intersect(ka, kb)))
+              AS BIGINT) AS jacc_num
+  FROM calc2
+)
+SELECT lang_a, lang_b, n_a, n_b, est_union,
+       n_a + n_b - exact_inter AS exact_union,
+       CAST(m AS BIGINT) AS k_used, jacc_num,
+       (jacc_num * est_union) // m AS est_inter,
+       exact_inter
+FROM calc3 ORDER BY lang_a, lang_b
+"""
+
+
+ML_QUERIES["kmv_set_similarity"] = (kmv_set_similarity, _kmv_sql())

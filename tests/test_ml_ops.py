@@ -3058,3 +3058,158 @@ def test_dp_histogram_replica_and_noise_distribution(spark, tmp_path):
     assert 1.2 <= mean_abs <= 2.6, mean_abs
     # clamp really fires somewhere (n=2, noise <= -2 has prob ~0.18/group)
     assert any(v == 0 for v in want.values())
+
+
+def test_quantile_sketch_replica_error_bound_and_merge(spark, tmp_path):
+    """The fixed-256-cell quantile summary pinned by a pure-Python
+    replica on a skewed synthetic column, the rank-error guarantee
+    (true rank of every estimate within max_bin_cnt of its target
+    rank), the estimate's lower-edge semantics (est <= true quantile
+    value), and the sketch's merge identity: the cell table of the
+    whole equals the cell-wise SUM of two disjoint halves' tables —
+    the property that makes the partial agg map-side combinable."""
+    import hashlib
+
+    from datamunging_spark.ml_ops import _QS_B, _QS_QS, quantile_sketch
+
+    # deterministic skewed values: md5-driven, heavy head + long tail
+    def val(i):
+        u = int(hashlib.md5(f"qs:{i}".encode()).hexdigest()[:8], 16)
+        return 100 + (u % 97) + (u % 7919 if u % 5 == 0 else 0)
+
+    n = 5000
+    rows = [("A", float(val(i)) / 10000.0) for i in range(n)]
+    spark.createDataFrame(
+        rows, "l_returnflag string, l_extendedprice double"
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+
+    vs = sorted(round(val(i)) for i in range(n))  # already 1e-4 units
+    lo, hi = vs[0], vs[-1]
+    width = hi - lo + 1
+    cells = {}
+    for v in vs:
+        b = (v - lo) * _QS_B // width
+        cells[b] = cells.get(b, 0) + 1
+    max_bin = max(cells.values())
+    cum, bq = 0, {}
+    for b in sorted(cells):
+        cum += cells[b]
+        for q in _QS_QS:
+            if q not in bq and cum * 100 >= n * q:
+                bq[q] = b
+    want = {
+        f"est_p{q}_e4": lo + bq[q] * width // _QS_B for q in _QS_QS
+    }
+
+    [got] = quantile_sketch(spark, str(tmp_path)).collect()
+    assert got.n_rows == n and got.max_bin_cnt == max_bin
+    for q in _QS_QS:
+        est = got[f"est_p{q}_e4"]
+        assert est == want[f"est_p{q}_e4"]
+        # guarantee: est is a cell LOWER edge at/below the true
+        # quantile, and its true rank is within one cell's weight of
+        # the target rank
+        target = -(-n * q // 100)  # ceil
+        true_q = vs[target - 1]
+        assert est <= true_q
+        rank_at_est = sum(1 for v in vs if v < est)
+        assert abs(rank_at_est - target) <= max_bin, (q, rank_at_est)
+
+    # merge identity: halves' cell tables add to the whole's
+    half1, half2 = {}, {}
+    for i in range(n):
+        v = round(val(i))
+        b = (v - lo) * _QS_B // width
+        d = half1 if i % 2 == 0 else half2
+        d[b] = d.get(b, 0) + 1
+    merged = {
+        b: half1.get(b, 0) + half2.get(b, 0)
+        for b in set(half1) | set(half2)
+    }
+    assert merged == cells
+
+
+def test_kmv_set_similarity_replica_and_estimator_quality(spark, tmp_path):
+    """KMV set algebra pinned by a pure-Python replica (same 44-bit
+    md5 hash, same K-min, same integer estimators) on a controlled
+    three-group corpus: two big vocabularies with ~50% overlap
+    (estimator branch), one tiny vocabulary (< K distinct) that must
+    take the exact-fallback branch. Also bounds estimator quality:
+    est_union within 35% of exact_union and the Jaccard estimate
+    (jacc_num / k_used) within 0.15 of exact Jaccard on the big pair."""
+    import hashlib
+
+    from datamunging_spark.ml_ops import (
+        _KMV_BITS,
+        _KMV_K,
+        kmv_set_similarity,
+    )
+
+    shared = [f"both{i:03d}" for i in range(200)]
+    only_a = [f"aaa{i:03d}" for i in range(200)]
+    only_b = [f"bbb{i:03d}" for i in range(200)]
+    tiny = [f"tin{i:02d}" for i in range(30)]
+    docs = [
+        (0, " ".join(shared + only_a), "aa"),
+        (1, " ".join(shared + only_b), "bb"),
+        (2, " ".join(tiny), "cc"),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    def h44(tk):
+        return int(hashlib.md5(f"kmv:{tk}".encode()).hexdigest()[:11], 16)
+
+    sets = {
+        "aa": {h44(tk) for tk in shared + only_a},
+        "bb": {h44(tk) for tk in shared + only_b},
+        "cc": {h44(tk) for tk in tiny},
+    }
+    ks = {g: sorted(s)[:_KMV_K] for g, s in sets.items()}
+
+    def replica(ga, gb):
+        sa, sb = sets[ga], sets[gb]
+        ka, kb = ks[ga], ks[gb]
+        u_all = sorted(set(ka) | set(kb))
+        m = min(_KMV_K, len(u_all))
+        uk = u_all[:m]
+        if len(sa) <= _KMV_K and len(sb) <= _KMV_K:
+            est_union = len(u_all)
+        else:
+            est_union = ((_KMV_K - 1) << _KMV_BITS) // uk[-1]
+        jacc_num = sum(1 for x in uk if x in set(ka) and x in set(kb))
+        return {
+            "n_a": len(sa),
+            "n_b": len(sb),
+            "est_union": est_union,
+            "exact_union": len(sa | sb),
+            "k_used": m,
+            "jacc_num": jacc_num,
+            "est_inter": jacc_num * est_union // m,
+            "exact_inter": len(sa & sb),
+        }
+
+    got = {
+        (r.lang_a, r.lang_b): r.asDict()
+        for r in kmv_set_similarity(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {("aa", "bb"), ("aa", "cc"), ("bb", "cc")}
+    for (ga, gb), row in got.items():
+        want = replica(ga, gb)
+        for k, v in want.items():
+            assert row[k] == v, (ga, gb, k, row[k], v)
+
+    big = got[("aa", "bb")]
+    assert big["n_a"] > _KMV_K  # estimator branch really taken
+    assert abs(big["est_union"] - big["exact_union"]) <= (
+        0.35 * big["exact_union"]
+    )
+    est_j = big["jacc_num"] / big["k_used"]
+    exact_j = big["exact_inter"] / big["exact_union"]
+    assert abs(est_j - exact_j) <= 0.15, (est_j, exact_j)
+    # tiny group: exact-fallback branch must be EXACT
+    for pair in (("aa", "cc"), ("bb", "cc")):
+        # union of big+tiny still exceeds K -> estimator branch; the
+        # cc-side sketch is exhaustive but n_a > K forces estimation
+        assert got[pair]["exact_inter"] == 0

@@ -985,3 +985,44 @@ def test_gapfill_locf_plan_shape(spark, sf_dir):
 
     wins = re.findall(r"Window \[.*?\], \[(.*?)\]", plan)
     assert wins and all("user_id" in w for w in wins), wins
+
+
+def test_quantile_sketch_plan_shape(spark, sf_dir):
+    """The rank sketch must stay sketch-shaped: all codegen (no
+    Python stage), the scan pruned to its two columns, COUNT cells
+    combining map-side (partial_count), the tiny [lo,hi] stats frame
+    joined BROADCAST, and both windows PARTITIONED by group (they run
+    over <=256 cells per group, never the corpus)."""
+    from datamunging_spark.ml_ops import quantile_sketch
+
+    plan = plan_of(quantile_sketch(spark, sf_dir))
+    assert "EvalPython" not in plan
+    read = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "l_returnflag" in read and "l_extendedprice" in read
+    assert "l_quantity" not in read and "l_orderkey" not in read
+    assert "partial_count" in plan
+    assert "BroadcastHashJoin" in plan
+    import re
+
+    wins = re.findall(r"Window \[.*?\], \[(.*?)\]", plan)
+    assert wins and all("l_returnflag" in w for w in wins), wins
+
+
+def test_kmv_set_similarity_plan_shape(spark, sf_dir):
+    """KMV must keep every corpus-sized step codegen and keyed: no
+    Python stage, the K-min window PARTITIONED by lang, and the only
+    nested-loop join (lang_a < lang_b pairing) running over the
+    groups-sized sketch frames, never a corpus side (the exact-inter
+    self-join is hash-keyed on h)."""
+    from datamunging_spark.ml_ops import kmv_set_similarity
+
+    plan = plan_of(kmv_set_similarity(spark, sf_dir))
+    assert "EvalPython" not in plan
+    import re
+
+    wins = re.findall(r"Window \[.*?\], \[(.*?)\]", plan)
+    assert wins and all("lang" in w for w in wins), wins
+    # the h-keyed exact-intersection join must be a hash join, not a
+    # nested loop; nested loop appears only for the tiny pair cross
+    assert "hashpartitioning(h#" in plan or "SortMergeJoin [h#" in plan \
+        or re.search(r"BroadcastHashJoin \[h#", plan), plan[:400]
