@@ -124,6 +124,11 @@ HEADLINE = [
     # sketch family legs 3+4: rank summary + set algebra
     "quantile_sketch",
     "kmv_set_similarity",
+    # second-resume batch: star-contraction CC, walk corpus generation,
+    # embedding-space decontamination
+    "graph_components_lss",
+    "random_walks",
+    "decontaminate_semantic",
 ]
 
 ALL = {**RELATIONAL_QUERIES, **ML_QUERIES}

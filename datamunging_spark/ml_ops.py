@@ -10435,3 +10435,472 @@ FROM calc3 ORDER BY lang_a, lang_b
 
 
 ML_QUERIES["kmv_set_similarity"] = (kmv_set_similarity, _kmv_sql())
+
+
+# --------------------------------------------------------------------------
+# Connected components via LARGE-STAR / SMALL-STAR (Kiveris et al. 2014,
+# "Connected Components in MapReduce and Beyond") over the synthesized
+# undirected link graph (second-resume batch). The catalog already labels
+# components once — dedup_clusters' min-label propagation, whose round
+# count is the graph DIAMETER (right for the shallow near-dup clusters it
+# feeds on, documented there). Web link graphs are the opposite regime:
+# 10^12 nodes, long chains, diameter in the tens — the published fix is
+# the alternating star contraction, which converges in O(log^2 n) rounds
+# (O(log n) observed) INDEPENDENT of diameter:
+#   large-star(u): every neighbor v > u re-attaches to
+#                  m = min(neighborhood(u) + {u});
+#   small-star(u): every neighbor v <= u (and u itself) re-attaches to
+#                  the minimum of that lower neighborhood.
+# Both steps emit canonically-oriented (hi, lo) edges (the new parent m
+# is a minimum, hence strictly below the re-attached node), preserve
+# connectivity, and strictly shrink a potential function; the fixpoint is
+# a forest of stars whose centers are component minima, so the label read
+# -off is one projection. The engine iterates to the TRUE fixpoint
+# (symmetric-difference count == 0, the paper's termination test) and
+# raises past _LSS_MAX_ROUNDS — never silently under-converged.
+#
+# Scale shape per double-round: one node-keyed groupBy (min over the
+# symmetrized edge list, map-side combinable) + one equi-join on the node
+# key + distinct — every one hash-shuffled on node ids, nothing keyed on
+# a corpus-sized composite, no all-pairs anywhere. localCheckpoint
+# truncates the per-round lineage exactly like k_core's peel loop (at
+# cluster scale: checkpoint to the job's HDFS dir instead).
+#
+# The ORACLE deliberately runs a DIFFERENT algorithm — min-label
+# propagation with pointer-doubling shortcuts (comp <- min(comp[comp],
+# min over neighbors' comp)), unrolled to _LSS_ORACLE_ROUNDS materialized
+# CTEs. Connected components is algorithm-independent (unique answer:
+# every node labeled with its component's minimum id), so agreement here
+# checks the LSS contraction against an independent derivation, not a
+# replay of the same algebra. 16 shortcut rounds reach paths of length
+# >= 2^8 — far past any diameter the md5 graph (3 random out-edges per
+# node) can realize at test scale; the engine side is an exact fixpoint,
+# so an under-converged oracle would surface as a mismatch, not slip by.
+# --------------------------------------------------------------------------
+
+_LSS_MAX_ROUNDS = 16
+_LSS_ORACLE_ROUNDS = 16
+
+
+def graph_components_lss(spark, sf_dir):
+    """(node_id, comp, comp_size) for every document; comp = min doc_id
+    of the node's connected component in the undirected link graph."""
+    docs = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node_id")
+    )
+    e = (
+        _link_edges_undirected(spark, sf_dir)
+        .select(F.col("v").alias("hi"), F.col("u").alias("lo"))
+        .localCheckpoint()
+    )
+    for _ in range(_LSS_MAX_ROUNDS):
+        # symmetrized neighborhoods: (a, b) = node a sees neighbor b
+        nb = e.select(F.col("hi").alias("a"), F.col("lo").alias("b")).unionAll(
+            e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+        )
+        mins = (
+            nb.groupBy("a")
+            .agg(F.min("b").alias("mn"))
+            .select("a", F.least("a", "mn").alias("m"))
+        )
+        # large-star: strictly-larger neighbors re-attach to m
+        ls = (
+            nb.join(mins, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("hi"), F.col("m").alias("lo"))
+            .distinct()
+        )
+        # small-star over the (hi > lo)-oriented output: each hi-group's
+        # lower neighborhood (plus hi itself) re-attaches to its minimum
+        mins2 = ls.groupBy("hi").agg(F.min("lo").alias("m"))
+        ss = (
+            ls.join(mins2, "hi")
+            .select("m", F.explode(F.array("lo", "hi")).alias("x"))
+            .where(F.col("x") != F.col("m"))
+            .select(F.col("x").alias("hi"), F.col("m").alias("lo"))
+            .distinct()
+            .localCheckpoint()
+        )
+        changed = ss.exceptAll(e).unionAll(e.exceptAll(ss)).count()
+        e = ss
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"graph_components_lss: no fixpoint within {_LSS_MAX_ROUNDS} "
+            "double-rounds"
+        )
+    labels = e.select(F.col("hi").alias("node_id"), F.col("lo").alias("comp"))
+    lab = docs.join(labels, "node_id", "left").select(
+        "node_id",
+        F.coalesce("comp", F.col("node_id")).cast("long").alias("comp"),
+    )
+    sizes = lab.groupBy("comp").agg(F.count("*").alias("comp_size"))
+    return (
+        lab.join(sizes, "comp")
+        .select("node_id", "comp", "comp_size")
+        .orderBy("node_id")
+    )
+
+
+def _graph_components_sql() -> str:
+    def h(j: int) -> str:
+        return (
+            f"(CAST(concat('0x', substr(md5(concat('pr{j}:', "
+            f"CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % n)"
+        )
+
+    cand = " UNION ALL ".join(
+        f"SELECT doc_id AS src, {h(j)} AS dst FROM documents, cnt "
+        f"WHERE doc_id % {_PR_DANGLE_MOD} <> 3"
+        for j in range(3)
+    )
+    parts = [
+        f"WITH cnt AS (SELECT count(*) AS n FROM documents), "
+        f"cand AS ({cand}), "
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, "
+        "greatest(src, dst) AS v FROM cand WHERE dst <> src), "
+        "sym AS MATERIALIZED (SELECT u AS a, v AS b FROM e0 "
+        "UNION ALL SELECT v AS a, u AS b FROM e0), "
+        "c0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS comp "
+        "FROM documents)"
+    ]
+    for r in range(_LSS_ORACLE_ROUNDS):
+        parts.append(
+            f"c{r + 1} AS MATERIALIZED ("
+            f"SELECT c.id, least(cc.comp, coalesce(min(c2.comp), cc.comp)) "
+            f"AS comp "
+            f"FROM c{r} c JOIN c{r} cc ON cc.id = c.comp "
+            f"LEFT JOIN sym s ON s.a = c.id "
+            f"LEFT JOIN c{r} c2 ON c2.id = s.b "
+            f"GROUP BY c.id, cc.comp)"
+        )
+    last = f"c{_LSS_ORACLE_ROUNDS}"
+    return (
+        ", ".join(parts)
+        + f", lab AS (SELECT id AS node_id, comp FROM {last}), "
+        "sz AS (SELECT comp, count(*) AS comp_size FROM lab GROUP BY comp) "
+        "SELECT node_id, comp, CAST(comp_size AS BIGINT) AS comp_size "
+        "FROM lab JOIN sz USING (comp) ORDER BY node_id"
+    )
+
+
+ML_QUERIES["graph_components_lss"] = (
+    graph_components_lss,
+    _graph_components_sql(),
+)
+
+
+# --------------------------------------------------------------------------
+# Deterministic random-walk corpus generation (DeepWalk / node2vec-style,
+# second-resume batch) over the directed md5 link graph — the standard
+# way to turn a web/citation graph into *sequence training data* for a
+# skip-gram embedding model: sample a fixed-length walk from each seed
+# node, then feed the walks to the window-pair generator exactly like
+# sentences. The md5 edge model is pagerank_links' (3 out-edges per
+# non-dangling node, self-loops dropped, 1-in-17 forced dangling), so
+# walks TERMINATE EARLY at dangling nodes — the absorbing-state path is
+# exercised at every scale.
+#
+# Determinism contract (the catalog's md5 convention): step s of walk w
+# moves to the out-edge ranked (md5("rw:{s}:" || walk_id) mod outdeg)
+# among the current node's out-edges ordered by destination id. Both
+# engines derive the identical walk, so the oracle checks the step
+# algebra end-to-end; there is no RNG state anywhere (replays and
+# partition retries regenerate bit-identical walks).
+#
+# Scale shape: the edge ranking is ONE window over edges partitioned by
+# src (node-keyed, never global), computed once and reused across all L
+# steps (localCheckpoint; at 10^12 edges this table is bucketed by src
+# ONCE and every step's join is then shuffle-free on the edge side —
+# only the walk frontier moves, the pagerank_links argument). Each step
+# is an equi-join frontier.node = edges.src followed by a codegen filter
+# on the md5 pick — no Python, no explode beyond the 3-way edge fanout,
+# frontier never larger than n_seeds rows.
+# --------------------------------------------------------------------------
+
+_RW_LEN = 4
+_RW_SEED_MOD = 25
+
+
+def random_walks(spark, sf_dir, walk_len: int = _RW_LEN):
+    """(walk_id, step, node) rows: step 0 is the seed (doc_id %
+    _RW_SEED_MOD == 0), each next step follows the md5-picked out-edge;
+    walks that hit a dangling node simply stop emitting rows."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+
+    def h(j: int) -> str:
+        return (
+            f"(CAST(conv(substring(md5(concat('pr{j}:', "
+            f"CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % {n})"
+        )
+
+    directed = (
+        docs.where(F.expr(f"doc_id % {_PR_DANGLE_MOD} <> 3"))
+        .selectExpr(
+            "doc_id AS src",
+            f"explode(array({h(0)}, {h(1)}, {h(2)})) AS dst",
+        )
+        .where("dst <> src")
+        .distinct()
+    )
+    wsp = W.partitionBy("src")
+    ranked = directed.select(
+        "src",
+        "dst",
+        F.row_number().over(wsp.orderBy("dst")).alias("rn"),
+        F.count("*").over(wsp).alias("outdeg"),
+    ).localCheckpoint()
+    frontier = docs.where(F.col("doc_id") % _RW_SEED_MOD == 0).select(
+        F.col("doc_id").alias("walk_id"),
+        F.lit(0).alias("step"),
+        F.col("doc_id").alias("node"),
+    )
+    acc = frontier
+    for s in range(1, walk_len + 1):
+        pick = _md5_long(f"rw:{s}:", F.col("walk_id")) % F.col("outdeg")
+        frontier = (
+            frontier.join(ranked, frontier["node"] == ranked["src"])
+            .where(F.col("rn") - 1 == pick)
+            .select(
+                "walk_id",
+                F.lit(s).alias("step"),
+                F.col("dst").alias("node"),
+            )
+        )
+        acc = acc.unionAll(frontier)
+    return acc.orderBy("walk_id", "step")
+
+
+def _random_walks_sql(walk_len: int = _RW_LEN) -> str:
+    def h(j: int) -> str:
+        return (
+            f"(CAST(concat('0x', substr(md5(concat('pr{j}:', "
+            f"CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % n)"
+        )
+
+    cand = " UNION ALL ".join(
+        f"SELECT doc_id AS src, {h(j)} AS dst FROM documents, cnt "
+        f"WHERE doc_id % {_PR_DANGLE_MOD} <> 3"
+        for j in range(3)
+    )
+    parts = [
+        f"WITH cnt AS (SELECT count(*) AS n FROM documents), "
+        f"cand AS ({cand}), "
+        "dedges AS MATERIALIZED (SELECT DISTINCT src, dst FROM cand "
+        "WHERE dst <> src), "
+        "ranked AS MATERIALIZED (SELECT src, dst, "
+        "row_number() OVER (PARTITION BY src ORDER BY dst) AS rn, "
+        "count(*) OVER (PARTITION BY src) AS outdeg FROM dedges), "
+        f"w0 AS (SELECT doc_id AS walk_id, CAST(0 AS INT) AS step, "
+        f"doc_id AS node FROM documents WHERE doc_id % {_RW_SEED_MOD} = 0)"
+    ]
+    for s in range(1, walk_len + 1):
+        parts.append(
+            f"w{s} AS MATERIALIZED ("
+            f"SELECT w.walk_id, CAST({s} AS INT) AS step, r.dst AS node "
+            f"FROM w{s - 1} w JOIN ranked r ON r.src = w.node "
+            f"WHERE r.rn - 1 = "
+            f"CAST(concat('0x', substr(md5(concat('rw:{s}:', "
+            f"CAST(w.walk_id AS VARCHAR))), 1, 15)) AS BIGINT) % r.outdeg)"
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM w{s}" for s in range(walk_len + 1))
+    return ", ".join(parts) + f" {union} ORDER BY walk_id, step"
+
+
+ML_QUERIES["random_walks"] = (random_walks, _random_walks_sql())
+
+
+# --------------------------------------------------------------------------
+# SEMANTIC decontamination (second-resume batch) — the embedding-space
+# leg of the decontamination family (decontaminate_ngrams = exact
+# lexical, decontaminate_bloom = sketched lexical): flag training
+# documents whose embedding is near-identical to a held-out benchmark
+# vector, the "paraphrased eval set" leak that n-gram overlap cannot see.
+# Eval vectors are synthesized exactly like dedup_embedding_cosine's
+# planted twins (every 20th vector, perturbed x*1.01 + 0.001,
+# eval_id = vec_id + 200000), so true positives exist at every scale.
+#
+# The deliberate contrast with dedup_embedding_cosine is the JOIN SHAPE:
+# near-dup dedup bucket-joins corpus x corpus (both sides huge -> LSH);
+# decontamination is corpus x BENCHMARK, and benchmark suites are tiny
+# (10^3..10^5 vectors), so the scale-correct plan is a BROADCAST of the
+# eval matrix and ONE Arrow pass over the corpus computing all dots as a
+# single int64 matmul per batch (X_q @ E_q^T) — no pair shuffle, no
+# bucketing, the per-vector argmax is a map-side window afterwards.
+#
+# Arithmetic contract (the r4 fuzz campaign's lesson, applied up front):
+# numpy sums in a different order than any SQL engine, so FLOAT cosines
+# here would diverge in the last ulp and flip argmax/threshold at
+# near-ties. Instead both sides quantize to int64 first — eval vectors
+# l2-normalized (the one float stage, an identical sequential
+# fold in both engines) then rounded at 2^14, train vectors rounded raw
+# at 2^14 (cosine is scale-invariant, so per-side scales cancel) — and
+# every downstream quantity (dot, norms, the reported score
+# cos2_ppm = sign(d) * d^2 * 10^6 DIV (na*nb), the 0.99^2 = 980100 ppm
+# threshold, the argmax with eval_id tie-break) is exact integer
+# arithmetic: decimal(38,0) in Spark, HUGEINT in DuckDB, bit-identical
+# under any partitioning, batch order, or retry. |cos2_ppm| <= 10^6 by
+# Cauchy-Schwarz on the SAME integer vectors (pytest invariant).
+# --------------------------------------------------------------------------
+
+_SDECON_EVAL_MOD = 20
+_SDECON_Q = 16384  # 2^14 quantization scale
+_SDECON_PPM = 980100  # 0.99^2 in ppm of cos^2
+
+
+def _sdecon_eval_quantized(spark, sf_dir):
+    """Quantized eval matrix (eval_id, e_q array<long>): perturbed
+    twins, l2-normalized, rounded at 2^14. The normalization fold is the
+    module's sequential-HOF idiom so DuckDB replays it bit-identically."""
+    emb = t(spark, sf_dir, "embeddings")
+    vecd = F.col("embedding").cast(T.ArrayType(T.DoubleType()))
+    pert = F.transform(vecd, lambda x: x * F.lit(1.01) + F.lit(0.001))
+    nrm = F.sqrt(
+        F.aggregate(pert, F.lit(0.0), lambda s, x: s + x * x)
+    )
+    quant = F.when(
+        nrm > 0,
+        F.transform(
+            pert, lambda x: F.round(x / nrm * _SDECON_Q, 0).cast("long")
+        ),
+    ).otherwise(F.transform(pert, lambda x: F.lit(0).cast("long")))
+    return emb.where(F.col("vec_id") % _SDECON_EVAL_MOD == 0).select(
+        (F.col("vec_id") + 200000).alias("eval_id"), quant.alias("e_q")
+    )
+
+
+def decontaminate_semantic(spark, sf_dir):
+    """One row per corpus vector: (vec_id, nearest_eval_id, cos2_ppm,
+    contaminated). cos2_ppm is the signed quantized squared cosine in
+    parts-per-million against the nearest benchmark vector."""
+    import numpy as np
+
+    emb = t(spark, sf_dir, "embeddings")
+    vecd = F.col("embedding").cast(T.ArrayType(T.DoubleType()))
+    tq = F.transform(
+        vecd, lambda x: F.round(x * _SDECON_Q, 0).cast("long")
+    )
+    train = emb.select("vec_id", tq.alias("t_q"))
+
+    # benchmark matrix: model state, k rows (the k-means centroid /
+    # BPE-merge collect audit class)
+    eval_rows = _sdecon_eval_quantized(spark, sf_dir).collect()
+    eval_ids = np.array([r["eval_id"] for r in eval_rows], dtype=np.int64)
+    E = (
+        np.array([r["e_q"] for r in eval_rows], dtype=np.int64)
+        if eval_rows
+        else np.zeros((0, 1), dtype=np.int64)
+    )
+
+    def dots(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np  # noqa: F811 — executor-side import
+
+        for pdf in batches:
+            if not len(pdf) or not len(eval_ids):
+                continue
+            X = np.stack(pdf["t_q"].to_numpy()).astype(np.int64)
+            D = X @ E.T  # exact int64: |d| <= 64 * 2^17 * 2^15
+            m, k = D.shape
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(
+                        pdf["vec_id"].to_numpy(np.int64), k
+                    ),
+                    "eval_id": np.tile(eval_ids, m),
+                    "d": D.reshape(-1),
+                }
+            )
+
+    pairs = train.mapInPandas(
+        dots, schema="vec_id long, eval_id long, d long"
+    )
+    sq = lambda col: F.aggregate(  # noqa: E731
+        col, F.lit(0).cast("long"), lambda s, x: s + x * x
+    )
+    na = train.select("vec_id", sq(F.col("t_q")).alias("na"))
+    nb = _sdecon_eval_quantized(spark, sf_dir).select(
+        "eval_id", sq(F.col("e_q")).alias("nb")
+    )
+    scored = (
+        pairs.join(na, "vec_id")
+        .join(F.broadcast(nb), "eval_id")
+        .withColumn(
+            "cos2_ppm",
+            F.expr(
+                "CASE WHEN na = 0 OR nb = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE CAST((CASE WHEN d < 0 THEN -1 ELSE 1 END) * "
+                "((CAST(d AS DECIMAL(38,0)) * d * 1000000) DIV "
+                "(CAST(na AS DECIMAL(38,0)) * nb)) AS BIGINT) END"
+            ),
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cos2_ppm"), "eval_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where("rk = 1")
+        .select(
+            "vec_id",
+            F.col("eval_id").alias("nearest_eval_id"),
+            "cos2_ppm",
+            (F.col("cos2_ppm") >= _SDECON_PPM).alias("contaminated"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_SDECON_SQL = f"""
+WITH evalp AS (
+  SELECT vec_id + 200000 AS eval_id,
+         list_transform(embedding::DOUBLE[], x -> x * 1.01 + 0.001) AS p
+  FROM embeddings WHERE vec_id % {_SDECON_EVAL_MOD} = 0
+),
+evaln AS (
+  SELECT eval_id, sqrt(list_dot_product(p, p)) AS nrm, p FROM evalp
+),
+evalq AS (
+  SELECT eval_id,
+         CASE WHEN nrm > 0
+              THEN list_transform(p,
+                     x -> CAST(round(x / nrm * {_SDECON_Q}) AS BIGINT))
+              ELSE list_transform(p, x -> CAST(0 AS BIGINT)) END AS e_q
+  FROM evaln
+),
+trainq AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> CAST(round(x * {_SDECON_Q}) AS BIGINT)) AS t_q
+  FROM embeddings
+),
+pairs AS (
+  SELECT vec_id, eval_id, coalesce(sum(tv * ev), 0) AS d
+  FROM (SELECT t.vec_id, e.eval_id, unnest(t.t_q) AS tv,
+               unnest(e.e_q) AS ev
+        FROM trainq t, evalq e)
+  GROUP BY vec_id, eval_id
+),
+tna AS (
+  SELECT vec_id, coalesce(sum(x * x), 0) AS na
+  FROM (SELECT vec_id, unnest(t_q) AS x FROM trainq) GROUP BY vec_id
+),
+tnb AS (
+  SELECT eval_id, coalesce(sum(x * x), 0) AS nb
+  FROM (SELECT eval_id, unnest(e_q) AS x FROM evalq) GROUP BY eval_id
+),
+scored AS (
+  SELECT p.vec_id, p.eval_id,
+         CASE WHEN na.na = 0 OR nb.nb = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST((CASE WHEN p.d < 0 THEN -1 ELSE 1 END) *
+                   ((p.d::HUGEINT * p.d * 1000000) //
+                    (na.na::HUGEINT * nb.nb)) AS BIGINT) END AS cos2_ppm
+  FROM pairs p JOIN tna na USING (vec_id) JOIN tnb nb USING (eval_id)
+)
+SELECT vec_id, eval_id AS nearest_eval_id, cos2_ppm,
+       cos2_ppm >= {_SDECON_PPM} AS contaminated
+FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+        ORDER BY cos2_ppm DESC, eval_id) AS rk FROM scored)
+WHERE rk = 1 ORDER BY vec_id
+"""
+
+ML_QUERIES["decontaminate_semantic"] = (decontaminate_semantic, _SDECON_SQL)

@@ -3213,3 +3213,186 @@ def test_kmv_set_similarity_replica_and_estimator_quality(spark, tmp_path):
         # union of big+tiny still exceeds K -> estimator branch; the
         # cc-side sketch is exhaustive but n_a > K forces estimation
         assert got[pair]["exact_inter"] == 0
+
+
+# ---------------------------------------------------------------------------
+# graph_components_lss (second-resume batch): the large-star/small-star
+# contraction must agree EXACTLY with an independent pure-Python
+# union-find (third implementation — the DuckDB pointer-doubling unroll
+# is the second, and all three are different algorithms for the same
+# unique answer).
+# ---------------------------------------------------------------------------
+
+
+def _py_components(doc_ids):
+    """Union-find over the same md5 edge model (pr{j}: tags, 1-in-17
+    dangling, self-loops dropped); labels = component minimum."""
+    import hashlib
+
+    n = len(doc_ids)
+    parent = {d: d for d in doc_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for d in doc_ids:
+        if d % 17 == 3:
+            continue
+        for j in range(3):
+            hx = hashlib.md5(f"pr{j}:{d}".encode()).hexdigest()[:15]
+            dst = int(hx, 16) % n
+            if dst == d:
+                continue
+            ra, rb = find(d), find(dst)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    comp = {d: find(d) for d in doc_ids}
+    sizes: dict = {}
+    for c in comp.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    return comp, sizes
+
+
+def test_graph_components_lss_matches_union_find(spark):
+    from datamunging_spark.ml_ops import graph_components_lss
+
+    got = graph_components_lss(spark, SF_DIR).toPandas()
+    ids = sorted(got.node_id)
+    comp, sizes = _py_components(ids)
+    assert {
+        (r.node_id, r.comp, r.comp_size) for r in got.itertuples(index=False)
+    } == {(d, comp[d], sizes[comp[d]]) for d in ids}
+    # label closure: every component label is its own label (star
+    # centers self-labeled), and labels are component MINIMA
+    lab = dict(zip(got.node_id, got.comp))
+    assert all(lab[c] == c for c in set(lab.values()))
+    assert (got.comp <= got.node_id).all()
+
+
+def test_graph_components_lss_deep_small_graph(spark, tmp_path):
+    """n=40 mirror of k_core's deep-peel regression: small graphs have
+    relatively deeper structure; the engine must reach its TRUE
+    fixpoint (no round-cap raise) and agree with union-find."""
+    from datamunging_spark.ml_ops import graph_components_lss
+
+    ids = list(range(40))
+    spark.createDataFrame(
+        [(i, "x") for i in ids], "doc_id bigint, text string"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    got = graph_components_lss(spark, str(tmp_path)).toPandas()
+    comp, sizes = _py_components(ids)
+    assert {
+        (r.node_id, r.comp, r.comp_size) for r in got.itertuples(index=False)
+    } == {(d, comp[d], sizes[comp[d]]) for d in ids}
+
+
+# ---------------------------------------------------------------------------
+# random_walks (second-resume batch): bit-exact vs a pure-Python replica
+# of the walk contract (md5 pick over dst-ordered out-edges), plus the
+# early-termination invariant at dangling nodes.
+# ---------------------------------------------------------------------------
+
+
+def test_random_walks_matches_python_replica(spark):
+    from datamunging_spark.ml_ops import _RW_LEN, _RW_SEED_MOD, random_walks
+
+    import hashlib
+
+    got = random_walks(spark, SF_DIR).toPandas()
+    ids = sorted(
+        r.doc_id
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    )
+    n = len(ids)
+
+    out: dict = {}
+    for d in ids:
+        if d % 17 == 3:
+            continue
+        for j in range(3):
+            hx = hashlib.md5(f"pr{j}:{d}".encode()).hexdigest()[:15]
+            dst = int(hx, 16) % n
+            if dst != d:
+                out.setdefault(d, set()).add(dst)
+    want = set()
+    for seed in ids:
+        if seed % _RW_SEED_MOD != 0:
+            continue
+        cur = seed
+        want.add((seed, 0, seed))
+        for s in range(1, _RW_LEN + 1):
+            nbrs = sorted(out.get(cur, ()))
+            if not nbrs:
+                break
+            hx = hashlib.md5(f"rw:{s}:{seed}".encode()).hexdigest()[:15]
+            cur = nbrs[int(hx, 16) % len(nbrs)]
+            want.add((seed, s, cur))
+    assert {
+        (r.walk_id, r.step, r.node) for r in got.itertuples(index=False)
+    } == want
+    # per-walk steps are a gap-free prefix 0..k (early stop only)
+    for wid, grp in got.groupby("walk_id"):
+        assert sorted(grp.step) == list(range(len(grp)))
+
+
+# ---------------------------------------------------------------------------
+# decontaminate_semantic (second-resume batch): planted positives are
+# found with their own twin as nearest; the integer score respects the
+# Cauchy-Schwarz bound; zero vectors follow the "similar to nothing"
+# convention — checked differentially against the DuckDB oracle on a
+# hand-built table that CONTAINS a zero vector.
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_semantic_invariants(spark):
+    from datamunging_spark.ml_ops import _SDECON_PPM, decontaminate_semantic
+
+    got = decontaminate_semantic(spark, SF_DIR).toPandas()
+    n_vec = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    assert len(got) == n_vec  # one verdict per corpus vector
+    assert (got.cos2_ppm.abs() <= 1_000_000).all()  # Cauchy-Schwarz
+    planted = got[got.vec_id % 20 == 0]
+    assert (planted.contaminated).all()
+    assert (planted.nearest_eval_id == planted.vec_id + 200000).all()
+    rest = got[got.vec_id % 20 != 0]
+    assert (~rest.contaminated).all()
+    assert (rest.cos2_ppm < _SDECON_PPM).all()
+
+
+def test_decontaminate_semantic_zero_vector_oracle(spark, tmp_path):
+    import duckdb
+
+    from datamunging_spark.ml_ops import _SDECON_SQL, decontaminate_semantic
+
+    dim = 8
+    rows = [
+        (0, [0.0] * dim, 0),  # zero vector, also an eval source
+        (1, [0.5, -0.25] + [0.125] * (dim - 2), 0),
+        # second eval source — NOT a constant vector: the perturbed
+        # zero vector is constant (all 0.001), and any constant vector
+        # is exactly parallel to it (cos = 1, tie on eval_id)
+        (20, [0.1, -0.2, 0.3, -0.1, 0.2, -0.3, 0.15, -0.05], 1),
+        (21, [-0.3, 0.2] + [0.0] * (dim - 2), 1),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+    got = decontaminate_semantic(spark, str(tmp_path)).toPandas()
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet/*.parquet')"
+    )
+    want = con.sql(_SDECON_SQL).df()
+    want = want[got.columns].astype({c: got[c].dtype for c in got.columns})
+    assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+    z = got[got.vec_id == 0].iloc[0]
+    assert z.cos2_ppm == 0 and not z.contaminated  # zero ~ nothing
+    p = got[got.vec_id == 20].iloc[0]
+    assert p.contaminated and p.nearest_eval_id == 200020

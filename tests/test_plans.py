@@ -1026,3 +1026,36 @@ def test_kmv_set_similarity_plan_shape(spark, sf_dir):
     # nested loop; nested loop appears only for the tiny pair cross
     assert "hashpartitioning(h#" in plan or "SortMergeJoin [h#" in plan \
         or re.search(r"BroadcastHashJoin \[h#", plan), plan[:400]
+
+
+def test_second_resume_batch_plan_shapes(spark, sf_dir):
+    """Plan properties behind the second-resume batch's scale claims."""
+    from datamunging_spark.ml_ops import (
+        decontaminate_semantic,
+        graph_components_lss,
+        random_walks,
+    )
+
+    # semantic decon: the corpus-side dot products are ONE Arrow stage
+    # (the int64 matmul mapInPandas) — no row-wise Python anywhere; the
+    # benchmark-norm join is a BROADCAST (never shuffles the pair
+    # table on the tiny side); no cartesian product
+    p = plan_of(decontaminate_semantic(spark, sf_dir))
+    assert p.count("ArrowEvalPython") == 0, p  # mapInPandas, not UDF eval
+    assert "MapInPandas" in p, p
+    assert "BatchEvalPython" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
+
+    # random walks: codegen end-to-end (md5 pick is a JVM expression),
+    # every join an equi-join on the node key
+    p = plan_of(random_walks(spark, sf_dir))
+    assert "EvalPython" not in p, p
+    assert "MapInPandas" not in p, p
+    assert "CartesianProduct" not in p, p
+
+    # LSS components: label read-off + size join — node-keyed equi-joins
+    # only, no Python, no cartesian
+    p = plan_of(graph_components_lss(spark, sf_dir))
+    assert "EvalPython" not in p, p
+    assert "CartesianProduct" not in p, p
