@@ -129,6 +129,8 @@ HEADLINE = [
     "graph_components_lss",
     "random_walks",
     "decontaminate_semantic",
+    "skipgram_pairs",
+    "pca_power_projection",
 ]
 
 ALL = {**RELATIONAL_QUERIES, **ML_QUERIES}

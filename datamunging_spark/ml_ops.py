@@ -10904,3 +10904,216 @@ WHERE rk = 1 ORDER BY vec_id
 """
 
 ML_QUERIES["decontaminate_semantic"] = (decontaminate_semantic, _SDECON_SQL)
+
+
+# --------------------------------------------------------------------------
+# Skip-gram pair generation (second-resume batch) — turns the
+# random_walks corpus into the (center, context) training pairs a
+# skip-gram embedding model (DeepWalk/node2vec's word2vec stage)
+# actually consumes: for every walk and every position i, emit
+# (node_i, node_j) for 0 < |i - j| <= _SG_WINDOW, then count each
+# distinct directed pair across the corpus (the co-occurrence
+# multiplicities that weight the softmax).
+#
+# Scale shape: the pair build is a SELF-JOIN ON walk_id — a key whose
+# per-group size is capped by the walk length (<= L+1 rows), so the
+# join fans out at most (L+1)*2W per walk, never quadratic in the
+# corpus; the count is one groupBy(center, context) with map-side
+# combine. At 10^12 walks both stages shuffle on uniform md5-derived
+# keys (walk_id, then pair) — no skew by construction. The window
+# filter is a codegen range predicate applied inside the equi-join, not
+# a range join (the equi key does the heavy pruning).
+# --------------------------------------------------------------------------
+
+_SG_WINDOW = 2
+
+
+def skipgram_pairs(spark, sf_dir):
+    """(center, context, n_pairs) over the random-walk corpus, window
+    +-_SG_WINDOW, directed (center precedes or follows context — both
+    offsets emit, matching word2vec's symmetric window)."""
+    walks = random_walks(spark, sf_dir).select(
+        "walk_id", "step", "node"
+    ).localCheckpoint()
+    a = walks.select(
+        "walk_id", F.col("step").alias("i"), F.col("node").alias("center")
+    )
+    b = walks.select(
+        "walk_id", F.col("step").alias("j"), F.col("node").alias("context")
+    )
+    return (
+        a.join(b, "walk_id")
+        .where(
+            (F.col("i") != F.col("j"))
+            & (F.abs(F.col("i") - F.col("j")) <= _SG_WINDOW)
+        )
+        .groupBy("center", "context")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("center", "context")
+    )
+
+
+def _skipgram_sql() -> str:
+    walks = _random_walks_sql()
+    # strip the trailing ORDER BY of the walk query and wrap it
+    body = walks.rsplit(" ORDER BY ", 1)[0]
+    return (
+        f"WITH walks AS ({body}) "
+        f"SELECT a.node AS center, b.node AS context, "
+        f"count(*) AS n_pairs "
+        f"FROM walks a JOIN walks b ON a.walk_id = b.walk_id "
+        f"AND a.step <> b.step AND abs(a.step - b.step) <= {_SG_WINDOW} "
+        f"GROUP BY center, context ORDER BY center, context"
+    )
+
+
+ML_QUERIES["skipgram_pairs"] = (skipgram_pairs, _skipgram_sql())
+
+
+# --------------------------------------------------------------------------
+# Distributed PCA top-component projection (second-resume batch) — the
+# one linear-algebra workload class the catalog lacked: project every
+# embedding onto the corpus' dominant principal direction (the backbone
+# of spectral dedup diagnostics, whitening, and the "dominant-direction
+# removal" step of post-processing pipelines like all-but-the-top).
+#
+# Decomposition is the textbook two-phase distributed PCA: (1) the
+# d x d GRAM MATRIX G = sum x x^T is an associative aggregate — each
+# Arrow batch contributes X^T X (one numpy int64 matmul), partials sum
+# under groupBy(i, j); the corpus is scanned ONCE and the shuffle moves
+# d^2 rows per partition, never vectors. (2) power iteration runs on
+# the DRIVER over the d x d collect (model state, the k-means-centroid
+# audit class: d = 64 -> 4096 rows), a FIXED 8 steps from the all-ones
+# seed — the iteration count is the contract, not a float convergence
+# test. (3) the projection is a codegen HOF dot against the literal
+# eigenvector — scan-only, join-free.
+#
+# Arithmetic contract: embeddings quantize at 2^14 (the
+# decontaminate_semantic convention); Gram entries, matvecs, the
+# per-step renormalization v <- (w * 2^16) div max|w| (truncation
+# toward zero in BOTH engines), and the final projections are all
+# exact integers — Spark/driver Python ints vs the oracle's HUGEINT
+# CTE unroll are bit-identical under any partitioning or batch order.
+# Magnitude audit (d = 64): |q| <= 2^21 even for fuzz-range inputs,
+# Gram <= n * 2^42, matvec <= 64 * Gram * 2^16 — HUGEINT-safe to
+# n ~ 2^60; the reported proj_fp <= 64 * 2^21 * 2^16 < 2^43 (int64).
+# --------------------------------------------------------------------------
+
+_PCA_Q = 16384
+_PCA_VSCALE = 65536
+_PCA_ITERS = 8
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Integer division truncating toward zero — DuckDB's `//` (and
+    Spark's DIV) semantics; Python's // floors, so negatives differ."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def pca_power_projection(spark, sf_dir):
+    """(vec_id, proj_fp): fixed-point projection of every embedding on
+    the corpus' dominant eigendirection after _PCA_ITERS power steps."""
+    import numpy as np
+
+    emb = t(spark, sf_dir, "embeddings")
+    vecd = F.col("embedding").cast(T.ArrayType(T.DoubleType()))
+    tq = F.transform(vecd, lambda x: F.round(x * _PCA_Q, 0).cast("long"))
+    train = emb.select("vec_id", tq.alias("t_q"))
+
+    def gram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np  # noqa: F811 — executor-side import
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["t_q"].to_numpy()).astype(np.int64)
+            G = X.T @ X
+            d = G.shape[0]
+            ii, jj = np.meshgrid(
+                np.arange(1, d + 1), np.arange(1, d + 1), indexing="ij"
+            )
+            yield pd.DataFrame(
+                {
+                    "i": ii.reshape(-1).astype(np.int32),
+                    "j": jj.reshape(-1).astype(np.int32),
+                    "g": G.reshape(-1),
+                }
+            )
+
+    rows = (
+        train.mapInPandas(gram, schema="i int, j int, g long")
+        .groupBy("i", "j")
+        .agg(F.sum("g").alias("g"))
+        .collect()
+    )  # model state: d^2 rows
+    if not rows:
+        return train.select(
+            "vec_id", F.lit(0).cast("long").alias("proj_fp")
+        ).orderBy("vec_id")
+    d = max(r["i"] for r in rows)
+    G = [[0] * d for _ in range(d)]
+    for r in rows:
+        G[r["i"] - 1][r["j"] - 1] = int(r["g"])
+    v = [_PCA_VSCALE] * d
+    for _ in range(_PCA_ITERS):
+        w = [sum(G[i][j] * v[j] for j in range(d)) for i in range(d)]
+        mx = max(abs(x) for x in w)
+        v = (
+            [0] * d
+            if mx == 0
+            else [_trunc_div(x * _PCA_VSCALE, mx) for x in w]
+        )
+    vcol = F.array(*[F.lit(int(x)).cast("long") for x in v])
+    proj = F.aggregate(
+        F.zip_with(F.col("t_q"), vcol, lambda q, vv: q * vv),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
+    return train.select("vec_id", proj.alias("proj_fp")).orderBy("vec_id")
+
+
+def _pca_sql() -> str:
+    parts = [
+        f"""WITH trainq AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> CAST(round(x * {_PCA_Q}) AS BIGINT)) AS t_q
+  FROM embeddings
+),
+posit AS MATERIALIZED (
+  SELECT vec_id, unnest(t_q) AS q,
+         unnest(range(1, len(t_q) + 1)) AS i
+  FROM trainq
+),
+gram AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j, sum(a.q * b.q)::HUGEINT AS g
+  FROM posit a JOIN posit b USING (vec_id)
+  GROUP BY a.i, b.i
+),
+v0 AS (SELECT DISTINCT i, {_PCA_VSCALE}::HUGEINT AS v FROM gram)"""
+    ]
+    for r in range(_PCA_ITERS):
+        parts.append(
+            f"""w{r} AS MATERIALIZED (
+  SELECT g.i, sum(g.g * v.v)::HUGEINT AS w
+  FROM gram g JOIN v{r} v ON v.i = g.j GROUP BY g.i
+),
+mx{r} AS (SELECT max(abs(w)) AS m FROM w{r}),
+v{r + 1} AS MATERIALIZED (
+  SELECT i, CASE WHEN m = 0 THEN 0::HUGEINT
+                 ELSE (w * {_PCA_VSCALE}) // m END AS v
+  FROM w{r}, mx{r}
+)"""
+        )
+    last = f"v{_PCA_ITERS}"
+    parts.append(
+        f"""SELECT p.vec_id,
+       CAST(coalesce(sum(p.q * v.v), 0) AS BIGINT) AS proj_fp
+FROM posit p JOIN {last} v ON v.i = p.i
+GROUP BY p.vec_id ORDER BY p.vec_id"""
+    )
+    return ",\n".join(parts[:-1]) + "\n" + parts[-1]
+
+
+ML_QUERIES["pca_power_projection"] = (pca_power_projection, _pca_sql())

@@ -3396,3 +3396,152 @@ def test_decontaminate_semantic_zero_vector_oracle(spark, tmp_path):
     assert z.cos2_ppm == 0 and not z.contaminated  # zero ~ nothing
     p = got[got.vec_id == 20].iloc[0]
     assert p.contaminated and p.nearest_eval_id == 200020
+
+
+# ---------------------------------------------------------------------------
+# skipgram_pairs (second-resume batch): exact vs a pure-Python replica
+# built on the walk replica, plus the symmetric-window invariant.
+# ---------------------------------------------------------------------------
+
+
+def test_skipgram_pairs_replica_and_symmetry(spark):
+    import hashlib
+
+    from datamunging_spark.ml_ops import (
+        _RW_LEN,
+        _RW_SEED_MOD,
+        _SG_WINDOW,
+        skipgram_pairs,
+    )
+
+    got = skipgram_pairs(spark, SF_DIR).toPandas()
+    ids = sorted(
+        r.doc_id
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    )
+    n = len(ids)
+    out: dict = {}
+    for d in ids:
+        if d % 17 == 3:
+            continue
+        for j in range(3):
+            hx = hashlib.md5(f"pr{j}:{d}".encode()).hexdigest()[:15]
+            dst = int(hx, 16) % n
+            if dst != d:
+                out.setdefault(d, set()).add(dst)
+    want: dict = {}
+    for seed in ids:
+        if seed % _RW_SEED_MOD != 0:
+            continue
+        walk = [seed]
+        cur = seed
+        for s in range(1, _RW_LEN + 1):
+            nbrs = sorted(out.get(cur, ()))
+            if not nbrs:
+                break
+            hx = hashlib.md5(f"rw:{s}:{seed}".encode()).hexdigest()[:15]
+            cur = nbrs[int(hx, 16) % len(nbrs)]
+            walk.append(cur)
+        for i, c in enumerate(walk):
+            for j2, ctx in enumerate(walk):
+                if i != j2 and abs(i - j2) <= _SG_WINDOW:
+                    want[(c, ctx)] = want.get((c, ctx), 0) + 1
+    have = {
+        (r.center, r.context): r.n_pairs for r in got.itertuples(index=False)
+    }
+    assert have == want
+    # symmetric window => directed pair counts are symmetric
+    assert all(have[(a, b)] == have[(b, a)] for (a, b) in have)
+
+
+# ---------------------------------------------------------------------------
+# pca_power_projection (second-resume batch): the integer projection
+# must align with numpy's float top eigenvector (|pearson r| ~ 1), and
+# the hand-table differential (including the all-zero corpus) must
+# agree with the DuckDB oracle bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def test_pca_projection_aligns_with_numpy_eig(spark):
+    """The contract is a FIXED 8 power steps (random iid corpora have a
+    near-flat Marchenko-Pastur spectrum, so 8 steps are deliberately
+    NOT converged to eigh's eigenvector) — the float reference is the
+    SAME 8-step iteration in numpy; the integer-vs-float drift must be
+    negligible (|pearson r| ~ 1)."""
+    import numpy as np
+
+    from datamunging_spark.ml_ops import (
+        _PCA_ITERS,
+        _PCA_Q,
+        pca_power_projection,
+    )
+
+    got = pca_power_projection(spark, SF_DIR).toPandas()
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    X = np.round(
+        np.stack(emb.embedding.to_numpy()).astype(np.float64) * _PCA_Q
+    )
+    G = X.T @ X
+    v = np.ones(G.shape[0])
+    for _ in range(_PCA_ITERS):
+        w = G @ v
+        v = w / np.max(np.abs(w))
+    ref = X @ v
+    proj = got.sort_values("vec_id").proj_fp.to_numpy(np.float64)
+    r = np.corrcoef(proj, ref)[0, 1]
+    assert abs(r) > 0.9999, r
+
+
+def test_pca_projection_zero_and_hand_table_oracle(spark, tmp_path):
+    import duckdb
+
+    from datamunging_spark.ml_ops import _pca_sql, pca_power_projection
+
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.3, 0.4, 0.0, 0.0], 0),
+        (2, [-0.6, -0.8, 0.0, 0.0], 0),
+        (3, [0.01, -0.01, 0.02, 0.005], 0),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+    got = pca_power_projection(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet/*.parquet')"
+    )
+    want = con.sql(_pca_sql()).df()
+    want = want[got.columns].astype({c: got[c].dtype for c in got.columns})
+    assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+    by = dict(zip(got.vec_id, got.proj_fp))
+    assert by[0] == 0  # zero vector projects to zero
+    # vec 2 = -2x vec 1 along the dominant [0.6, 0.8] direction; the
+    # proportionality is up to one quantization unit per component
+    # (round(2q) != 2*round(q) at .5 boundaries), i.e. one v-scale unit
+    assert by[2] != 0, by
+    assert abs(by[2] + 2 * by[1]) <= abs(by[2]) * 1e-3 + 2, (by[1], by[2])
+
+    # all-zero corpus: m = 0 branch on every step, all projections 0
+    zdir = tmp_path / "z"
+    zdir.mkdir()
+    spark.createDataFrame(
+        [(i, [0.0] * 4, 0) for i in range(3)],
+        "vec_id bigint, embedding array<float>, label int",
+    ).write.parquet(f"{zdir}/embeddings.parquet")
+    gz = pca_power_projection(spark, str(zdir)).toPandas()
+    assert (gz.proj_fp == 0).all()
+    con2 = duckdb.connect()
+    con2.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{zdir}/embeddings.parquet/*.parquet')"
+    )
+    wz = con2.sql(_pca_sql()).df()
+    assert (wz.proj_fp == 0).all() and len(wz) == len(gz)

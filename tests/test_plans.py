@@ -1059,3 +1059,22 @@ def test_second_resume_batch_plan_shapes(spark, sf_dir):
     p = plan_of(graph_components_lss(spark, sf_dir))
     assert "EvalPython" not in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_skipgram_and_pca_plan_shapes(spark, sf_dir):
+    from datamunging_spark.ml_ops import pca_power_projection, skipgram_pairs
+
+    # skip-gram build: equi-join on walk_id (bounded per-group fanout),
+    # codegen end-to-end, map-side combine before the pair-count shuffle
+    p = plan_of(skipgram_pairs(spark, sf_dir))
+    assert "EvalPython" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "partial_count" in p, p
+
+    # PCA projection: the returned frame is a join-free codegen scan
+    # against the literal eigenvector (the Gram/power stages already ran
+    # as model state — one MapInPandas pass, audited in the op)
+    p = plan_of(pca_power_projection(spark, sf_dir))
+    assert "EvalPython" not in p, p
+    assert "Join" not in p, p
+    assert "CartesianProduct" not in p, p
