@@ -10751,10 +10751,15 @@ _SDECON_PPM = 980100  # 0.99^2 in ppm of cos^2
 
 
 def _sdecon_eval_quantized(spark, sf_dir):
+    """Quantized eval matrix (eval_id, e_q array<long>) from the sf
+    embeddings table — see _sdecon_eval_from_df."""
+    return _sdecon_eval_from_df(t(spark, sf_dir, "embeddings"))
+
+
+def _sdecon_eval_from_df(emb):
     """Quantized eval matrix (eval_id, e_q array<long>): perturbed
     twins, l2-normalized, rounded at 2^14. The normalization fold is the
     module's sequential-HOF idiom so DuckDB replays it bit-identically."""
-    emb = t(spark, sf_dir, "embeddings")
     vecd = F.col("embedding").cast(T.ArrayType(T.DoubleType()))
     pert = F.transform(vecd, lambda x: x * F.lit(1.01) + F.lit(0.001))
     nrm = F.sqrt(
@@ -10771,22 +10776,26 @@ def _sdecon_eval_quantized(spark, sf_dir):
     )
 
 
-def decontaminate_semantic(spark, sf_dir):
-    """One row per corpus vector: (vec_id, nearest_eval_id, cos2_ppm,
-    contaminated). cos2_ppm is the signed quantized squared cosine in
-    parts-per-million against the nearest benchmark vector."""
-    import numpy as np
-
-    emb = t(spark, sf_dir, "embeddings")
+def _sdecon_quantize_train(emb):
+    """(vec_id, t_q): raw 2^14 quantization of the corpus vectors
+    (cosine is scale-invariant, so per-side scales cancel)."""
     vecd = F.col("embedding").cast(T.ArrayType(T.DoubleType()))
     tq = F.transform(
         vecd, lambda x: F.round(x * _SDECON_Q, 0).cast("long")
     )
-    train = emb.select("vec_id", tq.alias("t_q"))
+    return emb.select("vec_id", tq.alias("t_q"))
 
-    # benchmark matrix: model state, k rows (the k-means centroid /
-    # BPE-merge collect audit class)
-    eval_rows = _sdecon_eval_quantized(spark, sf_dir).collect()
+
+def _sdecon_score(train, eval_rows):
+    """Score every (vec_id, t_q) row against the collected quantized
+    benchmark rows: (vec_id, nearest_eval_id, cos2_ppm, contaminated),
+    unordered. Shared verbatim by the batch op and the streaming job so
+    their verdicts are bit-identical (the integer contract does the
+    rest). eval norms are python-int sums of the collected rows — exact,
+    identical to the HOF/SQL fold by integer commutativity."""
+    import numpy as np
+
+    spark = train.sparkSession
     eval_ids = np.array([r["eval_id"] for r in eval_rows], dtype=np.int64)
     E = (
         np.array([r["e_q"] for r in eval_rows], dtype=np.int64)
@@ -10820,9 +10829,16 @@ def decontaminate_semantic(spark, sf_dir):
         col, F.lit(0).cast("long"), lambda s, x: s + x * x
     )
     na = train.select("vec_id", sq(F.col("t_q")).alias("na"))
-    nb = _sdecon_eval_quantized(spark, sf_dir).select(
-        "eval_id", sq(F.col("e_q")).alias("nb")
+    nb = spark.createDataFrame(
+        [
+            (int(r["eval_id"]), sum(int(x) * int(x) for x in r["e_q"]))
+            for r in eval_rows
+        ]
+        or [(0, 0)],
+        "eval_id long, nb long",
     )
+    if not eval_rows:
+        nb = nb.where(F.lit(False))
     scored = (
         pairs.join(na, "vec_id")
         .join(F.broadcast(nb), "eval_id")
@@ -10846,8 +10862,19 @@ def decontaminate_semantic(spark, sf_dir):
             "cos2_ppm",
             (F.col("cos2_ppm") >= _SDECON_PPM).alias("contaminated"),
         )
-        .orderBy("vec_id")
     )
+
+
+def decontaminate_semantic(spark, sf_dir):
+    """One row per corpus vector: (vec_id, nearest_eval_id, cos2_ppm,
+    contaminated). cos2_ppm is the signed quantized squared cosine in
+    parts-per-million against the nearest benchmark vector.
+
+    The benchmark collect is model state, k rows (the k-means centroid
+    / BPE-merge audit class)."""
+    train = _sdecon_quantize_train(t(spark, sf_dir, "embeddings"))
+    eval_rows = _sdecon_eval_quantized(spark, sf_dir).collect()
+    return _sdecon_score(train, eval_rows).orderBy("vec_id")
 
 
 _SDECON_SQL = f"""

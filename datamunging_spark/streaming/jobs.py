@@ -657,3 +657,76 @@ def read_funnel(spark: SparkSession, output_path: str) -> DataFrame:
         )
     flags = _dedupe_on_read(raw, ["user_id"], [F.col("batch_id").desc()])
     return funnel_triangle(flags.select("user_id", "r1", "r2", "r3"))
+
+
+# ---------------------------------------------------------------------------
+# Streaming semantic decontamination (third-resume batch): the streaming
+# twin of the batch decontaminate_semantic.
+# ---------------------------------------------------------------------------
+
+
+def run_streaming_semantic_decon(
+    spark: SparkSession,
+    emb_dir: str,
+    eval_src_dir: str,
+    output_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming decontamination: the quantized benchmark matrix is
+    FROZEN at job start from the static eval source (a production
+    stream must not grow its benchmark mid-flight — a new benchmark
+    release is a new job; the frozen-centroid argument of
+    run_streaming_embedding_dedup), then every micro-batch of newly
+    landed vectors is scored with the EXACT integer max-cos contract of
+    the batch op — the scorer function is shared verbatim
+    (ml_ops._sdecon_score), so streaming and batch verdicts are
+    bit-identical per vector. Decontamination is stateless across
+    batches (each vector's verdict depends only on itself and the
+    frozen benchmark), so the union of batch outputs IS the batch
+    answer — the differential test checks row-for-row equality, not a
+    simulation. Restart-safe: file-source checkpoint gives
+    at-least-once per input file; dedupe-on-read by vec_id (min
+    batch_id) absorbs a replayed batch.
+
+    Scale shape per batch: one Arrow int64-matmul pass + a broadcast
+    norms join — no shuffle keyed on the corpus, no state store; the
+    benchmark matrix re-broadcasts per job start, not per batch.
+    """
+    from ..ml_ops import (
+        _sdecon_eval_from_df,
+        _sdecon_quantize_train,
+        _sdecon_score,
+    )
+
+    eval_rows = _sdecon_eval_from_df(
+        spark.read.schema(EMB_SCHEMA).parquet(eval_src_dir)
+    ).collect()
+
+    stream = (
+        spark.readStream.schema(EMB_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(emb_dir)
+    )
+
+    def process_batch(df: DataFrame, epoch_id: int) -> None:
+        scored = _sdecon_score(_sdecon_quantize_train(df), eval_rows)
+        (
+            scored.withColumn("batch_id", F.lit(int(epoch_id)))
+            .write.mode("append")
+            .parquet(output_path)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_semantic_decon(spark: SparkSession, output_path: str) -> DataFrame:
+    """Dedupe-on-read (replayed-batch safety): min batch_id per vec_id."""
+    return _dedupe_on_read(
+        spark.read.parquet(output_path), ["vec_id"], ["batch_id"]
+    )

@@ -661,3 +661,56 @@ def test_sliding_counts_match_batch(spark, sf_dir, events_dir):
     # = 4 starts per type, plus the same boundary slack the tumbling
     # test allows
     assert len(g) >= len(w) - 8 * n_types
+
+
+def test_streaming_semantic_decon_matches_batch(spark, sf_dir, tmp_path_factory):
+    """Streaming semantic decontamination equals the batch op
+    row-for-row (shared integer scorer + frozen benchmark), across a
+    mid-stream restart and a simulated replayed batch."""
+    from datamunging_spark.ml_ops import decontaminate_semantic
+    from datamunging_spark.streaming.jobs import (
+        read_semantic_decon,
+        run_streaming_semantic_decon,
+    )
+
+    base = tmp_path_factory.mktemp("sdecon")
+    emb_dir = str(base / "emb")
+    eval_src = str(base / "eval_src")
+    out = str(base / "out")
+    ckpt = str(base / "ckpt")
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding", "label"
+    )
+    # the frozen benchmark source is the FULL static table (the batch
+    # twin derives its eval set from the same table)
+    emb.coalesce(1).write.parquet(eval_src)
+    # batch twin reads <dir>/embeddings.parquet
+    batch_dir = base / "batch"
+    batch_dir.mkdir()
+    emb.coalesce(1).write.parquet(str(batch_dir / "embeddings.parquet"))
+
+    # wave 1 arrives, job runs
+    emb.where(F.col("vec_id") % 3 == 0).coalesce(1).write.parquet(emb_dir)
+    run_streaming_semantic_decon(spark, emb_dir, eval_src, out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    assert n1 > 0
+
+    # waves 2+3 land; SAME checkpoint resumes without reprocessing
+    emb.where(F.col("vec_id") % 3 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(emb_dir)
+    emb.where(F.col("vec_id") % 3 == 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(emb_dir)
+    run_streaming_semantic_decon(spark, emb_dir, eval_src, out, ckpt)
+
+    # simulated replay: re-append one emitted batch verbatim
+    replay = spark.read.parquet(out).where(F.col("batch_id") == 0)
+    replay.write.mode("append").parquet(out)
+
+    got = read_semantic_decon(spark, out).drop("batch_id").toPandas()
+    want = decontaminate_semantic(spark, str(batch_dir)).toPandas()
+    got = got.sort_values("vec_id").reset_index(drop=True)[want.columns]
+    assert got.equals(want.reset_index(drop=True))
+    assert want.contaminated.sum() > 0  # positives flowed through

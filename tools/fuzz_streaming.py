@@ -571,6 +571,68 @@ def fuzz_funnel(spark, tmp: Path, rng: random.Random) -> list[str]:
     return []
 
 
+
+def fuzz_semantic_decon(spark, tmp: Path, rng: random.Random) -> list[str]:
+    """Streaming semantic decon vs the batch op on a randomized vector
+    corpus (zero vectors, exact and near duplicates of eval sources,
+    random vectors): the scorer is shared verbatim, so the union of
+    streaming batch outputs must equal the batch answer ROW-FOR-ROW —
+    including across a restart and a replayed batch. NULL vectors are
+    out of contract here (dropped at ingestion; covered by the batch
+    fuzzer's NULL sweep)."""
+    from datamunging_spark.ml_ops import decontaminate_semantic
+    from datamunging_spark.streaming.jobs import (
+        read_semantic_decon,
+        run_streaming_semantic_decon,
+    )
+
+    emb_dir, out, ckpt = str(tmp / "emb"), str(tmp / "so"), str(tmp / "sc")
+    dim = rng.choice([8, 64])
+    vecs = []
+    for i in range(rng.randint(15, 40)):
+        roll = rng.random()
+        if roll < 0.1:
+            v = [0.0] * dim
+        elif roll < 0.3 and vecs:
+            v = list(vecs[rng.randrange(len(vecs))][1])
+        elif roll < 0.5 and vecs:
+            src_v = vecs[rng.randrange(len(vecs))][1]
+            v = [x * 1.003 + 0.0007 for x in src_v]
+        else:
+            v = [round(rng.uniform(-1, 1), 3) for _ in range(dim)]
+        vecs.append((i, [float(x) for x in v], rng.randrange(3)))
+    schema = "vec_id bigint, embedding array<float>, label int"
+
+    batch_dir = tmp / "batch"
+    batch_dir.mkdir(parents=True)
+    full = spark.createDataFrame(vecs, schema)
+    full.coalesce(1).write.parquet(str(batch_dir / "embeddings.parquet"))
+    eval_src = str(tmp / "eval_src")
+    full.coalesce(1).write.parquet(eval_src)
+
+    cut = rng.randint(4, len(vecs) - 4)
+    base = _time.time() - 1000
+    _write_wave(spark, vecs[:cut], schema, emb_dir, base, ["vec_id"])
+    run_streaming_semantic_decon(spark, emb_dir, eval_src, out, ckpt)
+    _write_wave(spark, vecs[cut:], schema, emb_dir, base + 10, ["vec_id"])
+    run_streaming_semantic_decon(spark, emb_dir, eval_src, out, ckpt)
+    replay = spark.read.parquet(out).where(F.col("batch_id") == 0)
+    if replay.count():
+        replay.write.mode("append").parquet(out)
+
+    got = {
+        (r.vec_id, r.nearest_eval_id, r.cos2_ppm, r.contaminated)
+        for r in read_semantic_decon(spark, out).collect()
+    }
+    want = {
+        (r.vec_id, r.nearest_eval_id, r.cos2_ppm, r.contaminated)
+        for r in decontaminate_semantic(spark, str(batch_dir)).collect()
+    }
+    if got != want:
+        return [f"sdecon: {sorted(got ^ want)[:6]}"]
+    return []
+
+
 def main() -> int:
     spark = get_spark(app_name="fuzz-streaming")
     failures: list[str] = []
@@ -586,6 +648,7 @@ def main() -> int:
                 ("sessionize", fuzz_sessionize),
                 ("embdedup", fuzz_embedding_dedup),
                 ("funnel", fuzz_funnel),
+                ("sdecon", fuzz_semantic_decon),
             ):
                 fs = fn(spark, tmp / name, rng)
                 n_checked += 1
