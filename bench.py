@@ -131,6 +131,7 @@ HEADLINE = [
     "decontaminate_semantic",
     "skipgram_pairs",
     "pca_power_projection",
+    "clustering_coefficient",
 ]
 
 ALL = {**RELATIONAL_QUERIES, **ML_QUERIES}

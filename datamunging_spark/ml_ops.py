@@ -11144,3 +11144,95 @@ GROUP BY p.vec_id ORDER BY p.vec_id"""
 
 
 ML_QUERIES["pca_power_projection"] = (pca_power_projection, _pca_sql())
+
+
+# --------------------------------------------------------------------------
+# Local clustering coefficient (third-resume batch) — per-node triangle
+# density cc(v) = 2*T(v) / (d(v)*(d(v)-1)), the standard "how
+# community-like is this node's neighborhood" metric (spam/link-farm
+# detection ranks hosts by exactly this signal: farms are near-cliques,
+# organic hubs are sparse). Composes the catalog's degree-oriented
+# triangle lister (each triangle counted once at its (degree,id)-minimum
+# apex, wedge work bounded m^1.5 — see triangle_count) with the degree
+# table: one left join + a codegen integer formula. Reported in exact
+# ppm (2*T*10^6 DIV d*(d-1)) — no float division to drift between
+# engines; nodes with d < 2 pin cc_ppm = 0 (no possible wedge).
+# Defined over nodes WITH at least one edge (isolated nodes have no
+# neighborhood to measure — documented contract, matches the oracle).
+# --------------------------------------------------------------------------
+
+
+def clustering_coefficient(spark, sf_dir):
+    und = _link_edges_undirected(spark, sf_dir)
+    deg = (
+        und.select(F.col("u").alias("node_id"))
+        .unionAll(und.select(F.col("v").alias("node_id")))
+        .groupBy("node_id")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    tri = triangle_count(spark, sf_dir)
+    return (
+        deg.join(tri, "node_id", "left")
+        .select(
+            "node_id",
+            "d",
+            F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"),
+            F.expr(
+                "CASE WHEN d >= 2 THEN (coalesce(n_tri, CAST(0 AS BIGINT))"
+                " * 2 * 1000000) DIV (d * (d - 1)) "
+                "ELSE CAST(0 AS BIGINT) END"
+            ).alias("cc_ppm"),
+        )
+        .orderBy("node_id")
+    )
+
+
+def _clustering_coefficient_sql() -> str:
+    def h(j: int) -> str:
+        return (
+            f"(CAST(concat('0x', substr(md5(concat('pr{j}:', "
+            f"CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % n)"
+        )
+
+    cand = " UNION ALL ".join(
+        f"SELECT doc_id AS src, {h(j)} AS dst FROM documents, cnt "
+        f"WHERE doc_id % {_PR_DANGLE_MOD} <> 3"
+        for j in range(3)
+    )
+    return f"""
+WITH cnt AS (SELECT count(*) AS n FROM documents),
+cand AS ({cand}),
+ue AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM cand WHERE dst <> src
+),
+tri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM ue e1
+  JOIN ue e2 ON e1.v = e2.u
+  JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+tpn AS (
+  SELECT node_id, CAST(count(*) AS BIGINT) AS n_tri
+  FROM (SELECT unnest([x, y, z]) AS node_id FROM tri)
+  GROUP BY node_id
+),
+deg AS (
+  SELECT node_id, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT unnest([u, v]) AS node_id FROM ue)
+  GROUP BY node_id
+)
+SELECT d.node_id, d.d,
+       coalesce(t.n_tri, 0) AS n_tri,
+       CASE WHEN d.d >= 2
+            THEN (coalesce(t.n_tri, 0) * 2 * 1000000) // (d.d * (d.d - 1))
+            ELSE CAST(0 AS BIGINT) END AS cc_ppm
+FROM deg d LEFT JOIN tpn t USING (node_id)
+ORDER BY d.node_id
+"""
+
+
+ML_QUERIES["clustering_coefficient"] = (
+    clustering_coefficient,
+    _clustering_coefficient_sql(),
+)

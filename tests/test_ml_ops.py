@@ -3545,3 +3545,51 @@ def test_pca_projection_zero_and_hand_table_oracle(spark, tmp_path):
     )
     wz = con2.sql(_pca_sql()).df()
     assert (wz.proj_fp == 0).all() and len(wz) == len(gz)
+
+
+# ---------------------------------------------------------------------------
+# clustering_coefficient (third-resume batch): exact vs a brute-force
+# pure-Python neighborhood count, plus the cc <= 1e6 bound.
+# ---------------------------------------------------------------------------
+
+
+def test_clustering_coefficient_matches_bruteforce(spark):
+    import hashlib
+
+    from datamunging_spark.ml_ops import clustering_coefficient
+
+    got = clustering_coefficient(spark, SF_DIR).toPandas()
+    ids = sorted(
+        r.doc_id
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    )
+    n = len(ids)
+    nbr: dict = {}
+    for d in ids:
+        if d % 17 == 3:
+            continue
+        for j in range(3):
+            hx = hashlib.md5(f"pr{j}:{d}".encode()).hexdigest()[:15]
+            dst = int(hx, 16) % n
+            if dst != d:
+                nbr.setdefault(d, set()).add(dst)
+                nbr.setdefault(dst, set()).add(d)
+    want = {}
+    for v, ns in nbr.items():
+        t_v = sum(
+            1
+            for a in ns
+            for b in ns
+            if a < b and b in nbr.get(a, ())
+        )
+        dv = len(ns)
+        cc = (t_v * 2 * 1_000_000) // (dv * (dv - 1)) if dv >= 2 else 0
+        want[v] = (dv, t_v, cc)
+    assert {
+        (r.node_id, r.d, r.n_tri, r.cc_ppm)
+        for r in got.itertuples(index=False)
+    } == {(v, *w) for v, w in want.items()}
+    assert (got.cc_ppm <= 1_000_000).all()
+    assert (got.cc_ppm > 0).any()
