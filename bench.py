@@ -132,6 +132,7 @@ HEADLINE = [
     "skipgram_pairs",
     "pca_power_projection",
     "clustering_coefficient",
+    "link_prediction_cn",
 ]
 
 ALL = {**RELATIONAL_QUERIES, **ML_QUERIES}

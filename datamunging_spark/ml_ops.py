@@ -11236,3 +11236,108 @@ ML_QUERIES["clustering_coefficient"] = (
     clustering_coefficient,
     _clustering_coefficient_sql(),
 )
+
+
+# --------------------------------------------------------------------------
+# Link prediction by common neighbors (third-resume batch) — the classic
+# Liben-Nowell/Kleinberg index plus the Resource-Allocation index (Zhou
+# et al. 2009), over the undirected md5 link graph: score every
+# NON-ADJACENT pair (u, w) by (a) how many neighbors they share and
+# (b) RA = sum over shared neighbors z of 1/deg(z), which discounts
+# promiscuous hubs. This is the recommendation/"suggested links" class
+# the graph family lacked (CC/PageRank/HITS rank NODES; this ranks
+# ABSENT EDGES).
+#
+# Integer contract: RA's 1/deg sum is float in the textbook; here each
+# term is 10^6 DIV deg(z) (truncating integer division in both
+# engines), so scores are exact int64 and sums are order-independent —
+# the module's standard determinism trade, documented as ppm.
+#
+# Scale shape & the honest hazard: the wedge build fans out d(z)^2/2
+# pairs per center z — the one graph workload where a power-law hub is
+# quadratic. The md5 graph's max degree is ~tens, so no mitigation
+# here; at 10^12 edges the standard production fixes (cap or sample
+# hub neighborhoods above a degree threshold, losing only
+# hub-mediated predictions — they score lowest under RA anyway) are
+# documented in SCALE.md rather than silently applied. Non-adjacency
+# is one left_anti join against the edge list; everything is keyed on
+# node ids or canonical pairs — no cartesian.
+# --------------------------------------------------------------------------
+
+_LP_MIN_COMMON = 2
+
+
+def link_prediction_cn(spark, sf_dir):
+    """(u, w, n_common, ra_ppm) for non-adjacent u < w sharing >=
+    _LP_MIN_COMMON neighbors, ordered by (u, w)."""
+    und = _link_edges_undirected(spark, sf_dir)  # u < v
+    nb = und.select(F.col("u").alias("z"), F.col("v").alias("b")).unionAll(
+        und.select(F.col("v").alias("z"), F.col("u").alias("b"))
+    )
+    deg = nb.groupBy("z").agg(F.count("*").alias("dz"))
+    left = nb.join(deg, "z")
+    right = nb.select("z", F.col("b").alias("c"))
+    wedges = left.join(right, "z").where(F.col("b") < F.col("c"))
+    scores = wedges.groupBy("b", "c").agg(
+        F.count("*").cast("long").alias("n_common"),
+        F.sum(F.expr("CAST(1000000 AS BIGINT) DIV dz")).alias("ra_ppm"),
+    )
+    return (
+        scores.join(
+            und,
+            (scores["b"] == und["u"]) & (scores["c"] == und["v"]),
+            "left_anti",
+        )
+        .where(F.col("n_common") >= _LP_MIN_COMMON)
+        .select(
+            F.col("b").alias("u"),
+            F.col("c").alias("w"),
+            "n_common",
+            "ra_ppm",
+        )
+        .orderBy("u", "w")
+    )
+
+
+def _link_prediction_sql() -> str:
+    def h(j: int) -> str:
+        return (
+            f"(CAST(concat('0x', substr(md5(concat('pr{j}:', "
+            f"CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % n)"
+        )
+
+    cand = " UNION ALL ".join(
+        f"SELECT doc_id AS src, {h(j)} AS dst FROM documents, cnt "
+        f"WHERE doc_id % {_PR_DANGLE_MOD} <> 3"
+        for j in range(3)
+    )
+    return f"""
+WITH cnt AS (SELECT count(*) AS n FROM documents),
+cand AS ({cand}),
+ue AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM cand WHERE dst <> src
+),
+nb AS MATERIALIZED (
+  SELECT u AS z, v AS b FROM ue UNION ALL SELECT v AS z, u AS b FROM ue
+),
+deg AS (SELECT z, count(*) AS dz FROM nb GROUP BY z),
+scores AS (
+  SELECT a.b AS b, c.b AS c,
+         CAST(count(*) AS BIGINT) AS n_common,
+         CAST(sum(1000000 // d.dz) AS BIGINT) AS ra_ppm
+  FROM nb a JOIN nb c ON a.z = c.z AND a.b < c.b
+  JOIN deg d ON d.z = a.z
+  GROUP BY a.b, c.b
+)
+SELECT s.b AS u, s.c AS w, s.n_common, s.ra_ppm
+FROM scores s LEFT JOIN ue e ON e.u = s.b AND e.v = s.c
+WHERE e.u IS NULL AND s.n_common >= {_LP_MIN_COMMON}
+ORDER BY u, w
+"""
+
+
+ML_QUERIES["link_prediction_cn"] = (
+    link_prediction_cn,
+    _link_prediction_sql(),
+)

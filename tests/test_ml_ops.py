@@ -3593,3 +3593,57 @@ def test_clustering_coefficient_matches_bruteforce(spark):
     } == {(v, *w) for v, w in want.items()}
     assert (got.cc_ppm <= 1_000_000).all()
     assert (got.cc_ppm > 0).any()
+
+
+# ---------------------------------------------------------------------------
+# link_prediction_cn (third-resume batch): exact vs a brute-force
+# pure-Python common-neighbor scorer; predicted pairs must be
+# non-adjacent by construction.
+# ---------------------------------------------------------------------------
+
+
+def test_link_prediction_cn_matches_bruteforce(spark):
+    import hashlib
+
+    from datamunging_spark.ml_ops import _LP_MIN_COMMON, link_prediction_cn
+
+    got = link_prediction_cn(spark, SF_DIR).toPandas()
+    ids = sorted(
+        r.doc_id
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    )
+    n = len(ids)
+    nbr: dict = {}
+    for d in ids:
+        if d % 17 == 3:
+            continue
+        for j in range(3):
+            hx = hashlib.md5(f"pr{j}:{d}".encode()).hexdigest()[:15]
+            dst = int(hx, 16) % n
+            if dst != d:
+                nbr.setdefault(d, set()).add(dst)
+                nbr.setdefault(dst, set()).add(d)
+    want = {}
+    nodes = sorted(nbr)
+    for z in nodes:
+        ns = sorted(nbr[z])
+        dz = len(ns)
+        for i, b in enumerate(ns):
+            for c in ns[i + 1:]:
+                k = (b, c)
+                cn, ra = want.get(k, (0, 0))
+                want[k] = (cn + 1, ra + 1_000_000 // dz)
+    want = {
+        k: v
+        for k, v in want.items()
+        if v[0] >= _LP_MIN_COMMON and k[1] not in nbr.get(k[0], ())
+    }
+    assert {
+        (r.u, r.w, r.n_common, r.ra_ppm)
+        for r in got.itertuples(index=False)
+    } == {(u, w, cn, ra) for (u, w), (cn, ra) in want.items()}
+    # no predicted pair is an existing edge
+    for r in got.itertuples(index=False):
+        assert r.w not in nbr.get(r.u, ())
