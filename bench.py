@@ -133,6 +133,7 @@ HEADLINE = [
     "pca_power_projection",
     "clustering_coefficient",
     "link_prediction_cn",
+    "pq_adc_topk",
 ]
 
 ALL = {**RELATIONAL_QUERIES, **ML_QUERIES}

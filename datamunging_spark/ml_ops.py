@@ -1634,13 +1634,16 @@ def kmeans_embeddings(spark, sf_dir):
     )
 
 
-def _kmeans_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS,
-                dim: int = KMEANS_DIM, vecs_sql: str | None = None,
-                final_select: str | None = None) -> str:
-    """DuckDB replay of the exact Lloyd unroll. ``vecs_sql`` overrides
-    the input CTE body (default: the embeddings table); ``final_select``
-    overrides the closing SELECT over ``afinal`` (vec_id, v, cl, dist2)
-    so consumers (semantic_dedup) can extend the chain."""
+def _kmeans_ctes(k: int = KMEANS_K, iters: int = KMEANS_ITERS,
+                 dim: int = KMEANS_DIM, vecs_sql: str | None = None,
+                 prefix: str = "") -> list[str]:
+    """CTE chain of one Lloyd unroll; every CTE name carries ``prefix``
+    so multiple independent unrolls compose in ONE query (the PQ
+    oracle runs one chain per subspace). The chain ends with
+    ``{prefix}afinal`` (vec_id, v, cl, dist2 — assignment under the
+    final centroids) and ``{prefix}c{iters}`` (cl, cv, cn2 — the final
+    centroid table)."""
+    p = prefix
     assign = (
         "SELECT vec_id, v, cl, dist2 FROM ("
         "  SELECT e.vec_id, e.v, c.cl,"
@@ -1650,7 +1653,7 @@ def _kmeans_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS,
         "           PARTITION BY e.vec_id"
         "           ORDER BY c.cn2 - 2.0 * list_dot_product(e.v, c.cv), c.cl"
         "         ) AS rn"
-        "  FROM vecs e CROSS JOIN {cents} c"
+        f"  FROM {p}vecs e CROSS JOIN {{cents}} c"
         ") WHERE rn = 1"
     )
     update = (
@@ -1663,28 +1666,38 @@ def _kmeans_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS,
         ") GROUP BY cl"
     )
     ctes = [
-        "vecs AS ("
+        f"{p}vecs AS ("
         + (vecs_sql or "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings")
         + ")",
-        f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl,"
+        f"{p}c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl,"
         f" v AS cv, list_dot_product(v, v) AS cn2"
-        f" FROM vecs ORDER BY vec_id LIMIT {k})",
+        f" FROM {p}vecs ORDER BY vec_id LIMIT {k})",
     ]
-    prev = "c0"
+    prev = f"{p}c0"
     for it in range(1, iters + 1):
-        ctes.append(f"a{it} AS ({assign.format(cents=prev)})")
+        ctes.append(f"{p}a{it} AS ({assign.format(cents=prev)})")
         # empty-cluster fallback: keep the previous centroid
         ctes.append(
-            f"u{it} AS ({update.format(assigned=f'a{it}', dimp1=dim + 1)})"
+            f"{p}u{it} AS ({update.format(assigned=f'{p}a{it}', dimp1=dim + 1)})"
         )
         ctes.append(
-            f"c{it} AS (SELECT p.cl, coalesce(u.cv, p.cv) AS cv,"
+            f"{p}c{it} AS (SELECT p.cl, coalesce(u.cv, p.cv) AS cv,"
             f" coalesce(u.cn2, p.cn2) AS cn2"
-            f" FROM {prev} p LEFT JOIN u{it} u USING (cl))"
+            f" FROM {prev} p LEFT JOIN {p}u{it} u USING (cl))"
         )
-        prev = f"c{it}"
-    final = f"afinal AS ({assign.format(cents=prev)})"
-    ctes.append(final)
+        prev = f"{p}c{it}"
+    ctes.append(f"{p}afinal AS ({assign.format(cents=prev)})")
+    return ctes
+
+
+def _kmeans_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS,
+                dim: int = KMEANS_DIM, vecs_sql: str | None = None,
+                final_select: str | None = None) -> str:
+    """DuckDB replay of the exact Lloyd unroll. ``vecs_sql`` overrides
+    the input CTE body (default: the embeddings table); ``final_select``
+    overrides the closing SELECT over ``afinal`` (vec_id, v, cl, dist2)
+    so consumers (semantic_dedup) can extend the chain."""
+    ctes = _kmeans_ctes(k, iters, dim, vecs_sql)
     return (
         "WITH " + ",\n".join(ctes) + "\n"
         + (final_select
@@ -11341,3 +11354,231 @@ ML_QUERIES["link_prediction_cn"] = (
     link_prediction_cn,
     _link_prediction_sql(),
 )
+
+
+# --------------------------------------------------------------------------
+# Product quantization ADC search (third-resume batch) — the third leg
+# of the vector-compression family (SQ8 = per-dimension scalar codes,
+# IVF = cell pruning; PQ = Jégou et al. 2011's subspace codebooks, the
+# compression standard for billion-vector serving): split each vector
+# into PQ_M subspaces, learn an independent k-means codebook per
+# subspace (the catalog's Lloyd, one fused Arrow pass per round), encode
+# every vector as PQ_M small codes, and answer queries by Asymmetric
+# Distance Computation — a per-subspace lookup table of
+# query-to-centroid distances, summed over the code tuple, top-k by
+# that approximation, then an exact-cosine rerank of the shortlist
+# (the ann_ivf_sq8 composition).
+#
+# Scale shape: codebook learning is PQ_M independent Lloyd fits (each
+# the fused assignment+partial-agg pass — shuffle moves k x partitions
+# rows); encoding is ONE scan computing all PQ_M assignments (each a
+# vectorized V.C^T matmul per Arrow batch); the LUT is (PQ_M x PQ_K)
+# driver floats folded into literal arrays, so ADC scoring is a
+# codegen projection and the top-k is TakeOrderedAndProject — at 10^12
+# vectors the query never touches raw vectors until the
+# PQ_TOPK-row rerank.
+#
+# Determinism: codebooks/LUTs are doubles (the kmeans family's
+# documented ~1e-13 drift vs the oracle's unroll); the top-k CUT ranks
+# on round(adc, 6) with vec_id tie-break in BOTH engines, so ulp drift
+# cannot reorder the boundary except exactly at a 1e-6 rounding edge —
+# the same residual class the ANN family carries, fuzz-monitored.
+# --------------------------------------------------------------------------
+
+PQ_M = 4
+PQ_SUBDIM = 16
+PQ_K = 8
+PQ_TOPK = 10
+
+
+def _seq_dot(a, b) -> float:
+    """Left-fold dot product — order parity with DuckDB's
+    list_dot_product (numpy pairwise summation would differ in ulps)."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s += x * y
+    return s
+
+
+def _pq_round(vecs, books, m: int, subdim: int, k: int):
+    """One fused Lloyd round for ALL m subspace problems in ONE Arrow
+    pass (the _kmeans_round shape, m problems wide): each partition
+    assigns every row in every subspace (m small V·Cᵀ matmuls per
+    batch) and accumulates (count, per-dimension sums) per (subspace,
+    cluster) — the shuffle moves m·k rows per partition, never
+    vectors. This is why PQ codebook learning costs the same scans as
+    ONE k-means fit, not m of them."""
+    import numpy as np
+
+    Cs = [np.array(b, dtype=np.float64) for b in books]
+    cn2s = [(C * C).sum(axis=1) for C in Cs]
+    cols = ", ".join(f"s{i} double" for i in range(subdim))
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np  # noqa: F811 — executor-side import
+
+        cnt = np.zeros((m, k), dtype=np.int64)
+        sums = np.zeros((m, k, subdim), dtype=np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["v"].to_numpy())
+            for s in range(m):
+                Xs = X[:, s * subdim:(s + 1) * subdim]
+                aff = cn2s[s][None, :] - 2.0 * (Xs @ Cs[s].T)
+                cl = aff.argmin(axis=1)
+                cnt[s] += np.bincount(cl, minlength=k)
+                for j in range(k):
+                    sel = Xs[cl == j]
+                    if len(sel):
+                        sums[s, j] += sel.sum(axis=0)
+        out = []
+        for s in range(m):
+            for j in range(k):
+                if cnt[s, j]:
+                    out.append((s, j, int(cnt[s, j]), *sums[s, j]))
+        yield pd.DataFrame(
+            out, columns=["s", "cluster", "n"]
+            + [f"s{i}" for i in range(subdim)]
+        )
+
+    part = vecs.mapInPandas(
+        partials, schema=f"s int, cluster int, n long, {cols}"
+    )
+    aggs = [F.sum("n").alias("n")] + [
+        F.sum(f"s{i}").alias(f"s{i}") for i in range(subdim)
+    ]
+    return part.groupBy("s", "cluster").agg(*aggs)
+
+
+def _pq_fit_codebooks(
+    emb,
+    m: int = PQ_M,
+    subdim: int = PQ_SUBDIM,
+    k: int = PQ_K,
+    iters: int = KMEANS_ITERS,
+) -> list[list[list[float]]]:
+    """m independent Lloyd fits driven as ONE fused pass per round.
+    Seeds and update algebra match kmeans_fit's first-k contract per
+    subspace (pytest asserts fused == m separate fits)."""
+    v = F.col("embedding").cast("array<double>")
+    seeds = emb.select(v.alias("v")).orderBy("vec_id").limit(k).collect()
+    books = [
+        [list(r.v[s * subdim:(s + 1) * subdim]) for r in seeds]
+        for s in range(m)
+    ]
+    vecs = emb.select(v.alias("v")).persist()
+    try:
+        for _ in range(iters):
+            rows = _pq_round(vecs, books, m, subdim, k).collect()
+            new = {
+                (r.s, r.cluster): [r[f"s{i}"] / r.n for i in range(subdim)]
+                for r in rows
+            }
+            books = [
+                [new.get((s, j), books[s][j]) for j in range(k)]
+                for s in range(m)
+            ]
+    finally:
+        vecs.unpersist()
+    return books
+
+
+def pq_adc_topk(spark, sf_dir):
+    """Top-PQ_TOPK vectors for QUERY_VEC by PQ/ADC distance:
+    (vec_id, code0..code{M-1}, adc_r, cos) — codes are the subspace
+    centroid ids, adc_r the rounded ADC distance, cos the exact
+    rerank."""
+    emb = t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    codebooks = _pq_fit_codebooks(emb)
+    assigns = [
+        _kmeans_assign(
+            F.slice(v, s * PQ_SUBDIM + 1, PQ_SUBDIM), codebooks[s]
+        ).alias(f"a{s}")
+        for s in range(PQ_M)
+    ]
+    enc = emb.select("vec_id", "embedding", *assigns)
+    adc = None
+    for s in range(PQ_M):
+        qs = QUERY_VEC[s * PQ_SUBDIM:(s + 1) * PQ_SUBDIM]
+        qq = _seq_dot(qs, qs)
+        lut = [
+            qq + _seq_dot(c, c) - 2.0 * _seq_dot(qs, c)
+            for c in codebooks[s]
+        ]
+        term = F.element_at(
+            F.array(*[F.lit(float(x)) for x in lut]),
+            F.col(f"a{s}.cluster") + 1,
+        )
+        adc = term if adc is None else adc + term
+    short = (
+        enc.select(
+            "vec_id",
+            "embedding",
+            *[F.col(f"a{s}.cluster").alias(f"code{s}") for s in range(PQ_M)],
+            adc.alias("adc"),
+        )
+        .orderBy(F.round(F.col("adc"), 6), "vec_id")
+        .limit(PQ_TOPK)
+    )
+    return short.select(
+        "vec_id",
+        *[f"code{s}" for s in range(PQ_M)],
+        F.round("adc", 4).alias("adc_r"),
+        F.round(cosine_to_literal(F.col("embedding"), QUERY_VEC), 4).alias(
+            "cos"
+        ),
+    ).orderBy("adc_r", "vec_id")
+
+
+def _pq_sql() -> str:
+    ctes: list[str] = []
+    for s in range(PQ_M):
+        lo, hi = s * PQ_SUBDIM + 1, (s + 1) * PQ_SUBDIM
+        ctes += _kmeans_ctes(
+            PQ_K,
+            KMEANS_ITERS,
+            PQ_SUBDIM,
+            vecs_sql=(
+                f"SELECT vec_id, (embedding::DOUBLE[])[{lo}:{hi}] AS v "
+                "FROM embeddings"
+            ),
+            prefix=f"s{s}_",
+        )
+        qs = QUERY_VEC[s * PQ_SUBDIM:(s + 1) * PQ_SUBDIM]
+        ctes.append(
+            f"lut{s} AS (SELECT cl, "
+            f"list_dot_product(CAST({qs!r} AS DOUBLE[]), "
+            f"CAST({qs!r} AS DOUBLE[])) + cn2 "
+            f"- 2.0 * list_dot_product(CAST({qs!r} AS DOUBLE[]), cv) AS d "
+            f"FROM s{s}_c{KMEANS_ITERS})"
+        )
+    joins = " ".join(
+        f"JOIN s{s}_afinal v{s} USING (vec_id)" for s in range(1, PQ_M)
+    )
+    lutjoins = " ".join(
+        f"JOIN lut{s} l{s} ON l{s}.cl = v{s}.cl" for s in range(PQ_M)
+    )
+    adc = " + ".join(f"l{s}.d" for s in range(PQ_M))
+    codes = ", ".join(f"CAST(v{s}.cl AS INT) AS code{s}" for s in range(PQ_M))
+    code_names = ", ".join(f"code{s}" for s in range(PQ_M))
+    ctes.append(
+        f"enc AS (SELECT v0.vec_id, {codes}, {adc} AS adc "
+        f"FROM s0_afinal v0 {joins} {lutjoins})"
+    )
+    ctes.append(
+        "short AS (SELECT * FROM (SELECT *, row_number() OVER ("
+        "ORDER BY round(adc, 6), vec_id) AS rk FROM enc) "
+        f"WHERE rk <= {PQ_TOPK})"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        f"SELECT s.vec_id, {code_names}, round(s.adc, 4) AS adc_r,\n"
+        f"       {_ivf_cos_sql()} AS cos\n"
+        "FROM short s JOIN embeddings USING (vec_id)\n"
+        "ORDER BY adc_r, vec_id"
+    )
+
+
+ML_QUERIES["pq_adc_topk"] = (pq_adc_topk, _pq_sql())

@@ -3647,3 +3647,50 @@ def test_link_prediction_cn_matches_bruteforce(spark):
     # no predicted pair is an existing edge
     for r in got.itertuples(index=False):
         assert r.w not in nbr.get(r.u, ())
+
+
+# ---------------------------------------------------------------------------
+# pq_adc_topk (third-resume batch): the fused multi-subspace Lloyd must
+# equal m separate kmeans_fit runs; output invariants on the ADC top-k.
+# ---------------------------------------------------------------------------
+
+
+def test_pq_fused_fit_equals_separate_fits(spark):
+    import numpy as np
+
+    from datamunging_spark.ml_ops import (
+        KMEANS_ITERS,
+        PQ_K,
+        PQ_M,
+        PQ_SUBDIM,
+        _pq_fit_codebooks,
+        kmeans_fit,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    fused = _pq_fit_codebooks(emb)
+    v = F.col("embedding").cast("array<double>")
+    for s in range(PQ_M):
+        sub = emb.select(
+            "vec_id",
+            F.slice(v, s * PQ_SUBDIM + 1, PQ_SUBDIM).alias("embedding"),
+        )
+        sep, _ = kmeans_fit(sub, k=PQ_K, dim=PQ_SUBDIM, iters=KMEANS_ITERS)
+        assert np.allclose(
+            np.array(fused[s]), np.array(sep), rtol=1e-12, atol=1e-12
+        ), s
+
+
+def test_pq_adc_topk_invariants(spark):
+    from datamunging_spark.ml_ops import PQ_K, PQ_M, PQ_TOPK, pq_adc_topk
+
+    got = pq_adc_topk(spark, SF_DIR).toPandas()
+    assert len(got) == PQ_TOPK
+    for s in range(PQ_M):
+        assert got[f"code{s}"].between(0, PQ_K - 1).all()
+    # ADC is a squared L2 approximation: nonnegative (fp slack) and the
+    # result rows arrive in nondecreasing ADC order
+    assert (got.adc_r >= -1e-6).all()
+    assert (got.adc_r.diff().dropna() >= -1e-9).all()
+    assert (got.cos.abs() <= 1.0).all()

@@ -1078,3 +1078,16 @@ def test_skipgram_and_pca_plan_shapes(spark, sf_dir):
     assert "EvalPython" not in p, p
     assert "Join" not in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_pq_adc_plan_shape(spark, sf_dir):
+    """PQ/ADC serving path: assignments are vectorized Arrow UDFs (no
+    row-wise Python), ADC scoring is a codegen projection over literal
+    LUT arrays, and the shortlist cut is TakeOrderedAndProject — no
+    sort shuffle, no cartesian."""
+    from datamunging_spark.ml_ops import pq_adc_topk
+
+    p = plan_of(pq_adc_topk(spark, sf_dir))
+    assert "BatchEvalPython" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "TakeOrderedAndProject" in p, p
