@@ -113,14 +113,27 @@ DRIVER_PRIORITY = [
     # (text_quality moved past the window in the final r5 batch: the
     # quality family keeps gopher_quality (the strictly richer composite)
     # + quality_classifier-adjacent signals in-window; text_quality stays
-    # oracle-checked in pytest + CORRECTNESS_local.json. Freed slot goes
-    # to thread_roots — pointer-doubling list ranking, an algorithm class
-    # (log-depth pointer jumping) nothing else in the window exercises.)
-    "thread_roots",
+    # oracle-checked in pytest + CORRECTNESS_local.json. That slot
+    # briefly held thread_roots (pointer-doubling list ranking); in the
+    # resumed r5 batch it goes to graph_components_lss — the
+    # large-star/small-star star contraction, the SAME log-depth
+    # pointer-jumping class but verified by THREE independent
+    # algorithms (LSS engine, pointer-doubling DuckDB oracle,
+    # union-find pytest replica). thread_roots stays oracle-checked in
+    # pytest + CORRECTNESS_local.json.)
+    "graph_components_lss",
     # (token_stats moved past the window late in r5: the token family
     # keeps bpe_learn in-window; the op remains oracle-checked in pytest
-    # + CORRECTNESS_local.json. Freed slot goes to url_normalize_dedup.)
-    "url_normalize_dedup",
+    # + CORRECTNESS_local.json. That slot briefly held
+    # url_normalize_dedup; in the resumed r5 batch the slot goes to
+    # pq_adc_topk — product-quantization ADC search, the
+    # vector-COMPRESSION serving flagship (fused multi-subspace codebook
+    # learning + LUT-sum top-k + exact rerank), a capability class the
+    # ann_cosine/ivf_sq8 rows don't exercise (learned codebooks).
+    # url_normalize_dedup stays oracle-checked in pytest +
+    # CORRECTNESS_local.json; the dedup family keeps exact/minhash_lsh/
+    # clusters/embedding_cosine/curate in-window.)
+    "pq_adc_topk",
     # (token_stats_bpe + multimodal_frame_sample moved past the window in
     # r5 to make room for the round-5 flagships below; the BPE family
     # keeps bpe_learn in-window and multimodal keeps multimodal_resize —
