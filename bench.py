@@ -134,6 +134,7 @@ HEADLINE = [
     "clustering_coefficient",
     "link_prediction_cn",
     "pq_adc_topk",
+    "anomaly_mad_events",
 ]
 
 ALL = {**RELATIONAL_QUERIES, **ML_QUERIES}

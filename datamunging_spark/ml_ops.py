@@ -11582,3 +11582,120 @@ def _pq_sql() -> str:
 
 
 ML_QUERIES["pq_adc_topk"] = (pq_adc_topk, _pq_sql())
+
+
+# --------------------------------------------------------------------------
+# Robust anomaly detection over event volumes (third-resume batch) —
+# the pipeline-OBSERVABILITY op: flag days whose per-type event count
+# deviates from the series median by more than 3 sigma-equivalents,
+# with sigma estimated by the MAD (median absolute deviation), the
+# standard robust scale that one bad day cannot poison (unlike
+# mean/stddev — the usual z-score's failure mode on the very outliers
+# it hunts).
+#
+# Exact-integer contract: medians are computed by the TWO-PICK rule on
+# doubled values (med2 = value@lo + value@hi over the value-sorted
+# series, lo = (n+1) DIV 2, hi = (n+2) DIV 2 — odd n picks the middle
+# twice), so med2 = 2*median and mad2 = 2*MAD are exact int64 in both
+# engines; the 3-sigma test |x - med| > 3 * 1.4826 * MAD becomes the
+# integer cross-multiplication a2 * 10000 > 44478 * mad2 (a2 =
+# |2x - med2|). No float percentile interpolation anywhere — the exact
+# determinism the engines' differing percentile() definitions would
+# break. A constant series (mad2 = 0) flags ANY deviation, the correct
+# degenerate limit.
+#
+# Scale shape: one groupBy (event_type, day) count (map-side
+# combinable), then two windows PARTITIONED BY event_type (series are
+# per-type — thousands of rows each at 10^12 events, never global).
+# --------------------------------------------------------------------------
+
+_MAD_K10000 = 44478  # 3 * 1.4826 * 10^4, the 3-sigma MAD multiplier
+
+
+def anomaly_mad_events(spark, sf_dir):
+    """(event_type, day, cnt, med2, mad2, is_anomaly): robust daily
+    volume outliers per event type."""
+    ev = t(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+
+    def two_pick(df, val, order_extra, out):
+        wp = W.partitionBy("event_type")
+        d = df.withColumn("rn", F.row_number().over(
+            wp.orderBy(val, *order_extra)
+        )).withColumn("nn", F.count("*").over(wp))
+        lo = F.expr("(nn + 1) DIV 2")
+        hi = F.expr("(nn + 2) DIV 2")
+        pick = F.sum(
+            F.when(F.col("rn") == lo, F.col(val)).otherwise(0)
+            + F.when(F.col("rn") == hi, F.col(val)).otherwise(0)
+        ).over(wp)
+        return d.withColumn(out, pick).drop("rn", "nn")
+
+    with_med = two_pick(counts, "cnt", ["day"], "med2")
+    # med2 here sums cnt once per pick leg; cnt appears doubled for odd
+    # series because lo == hi selects the same row in both legs
+    with_med = with_med.withColumn(
+        "a2", F.abs(F.lit(2) * F.col("cnt") - F.col("med2"))
+    )
+    scored = two_pick(with_med, "a2", ["day"], "mad2")
+    return (
+        scored.select(
+            "event_type",
+            # string day — the gapfill_locf convention for date outputs
+            # (DuckDB DATE arrives in pandas as a midnight timestamp)
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "cnt",
+            "med2",
+            "mad2",
+            (
+                F.col("a2") * 10000 > F.lit(_MAD_K10000) * F.col("mad2")
+            ).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+_ANOMALY_SQL = f"""
+WITH counts AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+m1 AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+              ORDER BY cnt, day) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS nn
+  FROM counts
+),
+m2 AS (
+  SELECT event_type, day, cnt,
+         sum(CASE WHEN rn = (nn + 1) // 2 THEN cnt ELSE 0 END
+             + CASE WHEN rn = (nn + 2) // 2 THEN cnt ELSE 0 END)
+           OVER (PARTITION BY event_type) AS med2
+  FROM m1
+),
+m3 AS (
+  SELECT *, abs(2 * cnt - med2) AS a2 FROM m2
+),
+m4 AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+              ORDER BY a2, day) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS nn
+  FROM m3
+),
+m5 AS (
+  SELECT event_type, day, cnt, med2, a2,
+         sum(CASE WHEN rn = (nn + 1) // 2 THEN a2 ELSE 0 END
+             + CASE WHEN rn = (nn + 2) // 2 THEN a2 ELSE 0 END)
+           OVER (PARTITION BY event_type) AS mad2
+  FROM m4
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, cnt,
+       CAST(med2 AS BIGINT) AS med2, CAST(mad2 AS BIGINT) AS mad2,
+       a2 * 10000 > {_MAD_K10000} * mad2 AS is_anomaly
+FROM m5 ORDER BY event_type, day
+"""
+
+ML_QUERIES["anomaly_mad_events"] = (anomaly_mad_events, _ANOMALY_SQL)

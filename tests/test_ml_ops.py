@@ -3694,3 +3694,66 @@ def test_pq_adc_topk_invariants(spark):
     assert (got.adc_r >= -1e-6).all()
     assert (got.adc_r.diff().dropna() >= -1e-9).all()
     assert (got.cos.abs() <= 1.0).all()
+
+
+# ---------------------------------------------------------------------------
+# anomaly_mad_events (third-resume batch): planted-spike hand corpus —
+# the spike day must be flagged, quiet days must not, and the engine
+# must equal both the DuckDB oracle and a pure-Python two-pick
+# median/MAD replica on the same table.
+# ---------------------------------------------------------------------------
+
+
+def test_anomaly_mad_planted_spike(spark, tmp_path):
+    import datetime as dt
+
+    import duckdb
+
+    from datamunging_spark.ml_ops import _ANOMALY_SQL, anomaly_mad_events
+
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    plan = {d: 10 + (d % 3) for d in range(15)}  # quiet: 10..12/day
+    plan[7] = 100  # the spike
+    for d, n in plan.items():
+        for i in range(n):
+            rows.append(
+                (
+                    eid,
+                    base + dt.timedelta(days=d, seconds=i),
+                    i % 5,
+                    "click",
+                    1.0,
+                    "{}",
+                )
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    ).coalesce(1).write.parquet(f"{tmp_path}/events.parquet")
+
+    got = anomaly_mad_events(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    want = con.sql(_ANOMALY_SQL).df()
+    assert _rows(got) == _rows(want)
+
+    # python replica of the two-pick median algebra
+    cnts = sorted(plan.values())
+    n = len(cnts)
+    med2 = cnts[(n + 1) // 2 - 1] + cnts[(n + 2) // 2 - 1]
+    a2s = sorted(abs(2 * c - med2) for c in plan.values())
+    mad2 = a2s[(n + 1) // 2 - 1] + a2s[(n + 2) // 2 - 1]
+    for r in got.itertuples(index=False):
+        assert r.med2 == med2 and r.mad2 == mad2
+        expect = abs(2 * r.cnt - med2) * 10000 > 44478 * mad2
+        assert bool(r.is_anomaly) == expect, r
+    spike = got[got.cnt == 100]
+    assert len(spike) == 1 and bool(spike.iloc[0].is_anomaly)
+    assert int(got.is_anomaly.sum()) == 1  # quiet days stay quiet
