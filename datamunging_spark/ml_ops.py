@@ -11699,3 +11699,305 @@ FROM m5 ORDER BY event_type, day
 """
 
 ML_QUERIES["anomaly_mad_events"] = (anomaly_mad_events, _ANOMALY_SQL)
+
+
+# --------------------------------------------------------------------------
+# Label propagation communities (final r5 batch) — Raghavan et al.
+# 2007's LPA over the undirected md5 link graph: every node starts as
+# its own community, then K synchronous rounds where each node adopts
+# the most frequent label among its neighbors. Connected components
+# (graph_components_lss) answer "what is REACHABLE"; communities answer
+# "what is DENSE" — the partition web pipelines use for per-community
+# sampling caps and crawl-frontier diversity, a class the graph family
+# (components / PageRank / HITS / k-core / triangles) did not cover.
+#
+# Determinism contract: textbook LPA breaks ties randomly and updates
+# asynchronously — both unacceptable under the repo's bit-identical
+# rule. Here rounds are SYNCHRONOUS (all nodes update from the same
+# snapshot) and ties break to the SMALLEST label (max count, then min
+# label), so every engine, partitioning, and retry computes the same
+# labels; the oracle replays the identical recurrence as K unrolled
+# CTEs. Fixed K (no convergence test) keeps the two engines' iteration
+# counts trivially equal.
+#
+# Scale shape: each round is one edge-sized join (labels are
+# node-sized; at 10^12 edges pre-bucket the symmetrized neighbor list
+# by node ONCE and every round's join is shuffle-free on the edge
+# side) + one groupBy(node, label) count with map-side partial agg +
+# one argmax groupBy(node) — the same per-round cost as a PageRank
+# step. min(struct(-cnt, lbl)) keeps the argmax inside codegen; labels
+# localCheckpoint per round to cut unrolled lineage.
+# --------------------------------------------------------------------------
+
+_LPA_ITERS = 4
+
+
+def label_propagation(spark, sf_dir, n_iters: int = _LPA_ITERS):
+    """(node_id, community) after K synchronous LPA rounds; isolated
+    nodes keep their own id. Ordered by node_id."""
+    docs = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node")
+    )
+    und = _link_edges_undirected(spark, sf_dir)
+    nb = (
+        und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionAll(und.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        .localCheckpoint()
+    )
+    labels = docs.select("node", F.col("node").alias("lbl"))
+    for _ in range(n_iters):
+        votes = (
+            nb.join(
+                labels.select(F.col("node").alias("nbr"), "lbl"), "nbr"
+            )
+            .groupBy("node", "lbl")
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        best = (
+            votes.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("nc"), F.col("lbl").alias("lbl")
+                    )
+                ).alias("s")
+            )
+            .select("node", F.col("s.lbl").alias("new_lbl"))
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_lbl", "lbl").cast("long").alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+    return labels.select(
+        F.col("node").alias("node_id"), F.col("lbl").alias("community")
+    ).orderBy("node_id")
+
+
+def _label_propagation_sql() -> str:
+    def h(j: int) -> str:
+        return (
+            f"(CAST(concat('0x', substr(md5(concat('pr{j}:', "
+            f"CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % n)"
+        )
+
+    cand = " UNION ALL ".join(
+        f"SELECT doc_id AS src, {h(j)} AS dst FROM documents, cnt "
+        f"WHERE doc_id % {_PR_DANGLE_MOD} <> 3"
+        for j in range(3)
+    )
+    rounds = []
+    for i in range(1, _LPA_ITERS + 1):
+        rounds.append(f"""
+v{i} AS (
+  SELECT nb.node, l.lbl, CAST(count(*) AS BIGINT) AS cnt
+  FROM nb JOIN l{i - 1} l ON l.node = nb.nbr
+  GROUP BY nb.node, l.lbl
+),
+b{i} AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY cnt DESC, lbl) AS rn
+    FROM v{i}
+  ) WHERE rn = 1
+),
+l{i} AS (
+  SELECT l.node, CAST(coalesce(b.lbl, l.lbl) AS BIGINT) AS lbl
+  FROM l{i - 1} l LEFT JOIN b{i} b ON b.node = l.node
+)""")
+    return f"""
+WITH cnt AS (SELECT count(*) AS n FROM documents),
+cand AS ({cand}),
+ue AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM cand WHERE dst <> src
+),
+nb AS MATERIALIZED (
+  SELECT u AS node, v AS nbr FROM ue
+  UNION ALL SELECT v AS node, u AS nbr FROM ue
+),
+l0 AS (SELECT doc_id AS node, doc_id AS lbl FROM documents),
+{",".join(rounds)}
+SELECT node AS node_id, lbl AS community
+FROM l{_LPA_ITERS} ORDER BY node_id
+"""
+
+
+ML_QUERIES["label_propagation"] = (
+    label_propagation,
+    _label_propagation_sql(),
+)
+
+
+# --------------------------------------------------------------------------
+# Joint degree distribution / degree-mixing matrix (final r5 batch) —
+# the edge-level structural summary behind Newman 2002's degree
+# assortativity: for every undirected edge, the canonicalized pair of
+# endpoint degrees, aggregated to (d_lo, d_hi, n_edges). Node-level
+# summaries (degree histogram, k-core, clustering coefficient) say what
+# nodes look like; the mixing matrix says what EDGES look like — the
+# diagnostic crawl pipelines use to detect hub-to-hub link farms vs
+# organic hub-to-leaf topology before trusting link-based priors
+# (PageRank/HITS are gameable exactly when assortativity spikes). The
+# assortativity coefficient itself is a driver-side scalar from this
+# table's exact integer sufficient statistics — publishing the matrix
+# keeps the contract float-free.
+#
+# Scale shape: two node-sized degree joins onto the edge list (at
+# 10^12 edges both are shuffle-on-node-id hash joins; the degree table
+# is node-sized and AQE will map-side them once it fits) and one
+# groupBy over a key space bounded by max_degree^2 — tiny even for
+# power-law graphs, so the final agg is effectively a broadcast-sized
+# result. No Python, no float.
+# --------------------------------------------------------------------------
+
+
+def degree_mixing(spark, sf_dir):
+    """(d_lo, d_hi, n_edges): how many undirected edges connect a
+    degree-d_lo node to a degree-d_hi node. Ordered by (d_lo, d_hi)."""
+    und = _link_edges_undirected(spark, sf_dir)
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .unionAll(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    e = und.join(
+        deg.select(F.col("id").alias("u"), F.col("d").alias("du")), "u"
+    ).join(deg.select(F.col("id").alias("v"), F.col("d").alias("dv")), "v")
+    return (
+        e.select(
+            F.least("du", "dv").alias("d_lo"),
+            F.greatest("du", "dv").alias("d_hi"),
+        )
+        .groupBy("d_lo", "d_hi")
+        .agg(F.count("*").cast("long").alias("n_edges"))
+        .orderBy("d_lo", "d_hi")
+    )
+
+
+def _degree_mixing_sql() -> str:
+    def h(j: int) -> str:
+        return (
+            f"(CAST(concat('0x', substr(md5(concat('pr{j}:', "
+            f"CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % n)"
+        )
+
+    cand = " UNION ALL ".join(
+        f"SELECT doc_id AS src, {h(j)} AS dst FROM documents, cnt "
+        f"WHERE doc_id % {_PR_DANGLE_MOD} <> 3"
+        for j in range(3)
+    )
+    return f"""
+WITH cnt AS (SELECT count(*) AS n FROM documents),
+cand AS ({cand}),
+ue AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM cand WHERE dst <> src
+),
+deg AS (
+  SELECT node_id, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT unnest([u, v]) AS node_id FROM ue)
+  GROUP BY node_id
+)
+SELECT least(a.d, b.d) AS d_lo, greatest(a.d, b.d) AS d_hi,
+       CAST(count(*) AS BIGINT) AS n_edges
+FROM ue JOIN deg a ON a.node_id = ue.u JOIN deg b ON b.node_id = ue.v
+GROUP BY d_lo, d_hi ORDER BY d_lo, d_hi
+"""
+
+
+ML_QUERIES["degree_mixing"] = (degree_mixing, _degree_mixing_sql())
+
+
+# --------------------------------------------------------------------------
+# Exact dyadic EWMA of daily event volumes (final r5 batch) — the
+# trend-smoothing leg of the time-series family (gapfill_locf =
+# resample, anomaly_mad_events = robust outliers; this = the smoothed
+# baseline those outliers are judged against in production monitors).
+# Textbook EWMA (s_t = a*x_t + (1-a)*s_{t-1}) is an infinite float
+# recurrence — order-dependent rounding, the exact nondeterminism
+# class this repo bans. Here a = 1/2 and the window TRUNCATES at the
+# last _EWMA_K observed days, so every weight is a power of two and
+# the smoothed value is a ratio of two exact int64 sums:
+# num = sum_i 2^(K-1-i) * cnt_{t-i}, den = sum_i 2^(K-1-i) over the
+# lags that exist — reported as ewma_milli = (1000*num) DIV den.
+# Truncation error vs the infinite recurrence is <= 2^-K of the mass
+# (documented, bounded in pytest); determinism is total.
+#
+# Window semantics are ROW-based over observed days (lag i = i-th
+# previous day WITH events, matching the monitors-over-sparse-streams
+# convention); compose with gapfill_locf upstream when calendar lags
+# are wanted. Scale shape: one groupBy(event_type, day) with map-side
+# partials collapses 10^12 events to series-length rows; the K lags
+# are ONE window pass per series (partitionBy event_type — series
+# count bounds parallelism, the standard per-key window layout), all
+# codegen, no Python.
+# --------------------------------------------------------------------------
+
+_EWMA_K = 8
+
+
+def ewma_events(spark, sf_dir):
+    """(event_type, day, cnt, ewma_milli): dyadic-weight truncated EWMA
+    of daily event counts over the last _EWMA_K observed days."""
+    ev = t(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    w = W.partitionBy("event_type").orderBy("day")
+    num = None
+    den = None
+    for i in range(_EWMA_K):
+        wt = 1 << (_EWMA_K - 1 - i)
+        lag = F.lag("cnt", i).over(w) if i else F.col("cnt")
+        term = F.coalesce(lag, F.lit(None)).cast("long")
+        n_i = F.when(term.isNotNull(), term * wt).otherwise(F.lit(0))
+        d_i = F.when(term.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+        num = n_i if num is None else num + n_i
+        den = d_i if den is None else den + d_i
+    return (
+        counts.withColumn("num", num.cast("long"))
+        .withColumn("den", den.cast("long"))
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "cnt",
+            F.expr("(1000 * num) DIV den").alias("ewma_milli"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def _ewma_sql() -> str:
+    nums = []
+    dens = []
+    for i in range(_EWMA_K):
+        wt = 1 << (_EWMA_K - 1 - i)
+        lag = f"lag(cnt, {i}) OVER w" if i else "cnt"
+        nums.append(f"coalesce({lag} * {wt}, 0)")
+        dens.append(f"CASE WHEN {lag} IS NOT NULL THEN {wt} ELSE 0 END")
+    return f"""
+WITH counts AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+sm AS (
+  SELECT event_type, day, cnt,
+         CAST({" + ".join(nums)} AS BIGINT) AS num,
+         CAST({" + ".join(dens)} AS BIGINT) AS den
+  FROM counts
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, cnt,
+       (1000 * num) // den AS ewma_milli
+FROM sm ORDER BY event_type, day
+"""
+
+
+ML_QUERIES["ewma_events"] = (ewma_events, _ewma_sql())

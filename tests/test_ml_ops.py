@@ -3757,3 +3757,66 @@ def test_anomaly_mad_planted_spike(spark, tmp_path):
     spike = got[got.cnt == 100]
     assert len(spike) == 1 and bool(spike.iloc[0].is_anomaly)
     assert int(got.is_anomaly.sum()) == 1  # quiet days stay quiet
+
+
+def test_label_propagation_refines_components(spark):
+    """LPA semantic invariants on top of the oracle equality: (a) every
+    node's community label lies in the SAME connected component (LPA
+    labels flow only along edges, so communities refine components);
+    (b) isolated nodes keep their own id; (c) labels are node ids."""
+    from datamunging_spark.ml_ops import (
+        _link_edges_undirected,
+        graph_components_lss,
+        label_propagation,
+    )
+
+    lpa = label_propagation(spark, SF_DIR).toPandas()
+    comp = graph_components_lss(spark, SF_DIR).toPandas()
+    comp_of = dict(zip(comp.node_id, comp.comp))
+    nodes = set(lpa.node_id)
+    assert set(lpa.community) <= nodes  # labels are node ids
+    for nid, lbl in zip(lpa.node_id, lpa.community):
+        assert comp_of[nid] == comp_of[lbl], (nid, lbl)
+    und = _link_edges_undirected(spark, SF_DIR).toPandas()
+    touched = set(und.u) | set(und.v)
+    iso = lpa[~lpa.node_id.isin(touched)]
+    assert (iso.node_id == iso.community).all()
+    # LPA must actually merge something (non-vacuity): fewer distinct
+    # labels than nodes
+    assert lpa.community.nunique() < len(lpa)
+
+
+def test_degree_mixing_totals(spark):
+    """The mixing matrix partitions the edge set: n_edges sums to |E|,
+    and the degree support matches the degree table's min/max."""
+    from datamunging_spark.ml_ops import (
+        _link_edges_undirected,
+        degree_mixing,
+    )
+
+    mix = degree_mixing(spark, SF_DIR).toPandas()
+    und = _link_edges_undirected(spark, SF_DIR).toPandas()
+    assert int(mix.n_edges.sum()) == len(und)
+    assert (mix.d_lo <= mix.d_hi).all()
+    import pandas as pd
+
+    deg = pd.concat([und.u, und.v]).value_counts()
+    assert int(mix.d_lo.min()) == int(deg.min())
+    assert int(mix.d_hi.max()) == int(deg.max())
+
+
+def test_ewma_events_bounds_and_head(spark):
+    """Dyadic EWMA invariants: the smoothed value lies within the
+    [min, max] of its trailing window (convexity: weights sum to den),
+    and each series' FIRST row has ewma == 1000 * cnt exactly (only
+    the lag-0 term exists)."""
+    from datamunging_spark.ml_ops import _EWMA_K, ewma_events
+
+    df = ewma_events(spark, SF_DIR).toPandas()
+    for _, g in df.groupby("event_type"):
+        g = g.sort_values("day").reset_index(drop=True)
+        assert g.ewma_milli.iloc[0] == 1000 * g.cnt.iloc[0]
+        for i in range(len(g)):
+            w = g.cnt.iloc[max(0, i - _EWMA_K + 1): i + 1]
+            # integer DIV truncates: lower bound shifts by at most 1
+            assert 1000 * w.min() - 1 <= g.ewma_milli.iloc[i] <= 1000 * w.max()
