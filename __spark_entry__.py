@@ -183,7 +183,15 @@ DRIVER_PRIORITY = [
     # CORRECTNESS_local.json.)
     "lm_kn_bigram",
     "redact_pii",
-    "paragraph_dedup",
+    # (paragraph_dedup moved past the window in the final r5 batch: the
+    # dedup family keeps exact/minhash_lsh/clusters/embedding_cosine/
+    # substring — five in-window rows; paragraph-hash dedup stays
+    # oracle-checked in pytest + CORRECTNESS_local.json. Freed slot goes
+    # to label_propagation, the community-detection flagship — a
+    # capability class (graph DENSITY partition) no other in-window row
+    # has; components/PageRank answer reachability/centrality, not
+    # density.)
+    "label_propagation",
     # round-4 flagship additions (freed slots: date_funcs/json_extract —
     # scalar-function families whose exact-value oracles keep running in
     # pytest + CORRECTNESS_local.json; string_funcs/array_funcs/

