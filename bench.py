@@ -144,6 +144,8 @@ HEADLINE = [
     "markov_transitions",
     "theil_sen_trend",
     "session_paths",
+    # final r5 batch 4: asymmetric containment
+    "containment_join",
 ]
 
 ALL = {**RELATIONAL_QUERIES, **ML_QUERIES}

@@ -12400,3 +12400,120 @@ ORDER BY n_sessions DESC, path LIMIT {_SP_TOPK}
 """
 
 ML_QUERIES["session_paths"] = (session_paths, _SESSION_PATHS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Containment join (final r5 batch 4) — asymmetric near-dup: find
+# corpus documents that CONTAIN a probe quote at shingle-containment
+# |A ∩ B| / |A| >= tau (A = quote shingles). This is the quote/
+# subset-detection class Jaccard dedup structurally misses: a 10-word
+# passage inside a 10k-word page has Jaccard ~0.001 but containment
+# 1.0 — the semantics behind benchmark-contamination checks on LONG
+# documents and quotation mining. Probe synthesis: every doc_id % 13
+# == 5 document contributes its first _CJ_QLEN words as a quote under
+# probe_id = doc_id + 500000 (so every probe has >= 1 planted match).
+#
+# The plan is the inverted-index form, NOT set-vs-set verify: explode
+# quote shingles, equi-join the corpus shingle index, and
+# groupBy(probe, doc) COUNT — the group count IS |A ∩ B| (both sides
+# distinct), so no collect_set, no array intersection, no second
+# corpus pass. The threshold is the exact integer cross-multiply
+# inter*DEN >= |A|*NUM (no float tau boundary); containment_ppm =
+# inter·10⁶ DIV |A| rides along.
+#
+# Scale shape: ONE shuffle keyed on the shingle, then one on
+# (probe_id, doc_id) — at 10^12 docs the shingle join is the classic
+# inverted-index skew workload: stop-shingles (df in the millions) fan
+# out quadratically, and the production mitigation is a df-cap join
+# (drop shingles above a document-frequency threshold — they carry no
+# discrimination for tau >= 0.5 unless the quote is ALL stop-shingles,
+# the same bound bm25/phrase_search document). Not applied here (40-
+# word vocabulary, df is tiny) — documented, as with
+# link_prediction_cn's hub cap.
+# --------------------------------------------------------------------------
+
+_CJ_QLEN = 8
+_CJ_NUM, _CJ_DEN = 4, 5  # tau = 0.8
+_CJ_PROBE_OFFSET = 500000
+
+
+def containment_join(spark, sf_dir):
+    """(probe_id, doc_id, inter, probe_sz, containment_ppm) for every
+    corpus doc containing >= 4/5 of a probe quote's 3-shingles."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus_tok = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("tok")
+    ).where(F.col("tok") != "")
+    quotes = docs.where(F.col("doc_id") % 13 == 5).select(
+        (F.col("doc_id") + _CJ_PROBE_OFFSET).alias("probe_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(F.col("text"), " "), 1, _CJ_QLEN)
+        ).alias("quote"),
+    )
+    probe_tok = quotes.select(
+        "probe_id", F.explode(word_shingles(F.col("quote"), 3)).alias("tok")
+    ).where(F.col("tok") != "")
+    probe_sz = probe_tok.groupBy("probe_id").agg(
+        F.count("*").cast("long").alias("probe_sz")
+    )
+    inter = (
+        probe_tok.join(corpus_tok, "tok")
+        .groupBy("probe_id", "doc_id")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    return (
+        inter.join(F.broadcast(probe_sz), "probe_id")
+        .where(F.col("inter") * _CJ_DEN >= F.col("probe_sz") * _CJ_NUM)
+        .select(
+            "probe_id",
+            "doc_id",
+            "inter",
+            "probe_sz",
+            F.expr("(inter * 1000000) DIV probe_sz").alias(
+                "containment_ppm"
+            ),
+        )
+        .orderBy("probe_id", "doc_id")
+    )
+
+
+def _containment_sql() -> str:
+    quote = (
+        f"array_to_string(string_split(text, ' ')[1:{_CJ_QLEN}], ' ')"
+    )
+    probe_src = (
+        f"(SELECT doc_id + {_CJ_PROBE_OFFSET} AS doc_id, {quote} AS text "
+        f"FROM documents WHERE doc_id % 13 = 5)"
+    )
+    return f"""
+WITH csh AS ({_shingle_sql(3)}),
+ctok AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(sh) AS tok FROM csh
+  ) WHERE tok <> ''
+),
+psh AS ({_shingle_sql(3, probe_src)}),
+ptok AS (
+  SELECT doc_id AS probe_id, tok FROM (
+    SELECT doc_id, unnest(sh) AS tok FROM psh
+  ) WHERE tok <> ''
+),
+psz AS (
+  SELECT probe_id, CAST(count(*) AS BIGINT) AS probe_sz
+  FROM ptok GROUP BY probe_id
+),
+inter AS (
+  SELECT p.probe_id, c.doc_id, CAST(count(*) AS BIGINT) AS inter
+  FROM ptok p JOIN ctok c USING (tok)
+  GROUP BY p.probe_id, c.doc_id
+)
+SELECT i.probe_id, i.doc_id, i.inter, s.probe_sz,
+       CAST((i.inter * 1000000) // s.probe_sz AS BIGINT)
+         AS containment_ppm
+FROM inter i JOIN psz s USING (probe_id)
+WHERE i.inter * {_CJ_DEN} >= s.probe_sz * {_CJ_NUM}
+ORDER BY i.probe_id, i.doc_id
+"""
+
+
+ML_QUERIES["containment_join"] = (containment_join, _containment_sql())

@@ -3913,3 +3913,30 @@ def test_session_paths_invariants(spark):
     full = got if len(got) < _SP_TOPK else None
     if full is not None:  # small corpora: the cut didn't truncate
         assert int(got.n_sessions.sum()) == int(n_sessions)
+
+
+def test_containment_join_planted_and_threshold(spark):
+    """Every probe's SOURCE document is a guaranteed full-containment
+    match (quote shingles are a subset of the doc's shingles), every
+    returned pair clears the integer threshold, and containment_ppm is
+    consistent with (inter, probe_sz)."""
+    from datamunging_spark.ml_ops import (
+        _CJ_DEN,
+        _CJ_NUM,
+        _CJ_PROBE_OFFSET,
+        containment_join,
+    )
+
+    got = containment_join(spark, SF_DIR).toPandas()
+    assert ((got.probe_id - _CJ_PROBE_OFFSET) % 13 == 5).all()
+    assert (got.inter * _CJ_DEN >= got.probe_sz * _CJ_NUM).all()
+    assert (
+        got.containment_ppm == (got.inter * 1_000_000) // got.probe_sz
+    ).all()
+    # planted source pair: full containment, for EVERY probe
+    src = got[got.doc_id == got.probe_id - _CJ_PROBE_OFFSET]
+    n_probes = t(spark, SF_DIR, "documents").where(
+        F.col("doc_id") % 13 == 5
+    ).count()
+    assert len(src) == n_probes
+    assert (src.containment_ppm == 1_000_000).all()
