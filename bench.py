@@ -146,6 +146,8 @@ HEADLINE = [
     "session_paths",
     # final r5 batch 4: asymmetric containment
     "containment_join",
+    # final r5 batch 5: code-switch detection
+    "code_switch_stats",
 ]
 
 ALL = {**RELATIONAL_QUERIES, **ML_QUERIES}

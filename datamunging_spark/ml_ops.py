@@ -12517,3 +12517,175 @@ ORDER BY i.probe_id, i.doc_id
 
 
 ML_QUERIES["containment_join"] = (containment_join, _containment_sql())
+
+
+# --------------------------------------------------------------------------
+# Code-switching detection (final r5 batch 5) — the corpus-quality
+# signal lang_id_stopword can't see: a document whose WHOLE-DOC vote
+# says 'en' may still interleave German/French passages (forum
+# quotes, boilerplate chrome, bilingual pages), and mixed-language
+# docs poison both monolingual filtering and tokenizer fertility.
+# Per doc: split into consecutive _CS_CHUNK-word chunks (the corpus
+# has no sentence punctuation — fixed windows are the deterministic
+# stand-in; swap the chunker for a sentence splitter in production,
+# the plan is unchanged), LID every chunk with the SAME
+# stopword-argmax + tie-break rule as lang_id_stopword, and count
+# chunks whose confident prediction disagrees with the doc-level
+# prediction. Output switch_ppm = n_switched·10⁶ DIV n_chunks.
+#
+# Scale shape: one scan; chunking is sequence + slice + posexplode
+# (pure codegen — no Python, no shuffle until the per-doc regroup);
+# per-chunk scoring is array_intersect against three literal arrays;
+# the regroup is one map-side-combinable groupBy(doc_id). At 10^12
+# docs this is embarrassingly parallel — the only shuffle key is
+# doc_id, and chunk fan-out is len/Chunk bounded by the same monster-
+# doc chunking story as the munge cascade (operators/chunked.py).
+# --------------------------------------------------------------------------
+
+_CS_CHUNK = 10
+# Planted code-switch (the dedup/PII synthesis convention — the natural
+# corpus never switches confidently, which would leave the switch
+# branch vacuous): every doc_id % 9 == 2 doc gains a 20-word German
+# stopword run. 20 >= 2*_CS_CHUNK guarantees >= 1 FULL all-German chunk
+# under ANY chunk alignment, so a confident 'de' chunk always exists.
+_CS_DE_RUN = " ".join(
+    (STOPWORDS_DE + STOPWORDS_DE + STOPWORDS_DE[:2])
+)
+
+
+def _cs_pred(s_en, s_de, s_fr):
+    return (
+        F.when((s_en >= s_de) & (s_en >= s_fr) & (s_en > 0), "en")
+        .when((s_de >= s_fr) & (s_de > 0), "de")
+        .when(s_fr > 0, "fr")
+        .otherwise("unknown")
+    )
+
+
+def code_switch_stats(spark, sf_dir):
+    """(doc_id, doc_lang, n_chunks, n_switched, switch_ppm): chunks
+    whose confident stopword-LID disagrees with the doc-level LID."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 9 == 2,
+            F.concat(F.col("text"), F.lit(" " + _CS_DE_RUN)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    s_en = stopword_hits(F.col("text"), STOPWORDS_EN)
+    s_de = stopword_hits(F.col("text"), STOPWORDS_DE)
+    s_fr = stopword_hits(F.col("text"), STOPWORDS_FR)
+    base = docs.select(
+        "doc_id",
+        _cs_pred(s_en, s_de, s_fr).alias("doc_lang"),
+        F.split(F.lower(F.col("text")), " ").alias("wr"),
+    )
+    chunks = base.select(
+        "doc_id",
+        "doc_lang",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, (size(wr) + {_CS_CHUNK - 1}) "
+                f"DIV {_CS_CHUNK} - 1), "
+                f"i -> slice(wr, i * {_CS_CHUNK} + 1, {_CS_CHUNK}))"
+            )
+        ).alias("cw"),
+    )
+
+    def hits(words):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.array_intersect(F.array_distinct(F.col("cw")), arr))
+
+    scored = chunks.select(
+        "doc_id",
+        "doc_lang",
+        _cs_pred(
+            hits(STOPWORDS_EN), hits(STOPWORDS_DE), hits(STOPWORDS_FR)
+        ).alias("chunk_lang"),
+    )
+    return (
+        scored.groupBy("doc_id", "doc_lang")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(
+                F.when(
+                    (F.col("chunk_lang") != F.col("doc_lang"))
+                    & (F.col("chunk_lang") != "unknown"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_switched"),
+        )
+        .select(
+            "doc_id",
+            "doc_lang",
+            "n_chunks",
+            "n_switched",
+            F.expr("(n_switched * 1000000) DIV n_chunks").alias(
+                "switch_ppm"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _code_switch_sql() -> str:
+    def pred(e, d, f):
+        return (
+            f"CASE WHEN {e} >= {d} AND {e} >= {f} AND {e} > 0 THEN 'en' "
+            f"WHEN {d} >= {f} AND {d} > 0 THEN 'de' "
+            f"WHEN {f} > 0 THEN 'fr' ELSE 'unknown' END"
+        )
+
+    def hits(src, lst):
+        return f"len(list_intersect(list_distinct({src}), {lst!r}))"
+
+    doc_pred = pred(
+        hits("wr", STOPWORDS_EN),
+        hits("wr", STOPWORDS_DE),
+        hits("wr", STOPWORDS_FR),
+    )
+    chunk_pred = pred(
+        hits("cw", STOPWORDS_EN),
+        hits("cw", STOPWORDS_DE),
+        hits("cw", STOPWORDS_FR),
+    )
+    c = _CS_CHUNK
+    return f"""
+WITH injected AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 9 = 2 THEN text || {" " + _CS_DE_RUN!r}
+              ELSE text END AS text
+  FROM documents
+),
+base AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS wr FROM injected
+),
+docpred AS (
+  SELECT doc_id, wr, {doc_pred} AS doc_lang FROM base
+),
+chunks AS (
+  SELECT doc_id, doc_lang,
+         wr[(i * {c} + 1):(i * {c} + {c})] AS cw
+  FROM docpred, unnest(range(0, (len(wr) + {c - 1}) // {c})) AS t(i)
+),
+scored AS (
+  SELECT doc_id, doc_lang, {chunk_pred} AS chunk_lang FROM chunks
+)
+SELECT doc_id, doc_lang,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN chunk_lang <> doc_lang
+                      AND chunk_lang <> 'unknown'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_switched,
+       CAST((sum(CASE WHEN chunk_lang <> doc_lang
+                       AND chunk_lang <> 'unknown'
+                      THEN 1 ELSE 0 END) * 1000000)
+            // count(*) AS BIGINT) AS switch_ppm
+FROM scored GROUP BY doc_id, doc_lang ORDER BY doc_id
+"""
+
+
+ML_QUERIES["code_switch_stats"] = (code_switch_stats, _code_switch_sql())

@@ -3940,3 +3940,27 @@ def test_containment_join_planted_and_threshold(spark):
     ).count()
     assert len(src) == n_probes
     assert (src.containment_ppm == 1_000_000).all()
+
+
+def test_code_switch_planted_guarantee(spark):
+    """The 20-word German run (>= 2 chunks) guarantees a confident
+    'de' chunk under any alignment, so every INJECTED doc whose
+    doc-level vote stayed 'en' (or 'fr') must report >= 1 switch;
+    non-injected docs never switch on this corpus (regression pin);
+    ppm is consistent with the counts."""
+    from datamunging_spark.ml_ops import code_switch_stats
+
+    df = code_switch_stats(spark, SF_DIR).toPandas()
+    assert (
+        df.switch_ppm == (df.n_switched * 1_000_000) // df.n_chunks
+    ).all()
+    inj = df[df.doc_id % 9 == 2]
+    # any injected doc NOT voted 'de' at doc level must see the planted
+    # full-DE chunk as a switch (the airtight direction of the
+    # guarantee; docs voted 'de' switch only if they have a confident
+    # non-de chunk, which short stopword-poor docs may lack)
+    non_de = inj[inj.doc_lang.isin(["en", "fr"])]
+    assert (non_de.n_switched >= 1).all()
+    # and the injection is non-vacuous in aggregate
+    assert int((inj.n_switched > 0).sum()) > 0
+    assert int(df[df.doc_id % 9 != 2].n_switched.sum()) == 0
