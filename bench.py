@@ -148,6 +148,11 @@ HEADLINE = [
     "containment_join",
     # final r5 batch 5: code-switch detection
     "code_switch_stats",
+    # final r5 batch 6: edge-cohesion peel
+    "k_truss",
+    # final r5 batch 7: geospatial + exact AUC
+    "spatial_join_grid",
+    "auc_exact",
 ]
 
 ALL = {**RELATIONAL_QUERIES, **ML_QUERIES}

@@ -12689,3 +12689,341 @@ FROM scored GROUP BY doc_id, doc_lang ORDER BY doc_id
 
 
 ML_QUERIES["code_switch_stats"] = (code_switch_stats, _code_switch_sql())
+
+
+# --------------------------------------------------------------------------
+# k-truss decomposition (final r5 batch 6) — the EDGE-cohesion peel
+# the graph family's k_core (node-degree peel) upper-bounds but does
+# not imply: an edge survives the k-truss iff it participates in
+# >= k-2 triangles among surviving edges, iterated to fixpoint
+# (Cohen 2008). Trusses are the community-core primitive spam/link-
+# farm analysis uses where k-core is too loose — a star hub passes
+# k-core trivially but has ZERO triangle support. Output is the
+# fixpoint edge list with each edge's within-truss support.
+#
+# Per round: ONE oriented wedge self-join enumerates each triangle
+# exactly once (u<v orientation; a<b<c by construction), each
+# triangle votes support into its three edges (unionAll + groupBy —
+# map-side combinable), and edges below k-2 are dropped. Fixpoint by
+# edge-count equality (monotone decreasing, so count equality IS set
+# equality); localCheckpoint per round (the LSS/k_core lineage rule).
+# The oracle unrolls _KTRUSS_ROUNDS rounds MATERIALIZED — peeling is
+# monotone, so rounds past the fixpoint are identity (the k_core
+# over-unroll argument); the engine raises loudly if the cap is hit.
+#
+# Scale shape: the round cost is triangle enumeration — at 10^12
+# edges use the degree-oriented wedge build (triangle_count's
+# m^1.5 bound) and re-materialize the shrinking edge set per round;
+# the support groupBy is keyed on canonical edge pairs. Rounds are
+# O(peel depth), typically a handful; each is a full but shrinking
+# scan — the classic iterative-graph trade documented at
+# SCALE.md §17.
+# --------------------------------------------------------------------------
+
+KTRUSS_K = 3
+_KTRUSS_ROUNDS = 12
+
+
+def _truss_support(edges):
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    es = (
+        tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(tri.select(F.col("b").alias("u"), F.col("c").alias("v")))
+        .unionAll(tri.select(F.col("a").alias("u"), F.col("c").alias("v")))
+    )
+    return es.groupBy("u", "v").agg(F.count("*").cast("long").alias("s"))
+
+
+def k_truss(spark, sf_dir, k: int = KTRUSS_K):
+    """(u, v, support) for every edge of the k-truss fixpoint of the
+    undirected link graph, ordered by (u, v)."""
+    edges = _link_edges_undirected(spark, sf_dir).localCheckpoint()
+    n_edges = edges.count()
+    for _ in range(_KTRUSS_ROUNDS):
+        edges = (
+            _truss_support(edges)
+            .where(F.col("s") >= k - 2)
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        n_new = edges.count()
+        if n_new == n_edges:
+            break
+        n_edges = n_new
+    else:
+        raise RuntimeError(
+            f"k_truss: no fixpoint within {_KTRUSS_ROUNDS} rounds"
+        )
+    return (
+        _truss_support(edges)
+        .select("u", "v", F.col("s").alias("support"))
+        .orderBy("u", "v")
+    )
+
+
+def _k_truss_sql(k: int = KTRUSS_K) -> str:
+    def h(j: int) -> str:
+        return (
+            f"(CAST(concat('0x', substr(md5(concat('pr{j}:', "
+            f"CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % n)"
+        )
+
+    cand = " UNION ALL ".join(
+        f"SELECT doc_id AS src, {h(j)} AS dst FROM documents, cnt "
+        f"WHERE doc_id % {_PR_DANGLE_MOD} <> 3"
+        for j in range(3)
+    )
+
+    def sup(r: int) -> str:
+        return (
+            f"s{r} AS MATERIALIZED ("
+            f"WITH tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c "
+            f"FROM e{r} e1 JOIN e{r} e2 ON e1.v = e2.u "
+            f"JOIN e{r} e3 ON e3.u = e1.u AND e3.v = e2.v) "
+            f"SELECT u, v, CAST(count(*) AS BIGINT) AS s FROM ("
+            f"SELECT a AS u, b AS v FROM tri "
+            f"UNION ALL SELECT b, c FROM tri "
+            f"UNION ALL SELECT a, c FROM tri) GROUP BY u, v)"
+        )
+
+    parts = [
+        f"WITH cnt AS (SELECT count(*) AS n FROM documents), "
+        f"cand AS ({cand}), "
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, "
+        "greatest(src, dst) AS v FROM cand WHERE dst <> src)"
+    ]
+    for r in range(_KTRUSS_ROUNDS):
+        parts.append(sup(r))
+        parts.append(
+            f"e{r + 1} AS MATERIALIZED (SELECT u, v FROM s{r} "
+            f"WHERE s >= {k - 2})"
+        )
+    parts.append(sup(_KTRUSS_ROUNDS))
+    return (
+        ", ".join(parts)
+        + f" SELECT u, v, s AS support FROM s{_KTRUSS_ROUNDS} "
+        "ORDER BY u, v"
+    )
+
+
+ML_QUERIES["k_truss"] = (k_truss, _k_truss_sql())
+
+
+# --------------------------------------------------------------------------
+# Grid-bucketed spatial self-join (final r5 batch 7) — the geospatial
+# class (geo-dedup of scraped POI/listing pages, location-based
+# near-dup): all point pairs within radius R, via the classic
+# fixed-grid candidate generator. Coordinates are synthesized
+# deterministically from doc_id (md5 micro-degree fixed-point ints in
+# a 10^6 x 10^6 box — no floats anywhere, so the distance predicate
+# is exact int64 arithmetic in both engines).
+#
+# The plan: cell = (lat DIV R, lon DIV R); one side explodes to its
+# 3x3 neighbor cells, the other keeps its home cell, and the
+# candidate join is a pure EQUI-join on the cell key — every true
+# pair shares the probe's neighborhood (cell sizes >= R guarantee
+# recall 100%), and candidates are O(density^2 per cell), never
+# O(n^2). Verify = exact squared-distance <= R^2; each unordered
+# pair emitted once (a < b; DISTINCT collapses the double discovery
+# when the two points straddle two neighborhoods).
+#
+# The ORACLE is the NAIVE quadratic join (cross a < b + distance
+# filter) — a different algorithm entirely, so the comparison checks
+# the grid algebra's recall/precision, not a replay of itself (the
+# interval_overlap_join convention). Scale shape: the equi-join
+# shuffles on cell ids — skew equals spatial density skew, and the
+# production mitigation is quadtree-adaptive cells (split hot cells)
+# or the salting recipe; 10^12 points never pair across cells farther
+# than one neighborhood apart.
+# --------------------------------------------------------------------------
+
+_SP_R = 5000  # radius in micro-units; cell edge = R
+
+
+def spatial_join_grid(spark, sf_dir):
+    """(a, b, d2) for every unordered point pair within _SP_R
+    (exact integer squared distance), ordered by (a, b)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    pts = docs.select(
+        F.col("doc_id").alias("id"),
+        (_md5_long("lat:", F.col("doc_id")) % 1_000_000).alias("lat"),
+        (_md5_long("lon:", F.col("doc_id")) % 1_000_000).alias("lon"),
+    )
+    home = pts.select(
+        F.col("id").alias("b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        F.expr(f"lat DIV {_SP_R}").alias("cx"),
+        F.expr(f"lon DIV {_SP_R}").alias("cy"),
+    )
+    probe = pts.select(
+        F.col("id").alias("a"),
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(-1, 1), dx -> "
+                f"transform(sequence(-1, 1), dy -> "
+                f"struct(lat DIV {_SP_R} + dx AS cx, "
+                f"lon DIV {_SP_R} + dy AS cy))))"
+            )
+        ).alias("cell"),
+    ).select("a", "lat_a", "lon_a", "cell.cx", "cell.cy")
+    return (
+        probe.join(home, ["cx", "cy"])
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            (
+                (F.col("lat_a") - F.col("lat_b"))
+                * (F.col("lat_a") - F.col("lat_b"))
+                + (F.col("lon_a") - F.col("lon_b"))
+                * (F.col("lon_a") - F.col("lon_b"))
+            ).alias("d2"),
+        )
+        .where(F.col("d2") <= _SP_R * _SP_R)
+        .distinct()
+        .orderBy("a", "b")
+    )
+
+
+def _spatial_join_sql() -> str:
+    def m(tag: str) -> str:
+        return (
+            f"(CAST(concat('0x', substr(md5(concat('{tag}', "
+            f"CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000)"
+        )
+
+    return f"""
+WITH pts AS (
+  SELECT doc_id AS id, {m("lat:")} AS lat, {m("lon:")} AS lon
+  FROM documents
+)
+SELECT p.id AS a, q.id AS b,
+       CAST((p.lat - q.lat) * (p.lat - q.lat)
+            + (p.lon - q.lon) * (p.lon - q.lon) AS BIGINT) AS d2
+FROM pts p JOIN pts q ON p.id < q.id
+WHERE (p.lat - q.lat) * (p.lat - q.lat)
+      + (p.lon - q.lon) * (p.lon - q.lon) <= {_SP_R * _SP_R}
+ORDER BY a, b
+"""
+
+
+ML_QUERIES["spatial_join_grid"] = (spatial_join_grid, _spatial_join_sql())
+
+
+# --------------------------------------------------------------------------
+# Exact AUC (final r5 batch 7) — the ranking-quality metric the
+# model-eval family (quality_classifier = scores, isotonic_calibrate
+# = calibration, quality_calibrate = percent-rank) still lacked:
+# AUC-ROC of a score against a binary label, computed EXACTLY via the
+# Mann-Whitney rank-sum identity with midrank tie handling — the
+# trapezoidal-sweep result, no curve discretization, no floats.
+# Labels/scores are synthesized deterministically (label = doc_id % 3
+# == 0; score = n_chars + 50·label, so the metric is discriminative,
+# not a coin flip) — swap in a real classifier column in production,
+# the plan is unchanged.
+#
+# Exactness: midranks are half-integers, so everything is scaled by
+# 2 — per distinct-score group the doubled midrank is
+# (2·cum_before + cnt + 1), positives contribute pos·that, and
+# U2 = Σ − n_pos·(n_pos+1); auc_ppm = U2·10⁶ DIV (2·n_pos·n_neg).
+# All int64, bit-identical under any partitioning (sums are
+# order-independent integers).
+#
+# Scale shape: the quantile_buckets recipe — ONE map-side-combinable
+# groupBy(score) collapses 10^12 rows to the score domain, the
+# running count is a window over DISTINCT scores (hundreds of rows,
+# commented like quantile_buckets' global-window note), and the
+# final reduce is a single-row agg. No global per-row rank window —
+# a rank() over 10^12 rows is a single-partition sort, the classic
+# AUC-at-scale mistake.
+# --------------------------------------------------------------------------
+
+
+def auc_exact(spark, sf_dir):
+    """One row (n_pos, n_neg, u2, auc_ppm): exact Mann-Whitney AUC of
+    the synthetic score/label pair."""
+    docs = t(spark, sf_dir, "documents")
+    scored = docs.select(
+        (F.col("doc_id") % 3 == 0).cast("long").alias("label"),
+        (
+            F.length("text")
+            + 50 * (F.col("doc_id") % 3 == 0).cast("long")
+        ).alias("score"),
+    )
+    g = scored.groupBy("score").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("label").cast("long").alias("pos"),
+    )
+    # global window, but over DISTINCT scores (hundreds), not rows —
+    # the quantile_buckets convention
+    wcum = W.orderBy("score").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    ranked = g.withColumn(
+        "cum_before", F.sum("cnt").over(wcum) - F.col("cnt")
+    )
+    return (
+        ranked.agg(
+            F.sum("pos").alias("n_pos"),
+            (F.sum("cnt") - F.sum("pos")).alias("n_neg"),
+            F.sum(
+                F.col("pos")
+                * (2 * F.col("cum_before") + F.col("cnt") + 1)
+            ).alias("sum2"),
+        )
+        .select(
+            "n_pos",
+            "n_neg",
+            (
+                F.col("sum2") - F.col("n_pos") * (F.col("n_pos") + 1)
+            ).alias("u2"),
+        )
+        .select(
+            "n_pos",
+            "n_neg",
+            "u2",
+            F.expr(
+                "(u2 * 1000000) DIV (2 * n_pos * n_neg)"
+            ).alias("auc_ppm"),
+        )
+    )
+
+
+_AUC_SQL = """
+WITH scored AS (
+  SELECT CAST(doc_id % 3 = 0 AS BIGINT) AS label,
+         CAST(length(text) + 50 * CAST(doc_id % 3 = 0 AS BIGINT)
+              AS BIGINT) AS score
+  FROM documents
+),
+g AS (
+  SELECT score, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(label) AS BIGINT) AS pos
+  FROM scored GROUP BY score
+),
+ranked AS (
+  SELECT *, CAST(sum(cnt) OVER (ORDER BY score
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - cnt AS BIGINT) AS cum_before
+  FROM g
+),
+agg AS (
+  SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+         CAST(sum(cnt) - sum(pos) AS BIGINT) AS n_neg,
+         CAST(sum(pos * (2 * cum_before + cnt + 1)) AS BIGINT) AS sum2
+  FROM ranked
+)
+SELECT n_pos, n_neg,
+       CAST(sum2 - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+       CAST(((sum2 - n_pos * (n_pos + 1)) * 1000000)
+            // (2 * n_pos * n_neg) AS BIGINT) AS auc_ppm
+FROM agg
+"""
+
+ML_QUERIES["auc_exact"] = (auc_exact, _AUC_SQL)

@@ -3964,3 +3964,93 @@ def test_code_switch_planted_guarantee(spark):
     # and the injection is non-vacuous in aggregate
     assert int((inj.n_switched > 0).sum()) > 0
     assert int(df[df.doc_id % 9 != 2].n_switched.sum()) == 0
+
+
+def test_k_truss_pure_python_replica(spark):
+    """Third implementation: set-based peel in pure Python must agree
+    edge-for-edge (and support-for-support) with the engine."""
+    from datamunging_spark.ml_ops import KTRUSS_K, _link_edges_undirected, k_truss
+
+    got = k_truss(spark, SF_DIR).toPandas()
+    und = _link_edges_undirected(spark, SF_DIR).toPandas()
+    edges = set(zip(und.u, und.v))
+
+    def supports(es):
+        nb = {}
+        for u, v in es:
+            nb.setdefault(u, set()).add(v)
+            nb.setdefault(v, set()).add(u)
+        return {
+            (u, v): len(nb[u] & nb[v]) for u, v in es
+        }
+
+    while True:
+        sup = supports(edges)
+        keep = {e for e, s in sup.items() if s >= KTRUSS_K - 2}
+        if keep == edges:
+            break
+        edges = keep
+    sup = {e: s for e, s in supports(edges).items() if s > 0}
+    want = sorted((u, v, s) for (u, v), s in sup.items())
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+
+def test_spatial_join_grid_brute_force_replica(spark):
+    """The grid candidate generator must return EXACTLY the naive
+    all-pairs result (recall AND precision) — replicated in numpy."""
+    from datamunging_spark.ml_ops import _SP_R, _md5_long, spatial_join_grid
+
+    got = spatial_join_grid(spark, SF_DIR).toPandas()
+    docs = t(spark, SF_DIR, "documents").select(
+        "doc_id",
+        (_md5_long("lat:", F.col("doc_id")) % 1_000_000).alias("lat"),
+        (_md5_long("lon:", F.col("doc_id")) % 1_000_000).alias("lon"),
+    ).toPandas()
+    import numpy as np
+
+    ids = docs.doc_id.to_numpy()
+    lat = docs.lat.to_numpy()
+    lon = docs.lon.to_numpy()
+    d2 = (lat[:, None] - lat[None, :]) ** 2 + (
+        lon[:, None] - lon[None, :]
+    ) ** 2
+    ii, jj = np.where(
+        (d2 <= _SP_R * _SP_R) & (ids[:, None] < ids[None, :])
+    )
+    want = sorted(
+        (int(ids[i]), int(ids[j]), int(d2[i, j])) for i, j in zip(ii, jj)
+    )
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+
+def test_auc_exact_pure_python_replica(spark):
+    """Midrank Mann-Whitney replica in pure Python; the planted
+    score/label shift must make the metric discriminative."""
+    from datamunging_spark.ml_ops import auc_exact
+
+    got = auc_exact(spark, SF_DIR).toPandas().iloc[0]
+    docs = t(spark, SF_DIR, "documents").select(
+        "doc_id", F.length("text").alias("nc")
+    ).toPandas()
+    rows = [
+        (int(nc) + 50 * (int(d) % 3 == 0), int(d) % 3 == 0)
+        for d, nc in zip(docs.doc_id, docs.nc)
+    ]
+    rows.sort()
+    # doubled midranks per tied group
+    sum2 = 0
+    i = 0
+    while i < len(rows):
+        j = i
+        while j < len(rows) and rows[j][0] == rows[i][0]:
+            j += 1
+        r2 = (i + 1) + j  # 2 * midrank = rank_min + rank_max
+        sum2 += r2 * sum(1 for k in range(i, j) if rows[k][1])
+        i = j
+    n_pos = sum(1 for _, l in rows if l)
+    n_neg = len(rows) - n_pos
+    u2 = sum2 - n_pos * (n_pos + 1)
+    assert int(got.n_pos) == n_pos and int(got.n_neg) == n_neg
+    assert int(got.u2) == u2
+    assert int(got.auc_ppm) == (u2 * 1_000_000) // (2 * n_pos * n_neg)
+    assert int(got.auc_ppm) > 550_000  # planted shift is detectable
