@@ -13027,3 +13027,239 @@ FROM agg
 """
 
 ML_QUERIES["auc_exact"] = (auc_exact, _AUC_SQL)
+
+
+# --------------------------------------------------------------------------
+# CUSUM change-point detection (r5 resumed batch) — SEQUENTIAL drift
+# detection, the capability the time-series family still lacked:
+# anomaly_mad_events is pointwise (each day judged alone), ewma_events
+# is smoothing; CUSUM accumulates evidence ACROSS days, catching small
+# sustained shifts no single-day test can see (Page 1954).
+#
+# The textbook recursion S_i = max(0, S_{i-1} + x_i - (mu + k)) looks
+# inherently sequential, but it is exactly a prefix trick: with
+# y_i = x_i - mu - k and P_i = sum_{j<=i} y_j (P_0 = 0),
+#     S_i = P_i - min_{0<=j<=i} P_j
+# so two cumulative windows (running sum + running min, same frame)
+# replace the per-row recursion — no UDF, no iteration, pure codegen.
+#
+# Scale shape: ONE map-side-combinable groupBy collapses 10^12 events
+# to (event_type x day) rows; the windows then run per event_type over
+# a handful of daily rows (partitioned, NOT global); mu/slack is a
+# per-type 1-row dim broadcast back. All integer (counts, floor-div
+# mu), bit-identical under any partitioning. Days with zero events are
+# simply absent (CUSUM over observed days; gapfill_events/gapfill_locf
+# are the densification ops).
+# --------------------------------------------------------------------------
+
+
+def cusum_changepoint(spark, sf_dir):
+    """Per (event_type, day): daily count, one-sided upper CUSUM
+    statistic, and a flag once the statistic crosses 5x the slack."""
+    ev = t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    # per-type target mean + slack: tiny dim (one row per event_type)
+    dim = daily.groupBy("event_type").agg(
+        F.expr("sum(cnt) DIV count(*)").alias("mu"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr("(sum(cnt) DIV count(*)) DIV 10"),
+        ).alias("slack"),
+    )
+    j = daily.join(F.broadcast(dim), "event_type")
+    wseq = W.partitionBy("event_type").orderBy("day").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    p = j.withColumn(
+        "pref",
+        F.sum(F.col("cnt") - F.col("mu") - F.col("slack")).over(wseq),
+    )
+    s = p.withColumn(
+        "cusum",
+        F.col("pref")
+        - F.least(F.lit(0).cast("long"), F.min("pref").over(wseq)),
+    )
+    return s.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.col("cusum").cast("long").alias("cusum"),
+        (F.col("cusum") > 5 * F.col("slack")).cast("int").alias("flag"),
+    )
+
+
+_CUSUM_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY event_type, CAST(ts AS DATE)
+),
+dim AS (
+  SELECT event_type,
+         CAST(sum(cnt) // count(*) AS BIGINT) AS mu,
+         CAST(greatest(1, (sum(cnt) // count(*)) // 10) AS BIGINT)
+           AS slack
+  FROM daily GROUP BY event_type
+),
+pref AS (
+  SELECT d.event_type, d.day, d.cnt, s.slack,
+         sum(d.cnt - s.mu - s.slack) OVER (
+           PARTITION BY d.event_type ORDER BY d.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pref
+  FROM daily d JOIN dim s USING (event_type)
+),
+cus AS (
+  SELECT event_type, day, cnt, slack,
+         pref - least(CAST(0 AS BIGINT), min(pref) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cusum
+  FROM pref
+)
+SELECT event_type, day, cnt, CAST(cusum AS BIGINT) AS cusum,
+       CAST(cusum > 5 * slack AS INT) AS flag
+FROM cus
+"""
+
+ML_QUERIES["cusum_changepoint"] = (cusum_changepoint, _CUSUM_SQL)
+
+
+# --------------------------------------------------------------------------
+# Chi-square term selection (r5 resumed batch) — SUPERVISED feature
+# scoring, the capability the term-statistics family still lacked:
+# tfidf_top_terms and pmi_collocations are unsupervised; chi2 ranks
+# terms by association with a CLASS LABEL (the classic filter-method
+# feature selector for training quality/domain classifiers at corpus
+# scale). Label synthesized deterministically (pos = doc_id % 3 == 0)
+# — swap in a real label column in production, the plan is unchanged.
+#
+# Exactness: the 2x2 contingency chi2 N*(ad-bc)^2 / ((a+b)(c+d)n1*n0)
+# is computed entirely in integer space — counts -> decimal(38,0)
+# (Spark) / HUGEINT (DuckDB), scaled by 10^6 and floor-divided, so
+# chi2_micro is bit-identical under any partitioning. Headroom: the
+# numerator peaks at N^5*10^6 < 10^38 up to ~2e6 docs; beyond that,
+# drop the ppm factor or pre-aggregate per shard.
+#
+# Scale shape: explode -> DISTINCT (doc,term) presence (one hash
+# shuffle keyed on the pair, map-side combinable), then ONE
+# groupBy(term); the label totals are a 1-row broadcast crossJoin
+# (the lm_bigram model-scalar pattern); final top-k is
+# TakeOrderedAndProject with a full deterministic tiebreak
+# (chi2 DESC, term ASC) — no global sort, no all-pairs.
+# --------------------------------------------------------------------------
+
+CHI2_TOP_K = 50
+CHI2_MIN_DF = 5
+
+
+def chi2_terms(spark, sf_dir, k: int = CHI2_TOP_K,
+               min_df: int = CHI2_MIN_DF):
+    """Top-k terms by chi-square association with the synthetic
+    binary label: (term, pos_df, neg_df, chi2_micro)."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 3 == 0).cast("long").alias("pos"),
+        "text",
+    )
+    totals = docs.agg(
+        F.sum("pos").cast("long").alias("n1"),
+        (F.count("*") - F.sum("pos")).cast("long").alias("n0"),
+        F.count("*").cast("long").alias("n"),
+    )
+    pres = (
+        docs.select(
+            "doc_id", "pos",
+            F.explode(F.split(F.lower("text"), " ")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .distinct()  # document-level presence, not term frequency
+    )
+    per = pres.groupBy("term").agg(
+        F.sum("pos").cast("long").alias("a"),
+        (F.count("*") - F.sum("pos")).cast("long").alias("b"),
+    )
+    dec = per.crossJoin(F.broadcast(totals)).select(
+        "term",
+        *[
+            F.col(c).cast("decimal(38,0)").alias(c)
+            for c in ("a", "b", "n1", "n0", "n")
+        ],
+    )
+    scored = (
+        dec.withColumn("c", F.col("n1") - F.col("a"))
+        .withColumn("d", F.col("n0") - F.col("b"))
+        .where(
+            (F.col("a") + F.col("b") >= min_df)
+            & (F.col("a") + F.col("b") < F.col("n"))
+        )
+        .withColumn(
+            "delta", F.col("a") * F.col("d") - F.col("b") * F.col("c")
+        )
+        .withColumn(
+            "chi2_micro",
+            F.expr(
+                "CAST((n * delta * delta * 1000000)"
+                " DIV ((a+b) * (c+d) * n1 * n0) AS BIGINT)"
+            ),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("chi2_micro"), F.asc("term"))
+        .limit(k)
+        .select(
+            "term",
+            F.col("a").cast("long").alias("pos_df"),
+            F.col("b").cast("long").alias("neg_df"),
+            "chi2_micro",
+        )
+    )
+
+
+_CHI2_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, CAST(doc_id % 3 = 0 AS BIGINT) AS pos, text
+  FROM documents
+),
+totals AS (
+  SELECT CAST(sum(pos) AS BIGINT) AS n1,
+         CAST(count(*) - sum(pos) AS BIGINT) AS n0,
+         CAST(count(*) AS BIGINT) AS n
+  FROM docs
+),
+pres AS (
+  SELECT DISTINCT doc_id, pos, term FROM (
+    SELECT doc_id, pos,
+           unnest(string_split(lower(text), ' ')) AS term
+    FROM docs)
+  WHERE term <> ''
+),
+per AS (
+  SELECT term, CAST(sum(pos) AS BIGINT) AS a,
+         CAST(count(*) - sum(pos) AS BIGINT) AS b
+  FROM pres GROUP BY term
+),
+scored AS (
+  SELECT term, a, b,
+         CAST((CAST(n AS HUGEINT) * delta * delta * 1000000)
+              // (CAST(a + b AS HUGEINT) * (c + d) * n1 * n0)
+              AS BIGINT) AS chi2_micro
+  FROM (
+    SELECT p.term, p.a, p.b,
+           t.n1 - p.a AS c, t.n0 - p.b AS d, t.n1, t.n0, t.n,
+           CAST(p.a AS HUGEINT) * (t.n0 - p.b)
+             - CAST(p.b AS HUGEINT) * (t.n1 - p.a) AS delta
+    FROM per p CROSS JOIN totals t)
+  WHERE a + b >= {CHI2_MIN_DF} AND a + b < n
+)
+SELECT term, a AS pos_df, b AS neg_df, chi2_micro
+FROM scored
+ORDER BY chi2_micro DESC, term ASC
+LIMIT {CHI2_TOP_K}
+"""
+
+ML_QUERIES["chi2_terms"] = (chi2_terms, _CHI2_SQL)
