@@ -13263,3 +13263,337 @@ LIMIT {CHI2_TOP_K}
 """
 
 ML_QUERIES["chi2_terms"] = (chi2_terms, _CHI2_SQL)
+
+
+# --------------------------------------------------------------------------
+# Item-item co-occurrence recommendation (r5 resumed batch) —
+# COLLABORATIVE FILTERING, the capability class the behavior-analytics
+# family (attribution, funnels, Markov transitions, session paths)
+# still lacked: "users who touched X also touched Y", the
+# neighborhood-method recommender run at 10^12-event scale. Items are
+# the props.k facet of events (0..99 here); swap in product/document
+# ids in production, the plan is unchanged.
+#
+# Exactness: binary-incidence cosine^2 in ppm — with ci = users per
+# item and cij = users per pair, cos2_ppm = cij^2 * 10^6 DIV (ci*cj),
+# all integer (decimal(38,0) / HUGEINT headroom to ~10^9 users), so
+# ranking is bit-identical under any partitioning; the per-item top-5
+# breaks ties (cos2 DESC, nbr ASC).
+#
+# Scale shape: DISTINCT (user,item) is one map-side-combinable hash
+# shuffle; the pair generation is the classic user-keyed self-join
+# whose blow-up is bounded by the HEAVY-USER CAP (users with > 50
+# distinct items are dropped first — power users carry almost no
+# co-occurrence signal and their |items|^2 pairs dominate the shuffle;
+# the standard mitigation, cf. DIMSUM's row-norm sampling). ci
+# re-attaches by item-keyed equi-joins (AQE broadcasts if the item
+# dim is small); the final window partitions BY ITEM over <= |items|
+# neighbor rows — never a global sort.
+# --------------------------------------------------------------------------
+
+COOC_USER_CAP = 50
+COOC_MIN_CIJ = 2
+COOC_TOP_N = 5
+
+
+def cooccurrence_recommend(spark, sf_dir, cap: int = COOC_USER_CAP,
+                           min_cij: int = COOC_MIN_CIJ,
+                           top_n: int = COOC_TOP_N):
+    """Per item: top-5 co-occurrence neighbors
+    (item, nbr, cij, cos2_ppm, rank)."""
+    ev = t(spark, sf_dir, "events")
+    items = (
+        ev.select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("int").alias("item"),
+        )
+        .where(F.col("user_id").isNotNull() & F.col("item").isNotNull())
+        .distinct()
+    )
+    light = (
+        items.groupBy("user_id")
+        .agg(F.count("*").alias("n_items"))
+        .where(F.col("n_items") <= cap)
+        .select("user_id")
+    )
+    kept = items.join(light, "user_id", "left_semi")
+    ci = kept.groupBy("item").agg(F.count("*").cast("long").alias("c"))
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("i"), F.col("b.item").alias("j")
+        )
+        .agg(F.count("*").cast("long").alias("cij"))
+    )
+    sym = pairs.select(
+        F.col("i").alias("item"), F.col("j").alias("nbr"), "cij"
+    ).unionAll(
+        pairs.select(
+            F.col("j").alias("item"), F.col("i").alias("nbr"), "cij"
+        )
+    )
+    scored = (
+        sym.where(F.col("cij") >= min_cij)
+        .join(ci.select(F.col("item"), F.col("c").alias("ca")), "item")
+        .join(
+            ci.select(F.col("item").alias("nbr"), F.col("c").alias("cb")),
+            "nbr",
+        )
+        .withColumn(
+            "cos2_ppm",
+            F.expr(
+                "CAST((CAST(cij AS DECIMAL(38,0)) * cij * 1000000)"
+                " DIV (CAST(ca AS DECIMAL(38,0)) * cb) AS BIGINT)"
+            ),
+        )
+    )
+    w = W.partitionBy("item").orderBy(F.desc("cos2_ppm"), F.asc("nbr"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .select(
+            "item", "nbr", "cij", "cos2_ppm",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+_COOC_SQL = f"""
+WITH items AS (
+  SELECT DISTINCT user_id,
+         CAST(json_extract_string(props, '$.k') AS INT) AS item
+  FROM events
+  WHERE user_id IS NOT NULL
+    AND json_extract_string(props, '$.k') IS NOT NULL
+),
+kept AS (
+  SELECT user_id, item FROM items
+  WHERE user_id IN (SELECT user_id FROM items
+                    GROUP BY user_id HAVING count(*) <= {COOC_USER_CAP})
+),
+ci AS (SELECT item, CAST(count(*) AS BIGINT) AS c FROM kept GROUP BY item),
+pairs AS (
+  SELECT a.item AS i, b.item AS j, CAST(count(*) AS BIGINT) AS cij
+  FROM kept a JOIN kept b
+    ON a.user_id = b.user_id AND a.item < b.item
+  GROUP BY a.item, b.item
+),
+sym AS (
+  SELECT i AS item, j AS nbr, cij FROM pairs
+  UNION ALL
+  SELECT j AS item, i AS nbr, cij FROM pairs
+),
+scored AS (
+  SELECT s.item, s.nbr, s.cij,
+         CAST((CAST(s.cij AS HUGEINT) * s.cij * 1000000)
+              // (CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT) AS cos2_ppm
+  FROM sym s
+  JOIN ci ca ON s.item = ca.item
+  JOIN ci cb ON s.nbr = cb.item
+  WHERE s.cij >= {COOC_MIN_CIJ}
+)
+SELECT item, nbr, cij, cos2_ppm, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY item ORDER BY cos2_ppm DESC, nbr ASC) AS rank
+  FROM scored)
+WHERE rank <= {COOC_TOP_N}
+"""
+
+ML_QUERIES["cooccurrence_recommend"] = (cooccurrence_recommend, _COOC_SQL)
+
+
+# --------------------------------------------------------------------------
+# Fellegi-Sunter record linkage (r5 resumed batch) — PROBABILISTIC
+# entity resolution, the capability the matching family still lacked:
+# fuzzy_join_shingles / containment_join / dedup_levenshtein match by
+# a single similarity; Fellegi-Sunter (JASA 1969) combines MULTIPLE
+# field-agreement signals with weights LEARNED FROM THE DATA (the
+# u-probabilities — chance-agreement rates — are estimated from the
+# candidate-pair population itself; m-probabilities are the usual
+# assumed error rates). The second record set is a deterministic
+# perturbed twin of customer (md5-selected name corruption, +-10-cent
+# balance jitter, segment flips, 20% of rows dropped) — swap in a real
+# second source in production, the plan is unchanged.
+#
+# Exactness: everything in integer space. u_ppm = clamped empirical
+# agreement rate; per-field likelihood ratio r = m_ppm*10^6 DIV u_ppm
+# (agree) or (10^6-m_ppm)*10^6 DIV (10^6-u_ppm) (disagree); the
+# composite score_micro = (r1*r2*r3*r4) DIV 10^18 = LR * 10^6 — the
+# clamps [1000, 999000] bound each r <= 9.5e8, so the product
+# <= 8.2e35 fits decimal(38,0)/HUGEINT. match <=> LR >= 10. The
+# product form IS Fellegi-Sunter (the log-weights exist only to make
+# scores additive; multiplying ratios is the same decision rule,
+# and division-free of libm).
+#
+# Scale shape: candidate generation is an equi-join on the BLOCKING
+# key (nation) — one hash shuffle, pair volume bounded by block size
+# (production: multi-pass finer keys union'd; same plan per pass).
+# u-estimation is ONE map-side-combinable agg over the pairs ->
+# 1-row broadcast crossJoin (the model-scalar pattern). Scoring is a
+# pure projection; the final cut is TakeOrderedAndProject with a full
+# deterministic tiebreak.
+# --------------------------------------------------------------------------
+
+_RL_M_PPM = {"name": 900000, "pre": 950000, "bal": 950000, "seg": 980000}
+RL_TOP_K = 200
+
+
+def record_linkage_fs(spark, sf_dir, top_k: int = RL_TOP_K):
+    """Top-200 candidate pairs by Fellegi-Sunter likelihood ratio:
+    (id_a, id_b, g_name, g_pre, g_bal, g_seg, score_micro, is_match)."""
+    cust = t(spark, sf_dir, "customer")
+    a = cust.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("seg_a"),
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_a"),
+    )
+    h = md5_long(F.concat(F.lit("rl:"), F.col("c_custkey").cast("string")))
+    b = (
+        cust.where(F.col("c_custkey") % 5 != 0)
+        .select(
+            F.col("c_custkey").alias("id_b"),
+            F.when(h % 3 == 0, F.concat(F.col("c_name"), F.lit("_x")))
+            .otherwise(F.col("c_name")).alias("name_b"),
+            F.col("c_nationkey").alias("nation"),
+            F.when(h % 7 == 0, F.reverse(F.col("c_mktsegment")))
+            .otherwise(F.col("c_mktsegment")).alias("seg_b"),
+            (
+                F.floor(F.col("c_acctbal") * 100).cast("long")
+                + (h % 21) - 10
+            ).alias("bal_b"),
+        )
+    )
+    pairs = a.join(b, "nation").select(
+        "id_a", "id_b",
+        (F.col("name_a") == F.col("name_b")).cast("long").alias("g_name"),
+        (
+            F.substring("name_a", 1, 16) == F.substring("name_b", 1, 16)
+        ).cast("long").alias("g_pre"),
+        (F.abs(F.col("bal_a") - F.col("bal_b")) <= 10)
+        .cast("long").alias("g_bal"),
+        (F.col("seg_a") == F.col("seg_b")).cast("long").alias("g_seg"),
+    )
+    u = pairs.agg(
+        *[
+            F.least(
+                F.lit(999000).cast("long"),
+                F.greatest(
+                    F.lit(1000).cast("long"),
+                    F.expr(f"(sum(g_{f}) * 1000000) DIV count(*)"),
+                ),
+            ).alias(f"u_{f}")
+            for f in ("name", "pre", "bal", "seg")
+        ]
+    )
+    scored = pairs.crossJoin(F.broadcast(u))
+    for f, m in _RL_M_PPM.items():
+        scored = scored.withColumn(
+            f"r_{f}",
+            F.expr(
+                f"CASE WHEN g_{f} = 1"
+                f" THEN CAST({m} AS DECIMAL(38,0)) * 1000000 DIV u_{f}"
+                f" ELSE CAST({1000000 - m} AS DECIMAL(38,0)) * 1000000"
+                f" DIV (1000000 - u_{f}) END"
+            ),
+        )
+    scored = scored.withColumn(
+        "score_micro",
+        F.expr(
+            "CAST((CAST(r_name AS DECIMAL(38,0)) * r_pre * r_bal * r_seg)"
+            " DIV 1000000000000000000 AS BIGINT)"
+        ),
+    )
+    return (
+        scored.orderBy(
+            F.desc("score_micro"), F.asc("id_a"), F.asc("id_b")
+        )
+        .limit(top_k)
+        .select(
+            "id_a", "id_b", "g_name", "g_pre", "g_bal", "g_seg",
+            "score_micro",
+            (F.col("score_micro") >= 10000000).cast("int")
+            .alias("is_match"),
+        )
+    )
+
+
+_RL_SQL = f"""
+WITH a AS (
+  SELECT c_custkey AS id_a, c_name AS name_a, c_nationkey AS nation,
+         c_mktsegment AS seg_a,
+         CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_a
+  FROM customer
+),
+b AS (
+  SELECT c_custkey AS id_b,
+         CASE WHEN h % 3 = 0 THEN c_name || '_x' ELSE c_name END
+           AS name_b,
+         c_nationkey AS nation,
+         CASE WHEN h % 7 = 0 THEN reverse(c_mktsegment)
+              ELSE c_mktsegment END AS seg_b,
+         CAST(floor(c_acctbal * 100) AS BIGINT) + (h % 21) - 10 AS bal_b
+  FROM (
+    SELECT *, CAST(concat('0x',
+             substr(md5(concat('rl:', CAST(c_custkey AS VARCHAR))), 1,
+                    15)) AS BIGINT) AS h
+    FROM customer WHERE c_custkey % 5 <> 0)
+),
+pairs AS (
+  SELECT id_a, id_b,
+         CAST(name_a = name_b AS BIGINT) AS g_name,
+         CAST(substr(name_a, 1, 16) = substr(name_b, 1, 16) AS BIGINT)
+           AS g_pre,
+         CAST(abs(bal_a - bal_b) <= 10 AS BIGINT) AS g_bal,
+         CAST(seg_a = seg_b AS BIGINT) AS g_seg
+  FROM a JOIN b USING (nation)
+),
+u AS (
+  SELECT
+    least(999000, greatest(1000, (sum(g_name) * 1000000) // count(*)))
+      AS u_name,
+    least(999000, greatest(1000, (sum(g_pre) * 1000000) // count(*)))
+      AS u_pre,
+    least(999000, greatest(1000, (sum(g_bal) * 1000000) // count(*)))
+      AS u_bal,
+    least(999000, greatest(1000, (sum(g_seg) * 1000000) // count(*)))
+      AS u_seg
+  FROM pairs
+),
+scored AS (
+  SELECT p.*,
+    CASE WHEN g_name = 1
+         THEN CAST({_RL_M_PPM['name']} AS HUGEINT) * 1000000 // u_name
+         ELSE CAST({1000000 - _RL_M_PPM['name']} AS HUGEINT) * 1000000
+              // (1000000 - u_name) END AS r_name,
+    CASE WHEN g_pre = 1
+         THEN CAST({_RL_M_PPM['pre']} AS HUGEINT) * 1000000 // u_pre
+         ELSE CAST({1000000 - _RL_M_PPM['pre']} AS HUGEINT) * 1000000
+              // (1000000 - u_pre) END AS r_pre,
+    CASE WHEN g_bal = 1
+         THEN CAST({_RL_M_PPM['bal']} AS HUGEINT) * 1000000 // u_bal
+         ELSE CAST({1000000 - _RL_M_PPM['bal']} AS HUGEINT) * 1000000
+              // (1000000 - u_bal) END AS r_bal,
+    CASE WHEN g_seg = 1
+         THEN CAST({_RL_M_PPM['seg']} AS HUGEINT) * 1000000 // u_seg
+         ELSE CAST({1000000 - _RL_M_PPM['seg']} AS HUGEINT) * 1000000
+              // (1000000 - u_seg) END AS r_seg
+  FROM pairs p CROSS JOIN u
+)
+SELECT id_a, id_b, g_name, g_pre, g_bal, g_seg,
+       CAST((r_name * r_pre * r_bal * r_seg)
+            // 1000000000000000000 AS BIGINT) AS score_micro,
+       CAST((r_name * r_pre * r_bal * r_seg)
+            // 1000000000000000000 >= 10000000 AS INT) AS is_match
+FROM scored
+ORDER BY score_micro DESC, id_a ASC, id_b ASC
+LIMIT {RL_TOP_K}
+"""
+
+ML_QUERIES["record_linkage_fs"] = (record_linkage_fs, _RL_SQL)
