@@ -13597,3 +13597,135 @@ LIMIT {RL_TOP_K}
 """
 
 ML_QUERIES["record_linkage_fs"] = (record_linkage_fs, _RL_SQL)
+
+
+# --------------------------------------------------------------------------
+# Poisson bootstrap confidence intervals (r5 resumed batch) —
+# UNCERTAINTY QUANTIFICATION, a capability class the catalog lacked:
+# every aggregate so far reports a point estimate; production metric
+# pipelines need error bars, and the n-out-of-n resample is
+# impossible on a distributed table (it needs global coordination).
+# The POISSON bootstrap (Chamandy et al., "Estimating Uncertainty for
+# Massive Data Streams", Google 2012) is the web-scale fix: each row
+# independently gets a Poisson(1) replicate weight, so resampling
+# becomes a stateless per-row projection — exactly one extra column
+# per replicate, embarrassingly parallel at 10^12 rows.
+#
+# Determinism: the Poisson(1) draw is the inverse-CDF applied to an
+# md5-uniform in ppm (CDF thresholds 367879/735759/919699/981012/
+# 996340/999406, capped at 6 — P(>6) < 6e-5), identical literals in
+# both engines; means are integer fixed-point (centicents:
+# sum_wx*100 DIV sum_w), so replicate means and the rank-based
+# percentile CI (ranks 2 and 63 of B=64, the ~95% percentile
+# bootstrap) are bit-identical under any partitioning.
+#
+# Scale shape: explode(0..63) multiplies rows INSIDE the scan stage;
+# the partial agg collapses them map-side, so the shuffle carries
+# |groups| x 64 x partitions partial rows, not 64x the data. The CI
+# window ranks 64 rows per group (partitioned, never global).
+# --------------------------------------------------------------------------
+
+BOOT_B = 64
+# Poisson(1) CDF in ppm: P(X<=k) for k = 0..5; weight 6 beyond.
+_POIS_CDF_PPM = (367879, 735759, 919699, 981012, 996340, 999406)
+
+
+def _poisson_weight_sql(u: str) -> str:
+    """CASE expression mapping a ppm-uniform column to a Poisson(1)
+    draw — same literal text works in Spark SQL and DuckDB."""
+    branches = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS_CDF_PPM)
+    )
+    return f"CASE {branches} ELSE 6 END"
+
+
+def bootstrap_ci(spark, sf_dir, n_boot: int = BOOT_B):
+    """Per event_type: n, exact mean (centicents), and the Poisson-
+    bootstrap ~95% percentile CI (lo_fp, hi_fp) of the mean."""
+    ev = (
+        t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            "event_type", "event_id",
+            F.floor(F.col("value") * 100).cast("long").alias("x"),
+        )
+    )
+    point = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr("(sum(x) * 100) DIV count(*)").alias("mean_fp"),
+    )
+    reps = ev.select(
+        "event_type", "event_id", "x",
+        F.explode(F.array([F.lit(i) for i in range(n_boot)])).alias("b"),
+    ).withColumn(
+        "u",
+        md5_long(
+            F.concat(
+                F.lit("bs"), F.col("b").cast("string"), F.lit(":"),
+                F.col("event_id").cast("string"),
+            )
+        ) % 1000000,
+    ).withColumn("w", F.expr(_poisson_weight_sql("u")))
+    means = reps.groupBy("event_type", "b").agg(
+        F.expr("(sum(w * x) * 100) DIV nullif(sum(w), 0)").alias("m_fp")
+    )
+    wr = W.partitionBy("event_type").orderBy(F.asc("m_fp"), F.asc("b"))
+    ci = (
+        means.withColumn("r", F.row_number().over(wr))
+        .groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("r") == 2, F.col("m_fp"))).alias("lo_fp"),
+            F.max(
+                F.when(F.col("r") == n_boot - 1, F.col("m_fp"))
+            ).alias("hi_fp"),
+        )
+    )
+    return point.join(ci, "event_type").select(
+        "event_type", "n", "mean_fp", "lo_fp", "hi_fp"
+    )
+
+
+_BOOT_SQL = f"""
+WITH ev AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 100) AS BIGINT) AS x
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+point AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST((sum(x) * 100) // count(*) AS BIGINT) AS mean_fp
+  FROM ev GROUP BY event_type
+),
+reps AS (
+  SELECT event_type, x, b,
+         CAST(concat('0x', substr(md5(concat('bs', CAST(b AS VARCHAR),
+              ':', CAST(event_id AS VARCHAR))), 1, 15)) AS BIGINT)
+           % 1000000 AS u
+  FROM ev CROSS JOIN (SELECT unnest(range({BOOT_B})) AS b)
+),
+weighted AS (
+  SELECT event_type, b, x, {_poisson_weight_sql('u')} AS w FROM reps
+),
+means AS (
+  SELECT event_type, b,
+         CAST((sum(w * x) * 100) // nullif(sum(w), 0) AS BIGINT) AS m_fp
+  FROM weighted GROUP BY event_type, b
+),
+ranked AS (
+  SELECT event_type, m_fp,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY m_fp ASC, b ASC) AS r
+  FROM means
+),
+ci AS (
+  SELECT event_type,
+         max(CASE WHEN r = 2 THEN m_fp END) AS lo_fp,
+         max(CASE WHEN r = {BOOT_B - 1} THEN m_fp END) AS hi_fp
+  FROM ranked GROUP BY event_type
+)
+SELECT event_type, n, mean_fp, lo_fp, hi_fp
+FROM point JOIN ci USING (event_type)
+"""
+
+ML_QUERIES["bootstrap_ci"] = (bootstrap_ci, _BOOT_SQL)
