@@ -138,7 +138,16 @@ DRIVER_PRIORITY = [
     # r5 to make room for the round-5 flagships below; the BPE family
     # keeps bpe_learn in-window and multimodal keeps multimodal_resize —
     # both remain oracle-checked in pytest + CORRECTNESS_local.json)
-    "winnow_fingerprint",
+    # (winnow_fingerprint moved past the window in the resumed-r5 batch:
+    # content fingerprinting stays driver-exercised via
+    # dedup_minhash_lsh's shingle signatures and substring_dedup's
+    # k-gram anchors; winnowing remains oracle-checked in pytest +
+    # CORRECTNESS_local.json. Freed slot goes to bootstrap_ci — the
+    # Poisson-bootstrap percentile CI, the first UNCERTAINTY-
+    # QUANTIFICATION row: every other aggregate reports a point
+    # estimate; this is the Chamandy-et-al. web-scale resample whose
+    # replicate weights are a stateless per-row projection.)
+    "bootstrap_ci",
     # (hash_split moved past the window late in r5: md5 split stays
     # driver-exercised inside curate_corpus; the op remains
     # oracle-checked in pytest + CORRECTNESS_local.json. That slot
@@ -160,7 +169,15 @@ DRIVER_PRIORITY = [
     # cross-table fuzzy matching with zero false negatives, the
     # deterministic complement of the MinHash-LSH row. gopher_repetition
     # stays oracle-checked in pytest + CORRECTNESS_local.json.)
-    "fuzzy_join_shingles",
+    # (fuzzy_join_shingles moved past the window in the resumed-r5
+    # batch: its slot goes to record_linkage_fs — Fellegi-Sunter
+    # probabilistic linkage, the strictly richer cross-table matching
+    # representative: MULTIPLE field-agreement signals with
+    # u-probabilities ESTIMATED FROM THE DATA and an integer
+    # likelihood-ratio decision rule, vs the single set-similarity
+    # signal. fuzzy_join_shingles stays oracle-checked in pytest +
+    # CORRECTNESS_local.json and in the bench window.)
+    "record_linkage_fs",
     # (triangle_count moved past the window in the final r5 batch: the
     # graph family keeps pagerank_links + anchor_text_agg + thread_roots
     # in-window; exact wedge-join listing remains oracle-checked in

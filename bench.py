@@ -153,6 +153,13 @@ HEADLINE = [
     # final r5 batch 7: geospatial + exact AUC
     "spatial_join_grid",
     "auc_exact",
+    # resumed-r5 batch: sequential drift detection, supervised term
+    # selection, item-item CF, probabilistic linkage, Poisson-bootstrap CI
+    "cusum_changepoint",
+    "chi2_terms",
+    "cooccurrence_recommend",
+    "record_linkage_fs",
+    "bootstrap_ci",
 ]
 
 ALL = {**RELATIONAL_QUERIES, **ML_QUERIES}

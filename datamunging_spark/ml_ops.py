@@ -13085,7 +13085,7 @@ def cusum_changepoint(spark, sf_dir):
     )
     return s.select(
         "event_type",
-        "day",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
         "cnt",
         F.col("cusum").cast("long").alias("cusum"),
         (F.col("cusum") > 5 * F.col("slack")).cast("int").alias("flag"),
@@ -13121,7 +13121,8 @@ cus AS (
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cusum
   FROM pref
 )
-SELECT event_type, day, cnt, CAST(cusum AS BIGINT) AS cusum,
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, cnt,
+       CAST(cusum AS BIGINT) AS cusum,
        CAST(cusum > 5 * slack AS INT) AS flag
 FROM cus
 """
