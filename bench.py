@@ -160,6 +160,10 @@ HEADLINE = [
     "cooccurrence_recommend",
     "record_linkage_fs",
     "bootstrap_ci",
+    # resumed-r5 batch 2: density clustering + data-audit family
+    "dbscan_grid",
+    "benford_test",
+    "seasonal_profile",
 ]
 
 ALL = {**RELATIONAL_QUERIES, **ML_QUERIES}

@@ -13730,3 +13730,356 @@ FROM point JOIN ci USING (event_type)
 """
 
 ML_QUERIES["bootstrap_ci"] = (bootstrap_ci, _BOOT_SQL)
+
+
+# --------------------------------------------------------------------------
+# Grid-cell DBSCAN (r5 resumed batch) — DENSITY-BASED clustering, the
+# class the clustering family lacked: k-means partitions EVERY point
+# into convex cells (k fixed in advance, outliers absorbed); DBSCAN
+# finds arbitrarily-shaped dense regions and labels sparse points as
+# NOISE — the shape behind spatial outlier scrubbing and density-aware
+# corpus curation. This is the grid variant (cell edge = eps): a cell
+# with >= minPts points is CORE; clusters are connected components of
+# core cells under 8-neighborhood adjacency; points in core cells are
+# core members, points in non-core cells adjacent to a core cell are
+# BORDER (assigned the min neighboring cluster — deterministic), the
+# rest are noise. Points reuse spatial_join_grid's md5 fixed-point
+# synthesis — swap in real coordinates in production, plan unchanged.
+#
+# Exactness: everything is integer (cell keys, counts, min-label
+# ids); the oracle replays the clustering with a DIFFERENT algorithm
+# (transitive-closure recursive CTE over a quadratic abs()-join
+# adjacency), so the check covers the grid algebra itself, the
+# graph_components_lss convention.
+#
+# Scale shape: ONE map-side-combinable groupBy collapses 10^12 points
+# to cells; ALL subsequent work is on the CELL table (|cells| <<
+# |points|). Adjacency is an equi-join on exploded 3x3 neighbor keys
+# (never an all-pairs abs join); min-label propagation runs on cells
+# with localCheckpoint per round and a strictly-decreasing label-sum
+# fixpoint (raises on non-convergence, the dedup_clusters contract).
+# Point-role assignment is two equi-joins keyed on the cell.
+# --------------------------------------------------------------------------
+
+_DB_CELL = 100_000
+_DB_MINPTS = 8
+_DB_MAX_ROUNDS = 40
+
+
+def _db_points(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    return docs.select(
+        F.col("doc_id").alias("id"),
+        (_md5_long("lat:", F.col("doc_id")) % 1_000_000).alias("lat"),
+        (_md5_long("lon:", F.col("doc_id")) % 1_000_000).alias("lon"),
+    ).select(
+        "id",
+        F.expr(f"lat DIV {_DB_CELL}").alias("cx"),
+        F.expr(f"lon DIV {_DB_CELL}").alias("cy"),
+    )
+
+
+def dbscan_grid(spark, sf_dir):
+    """Cluster summary: (cluster, n_cells, n_core, n_border) per
+    density cluster + one (-1, 0, 0, n_noise) row for noise."""
+    pts = _db_points(spark, sf_dir)
+    cells = pts.groupBy("cx", "cy").agg(F.count("*").alias("n"))
+    core = (
+        cells.where(F.col("n") >= _DB_MINPTS)
+        .select("cx", "cy", (F.col("cx") * 1000 + F.col("cy")).alias("key"))
+        .localCheckpoint()
+    )
+    # 8-neighborhood adjacency (incl. self) as an EQUI-join on
+    # exploded neighbor keys
+    nbr = core.select(
+        F.col("key").alias("src"),
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(-1, 1), dx -> "
+                "transform(sequence(-1, 1), dy -> "
+                "struct(cx + dx AS cx, cy + dy AS cy))))"
+            )
+        ).alias("c"),
+    ).select("src", "c.cx", "c.cy")
+    edges = nbr.join(core.select("cx", "cy", F.col("key").alias("dst")),
+                     ["cx", "cy"]).select("src", "dst").localCheckpoint()
+    labels = core.select(F.col("key").alias("cell"),
+                         F.col("key").alias("label")).localCheckpoint()
+    prev_sum = None
+    for _ in range(_DB_MAX_ROUNDS):
+        prop = (
+            edges.join(
+                labels.select(F.col("cell").alias("dst"), "label"), "dst"
+            )
+            .groupBy(F.col("src").alias("cell"))
+            .agg(F.min("label").alias("label"))
+        )
+        labels = prop.localCheckpoint()
+        cur = labels.agg(F.sum("label")).collect()[0][0]  # model scalar
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    else:
+        raise RuntimeError(
+            f"dbscan_grid: min-label propagation did not converge in "
+            f"{_DB_MAX_ROUNDS} rounds"
+        )
+    comp = labels.select("cell", F.col("label").alias("cluster"))
+    core_lab = core.join(comp, core.key == comp.cell).select(
+        "cx", "cy", "cluster"
+    )
+    core_pts = pts.join(core_lab, ["cx", "cy"]).select("id", "cluster")
+    non_core_pts = pts.join(core.select("cx", "cy"), ["cx", "cy"],
+                            "left_anti")
+    probe = non_core_pts.select(
+        "id",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(-1, 1), dx -> "
+                "transform(sequence(-1, 1), dy -> "
+                "struct(cx + dx AS cx, cy + dy AS cy))))"
+            )
+        ).alias("c"),
+    ).select("id", "c.cx", "c.cy")
+    border_pts = (
+        probe.join(core_lab, ["cx", "cy"])
+        .groupBy("id")
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    n_noise = (
+        non_core_pts.join(border_pts.select("id"), "id", "left_anti")
+        .agg(F.count("*").alias("n"))
+    )
+    cluster_cells = comp.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_cells")
+    )
+    cluster_core = core_pts.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_core")
+    )
+    cluster_border = border_pts.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_border")
+    )
+    summary = (
+        cluster_cells.join(cluster_core, "cluster", "left")
+        .join(cluster_border, "cluster", "left")
+        .select(
+            "cluster",
+            "n_cells",
+            F.coalesce("n_core", F.lit(0)).cast("long").alias("n_core"),
+            F.coalesce("n_border", F.lit(0)).cast("long")
+            .alias("n_border"),
+        )
+    )
+    noise_row = n_noise.select(
+        F.lit(-1).cast("long").alias("cluster"),
+        F.lit(0).cast("long").alias("n_cells"),
+        F.lit(0).cast("long").alias("n_core"),
+        F.col("n").cast("long").alias("n_border"),
+    )
+    return summary.unionAll(noise_row).orderBy("cluster")
+
+
+_DBSCAN_SQL = f"""
+WITH RECURSIVE pts AS (
+  SELECT doc_id AS id,
+         (CAST(concat('0x', substr(md5(concat('lat:',
+            CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000)
+           // {_DB_CELL} AS cx,
+         (CAST(concat('0x', substr(md5(concat('lon:',
+            CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000)
+           // {_DB_CELL} AS cy
+  FROM documents
+),
+cells AS (SELECT cx, cy, count(*) AS n FROM pts GROUP BY cx, cy),
+core AS (
+  SELECT cx, cy, cx * 1000 + cy AS key
+  FROM cells WHERE n >= {_DB_MINPTS}
+),
+edge AS (
+  SELECT a.key AS src, b.key AS dst
+  FROM core a JOIN core b
+    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+),
+reach AS (
+  SELECT key AS cell, key AS label FROM core
+  UNION
+  SELECT e.src AS cell, r.label
+  FROM edge e JOIN reach r ON r.cell = e.dst
+),
+comp AS (SELECT cell, min(label) AS cluster FROM reach GROUP BY cell),
+core_lab AS (
+  SELECT k.cx, k.cy, c.cluster
+  FROM core k JOIN comp c ON c.cell = k.key
+),
+core_pts AS (
+  SELECT p.id, l.cluster
+  FROM pts p JOIN core_lab l ON p.cx = l.cx AND p.cy = l.cy
+),
+non_core AS (
+  SELECT p.* FROM pts p
+  WHERE NOT EXISTS (SELECT 1 FROM core k
+                    WHERE k.cx = p.cx AND k.cy = p.cy)
+),
+border_pts AS (
+  SELECT p.id, min(l.cluster) AS cluster
+  FROM non_core p JOIN core_lab l
+    ON abs(p.cx - l.cx) <= 1 AND abs(p.cy - l.cy) <= 1
+  GROUP BY p.id
+),
+noise AS (
+  SELECT count(*) AS n FROM non_core p
+  WHERE NOT EXISTS (SELECT 1 FROM border_pts b WHERE b.id = p.id)
+),
+summary AS (
+  SELECT c.cluster,
+         CAST(count(DISTINCT c.cell) AS BIGINT) AS n_cells,
+         CAST(coalesce(cp.n_core, 0) AS BIGINT) AS n_core,
+         CAST(coalesce(bp.n_border, 0) AS BIGINT) AS n_border
+  FROM comp c
+  LEFT JOIN (SELECT cluster, count(*) AS n_core
+             FROM core_pts GROUP BY cluster) cp USING (cluster)
+  LEFT JOIN (SELECT cluster, count(*) AS n_border
+             FROM border_pts GROUP BY cluster) bp USING (cluster)
+  GROUP BY c.cluster, cp.n_core, bp.n_border
+)
+SELECT cluster, n_cells, n_core, n_border FROM summary
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       CAST(n AS BIGINT) FROM noise
+ORDER BY cluster
+"""
+
+ML_QUERIES["dbscan_grid"] = (dbscan_grid, _DBSCAN_SQL)
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit (r5 resumed batch) — DATA-AUTHENTICITY
+# checking, a data-quality capability the profiling family
+# (table_profile = column stats, anomaly_mad = volume outliers)
+# lacked: naturally-occurring multiplicative quantities follow
+# Benford's law (P(d) = log10(1 + 1/d)); fabricated or truncated
+# feeds don't — the classic forensic screen for ingested numeric
+# sources. The expected distribution is FROZEN as an integer ppm
+# table (rounded log10 values summing to exactly 10^6), so the
+# deviation report is float-free in both engines.
+#
+# Exactness: the leading digit is taken from the INTEGER CENTS string
+# (same leading digit as the raw amount, no float formatting);
+# observed shares are ppm floor-divisions. One map-side-combinable
+# groupBy(digit) collapses 10^12 rows to 9; the expected table joins
+# as a 9-row broadcast.
+# --------------------------------------------------------------------------
+
+_BENFORD_PPM = [
+    (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+    (6, 66947), (7, 57992), (8, 51153), (9, 45757),
+]
+
+
+def benford_test(spark, sf_dir):
+    """Per leading digit of o_totalprice: (digit, n, obs_ppm,
+    exp_ppm, dev_ppm)."""
+    orders = t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    digits = orders.select(
+        F.substring(
+            F.floor(F.col("o_totalprice") * 100).cast("long")
+            .cast("string"), 1, 1,
+        ).cast("long").alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count("*").cast("long").alias("n"))
+    exp = spark.createDataFrame(_BENFORD_PPM, "digit long, exp_ppm long")
+    tot = obs.agg(F.sum("n").alias("total"))
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(exp), "digit")
+        .select(
+            "digit", "n",
+            F.expr("(n * 1000000) DIV total").alias("obs_ppm"),
+            "exp_ppm",
+            (
+                F.expr("(n * 1000000) DIV total") - F.col("exp_ppm")
+            ).alias("dev_ppm"),
+        )
+        .orderBy("digit")
+    )
+
+
+_BENFORD_SQL = """
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice > 0
+),
+obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+        FROM digits GROUP BY digit),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM obs),
+exp AS (
+  SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+    (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+    (9, 45757)) AS v(digit, exp_ppm)
+)
+SELECT o.digit, o.n,
+       CAST((o.n * 1000000) // t.total AS BIGINT) AS obs_ppm,
+       CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+       CAST((o.n * 1000000) // t.total - e.exp_ppm AS BIGINT)
+         AS dev_ppm
+FROM obs o CROSS JOIN tot t JOIN exp e ON e.digit = o.digit
+ORDER BY o.digit
+"""
+
+ML_QUERIES["benford_test"] = (benford_test, _BENFORD_SQL)
+
+
+# --------------------------------------------------------------------------
+# Day-of-week seasonal profile (r5 resumed batch) — the SEASONALITY
+# leg of the time-series family (theil_sen = trend, ewma = smoothing,
+# anomaly_mad = outliers, cusum = drift): the per-(type, weekday)
+# volume index against a uniform week, the profile that feeds both
+# staffing dashboards and seasonally-adjusted anomaly thresholds.
+# index_ppm = cnt * 7 * 10^6 DIV total(type) — exactly 10^6 per day
+# under a perfectly uniform week, all integer. One map-side-
+# combinable groupBy to (type x dow) rows; per-type totals re-attach
+# as a broadcast dim. Weekday alignment: Spark dayofweek() is
+# 1=Sunday..7; DuckDB dayofweek() is 0=Sunday..6 — the engine
+# subtracts 1 so both emit 0=Sunday.
+# --------------------------------------------------------------------------
+
+
+def seasonal_profile(spark, sf_dir):
+    """Per (event_type, dow 0=Sunday): count and uniform-week
+    seasonality index in ppm."""
+    ev = t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    cnt = ev.groupBy(
+        "event_type",
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    tot = cnt.groupBy("event_type").agg(F.sum("cnt").alias("total"))
+    return (
+        cnt.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type", "dow", "cnt",
+            F.expr("(cnt * 7 * 1000000) DIV total").alias("index_ppm"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+_SEASONAL_SQL = """
+WITH cnt AS (
+  SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY event_type, dayofweek(ts)
+),
+tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS total
+        FROM cnt GROUP BY event_type)
+SELECT c.event_type, c.dow, c.cnt,
+       CAST((c.cnt * 7 * 1000000) // t.total AS BIGINT) AS index_ppm
+FROM cnt c JOIN tot t USING (event_type)
+ORDER BY c.event_type, c.dow
+"""
+
+ML_QUERIES["seasonal_profile"] = (seasonal_profile, _SEASONAL_SQL)
