@@ -164,6 +164,8 @@ HEADLINE = [
     "dbscan_grid",
     "benford_test",
     "seasonal_profile",
+    # resumed-r5 batch 3: content-aware segmentation
+    "text_tiling",
 ]
 
 ALL = {**RELATIONAL_QUERIES, **ML_QUERIES}

@@ -14083,3 +14083,158 @@ ORDER BY c.event_type, c.dow
 """
 
 ML_QUERIES["seasonal_profile"] = (seasonal_profile, _SEASONAL_SQL)
+
+
+# --------------------------------------------------------------------------
+# TextTiling-style topic segmentation (r5 resumed batch) —
+# CONTENT-AWARE document segmentation (Hearst 1997), the capability
+# the chunking family lacked: chunk_sequences cuts at token COUNTS,
+# content_chunk_dedup at byte patterns; topic boundaries cut where
+# the VOCABULARY shifts — the semantically-coherent chunking a RAG /
+# long-context training pipeline wants. Per doc: fixed 10-word
+# blocks, adjacent-block Jaccard over distinct words in exact ppm,
+# boundary = a local minimum under a frozen threshold (both
+# neighbors higher, sim < 150000 ppm).
+#
+# Exactness: similarities are inter*10^6 DIV (na+nb-inter) — all
+# integer; the local-minimum test uses lag/lead with a sentinel
+# default (10^7) so edge blocks can qualify only via the threshold.
+# Output is bounded to doc_id < 50 (the tfidf_top_terms convention) —
+# per-pair rows, not per-word.
+#
+# Scale shape: chunking is sequence+slice+posexplode (codegen, the
+# code_switch_stats idiom); distinct (doc, block, word) is one
+# map-side-combinable shuffle; the adjacent-block intersection is an
+# EQUI-join on (doc_id, word) with block b = a+1 — never a block
+# cross join; the pair spine left-joins intersections so zero-overlap
+# boundaries survive. Windows partition per doc over block counts.
+# --------------------------------------------------------------------------
+
+_TT_CHUNK = 10
+_TT_THRESH_PPM = 150_000
+
+
+def text_tiling(spark, sf_dir):
+    """Per adjacent block pair of each doc (doc_id < 50):
+    (doc_id, pos, sim_ppm, is_boundary)."""
+    docs = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 50)
+        .select("doc_id", F.split(F.lower("text"), " ").alias("wr"))
+    )
+    blocks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, (size(wr) + {_TT_CHUNK - 1}) "
+                f"DIV {_TT_CHUNK} - 1), "
+                f"i -> slice(wr, i * {_TT_CHUNK} + 1, {_TT_CHUNK}))"
+            )
+        ).alias("cid", "cw"),
+    )
+    words = (
+        blocks.select(
+            "doc_id", "cid", F.explode("cw").alias("w")
+        )
+        .where(F.col("w") != "")
+        .distinct()
+    )
+    sizes = words.groupBy("doc_id", "cid").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    a, b = words.alias("a"), words.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.w") == F.col("b.w"))
+            & (F.col("b.cid") == F.col("a.cid") + 1),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.cid").alias("pos"),
+        )
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    sa = sizes.select("doc_id", F.col("cid").alias("pos"),
+                      F.col("n").alias("na"))
+    sb = sizes.select(
+        "doc_id", (F.col("cid") - 1).alias("pos"), F.col("n").alias("nb")
+    )
+    spine = (
+        sa.join(sb, ["doc_id", "pos"])
+        .join(inter, ["doc_id", "pos"], "left")
+        .select(
+            "doc_id", "pos",
+            F.coalesce("inter", F.lit(0)).cast("long").alias("inter"),
+            "na", "nb",
+        )
+        .withColumn(
+            "sim_ppm",
+            F.expr("(inter * 1000000) DIV (na + nb - inter)"),
+        )
+    )
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    return (
+        spine.withColumn(
+            "prev", F.lag("sim_ppm", 1, 10_000_000).over(wd)
+        )
+        .withColumn("nxt", F.lead("sim_ppm", 1, 10_000_000).over(wd))
+        .select(
+            "doc_id", "pos", "sim_ppm",
+            (
+                (F.col("sim_ppm") < _TT_THRESH_PPM)
+                & (F.col("sim_ppm") < F.col("prev"))
+                & (F.col("sim_ppm") < F.col("nxt"))
+            ).cast("int").alias("is_boundary"),
+        )
+        .orderBy("doc_id", "pos")
+    )
+
+
+_TT_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS wr
+  FROM documents WHERE doc_id < 50
+),
+words AS (
+  SELECT DISTINCT doc_id, (i - 1) // {_TT_CHUNK} AS cid, wr[i] AS w
+  FROM docs, unnest(generate_series(1, len(wr))) AS u(i)
+  WHERE wr[i] <> ''
+),
+sizes AS (
+  SELECT doc_id, cid, CAST(count(*) AS BIGINT) AS n
+  FROM words GROUP BY doc_id, cid
+),
+inter AS (
+  SELECT a.doc_id, a.cid AS pos, CAST(count(*) AS BIGINT) AS inter
+  FROM words a JOIN words b
+    ON a.doc_id = b.doc_id AND a.w = b.w AND b.cid = a.cid + 1
+  GROUP BY a.doc_id, a.cid
+),
+spine AS (
+  SELECT sa.doc_id, sa.cid AS pos,
+         CAST(coalesce(i.inter, 0) AS BIGINT) AS inter,
+         sa.n AS na, sb.n AS nb
+  FROM sizes sa
+  JOIN sizes sb ON sb.doc_id = sa.doc_id AND sb.cid = sa.cid + 1
+  LEFT JOIN inter i ON i.doc_id = sa.doc_id AND i.pos = sa.cid
+),
+sims AS (
+  SELECT doc_id, pos,
+         CAST((inter * 1000000) // (na + nb - inter) AS BIGINT)
+           AS sim_ppm
+  FROM spine
+)
+SELECT doc_id, pos, sim_ppm,
+       CAST(sim_ppm < {_TT_THRESH_PPM}
+            AND sim_ppm < lag(sim_ppm, 1, 10000000)
+                  OVER (PARTITION BY doc_id ORDER BY pos)
+            AND sim_ppm < lead(sim_ppm, 1, 10000000)
+                  OVER (PARTITION BY doc_id ORDER BY pos)
+            AS INT) AS is_boundary
+FROM sims
+ORDER BY doc_id, pos
+"""
+
+ML_QUERIES["text_tiling"] = (text_tiling, _TT_SQL)
