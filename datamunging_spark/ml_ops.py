@@ -13471,6 +13471,13 @@ def record_linkage_fs(spark, sf_dir, top_k: int = RL_TOP_K):
             ).alias("bal_b"),
         )
     )
+    # Spread the probe side BEFORE the block join: a small parquet
+    # file arrives as ONE partition, and without this the 7M-pair
+    # expansion (and everything downstream of the checkpoint) runs in
+    # a single task (the _with_shingles repartition-before-expansion
+    # precedent). Keyed on the blocking key so the join co-locates.
+    par = cust.sparkSession.sparkContext.defaultParallelism
+    a = a.repartition(par, "nation")
     pairs = a.join(b, "nation").select(
         "id_a", "id_b",
         (F.col("name_a") == F.col("name_b")).cast("long").alias("g_name"),
@@ -13481,34 +13488,61 @@ def record_linkage_fs(spark, sf_dir, top_k: int = RL_TOP_K):
         .cast("long").alias("g_bal"),
         (F.col("seg_a") == F.col("seg_b")).cast("long").alias("g_seg"),
     )
-    u = pairs.agg(
-        *[
-            F.least(
-                F.lit(999000).cast("long"),
-                F.greatest(
-                    F.lit(1000).cast("long"),
-                    F.expr(f"(sum(g_{f}) * 1000000) DIV count(*)"),
-                ),
-            ).alias(f"u_{f}")
-            for f in ("name", "pre", "bal", "seg")
-        ]
-    )
-    scored = pairs.crossJoin(F.broadcast(u))
-    for f, m in _RL_M_PPM.items():
-        scored = scored.withColumn(
-            f"r_{f}",
-            F.expr(
-                f"CASE WHEN g_{f} = 1"
-                f" THEN CAST({m} AS DECIMAL(38,0)) * 1000000 DIV u_{f}"
-                f" ELSE CAST({1000000 - m} AS DECIMAL(38,0)) * 1000000"
-                f" DIV (1000000 - u_{f}) END"
-            ),
+    # Materialize the candidate pairs ONCE: both the u-estimate job
+    # and the scoring job consume them (without this the block join
+    # runs twice).
+    pairs = pairs.localCheckpoint()
+    # u-probabilities from a NON-MATCH sample: estimating chance
+    # agreement over ALL candidate pairs contaminates u with the true
+    # matches when blocks are small (the classic FS estimation caveat
+    # — at 10^12 records matches are a vanishing fraction and random
+    # pairings suffice; here the identity-id exclusion is the
+    # sandbox's stand-in for that random non-match sample). The u
+    # vector is a 1-row MODEL SCALAR (the lm_bigram/kmeans pattern):
+    # collect it and fold the 2^4 agreement-pattern scores into
+    # integer literals driver-side — the per-row scorer then becomes
+    # one 16-way CASE on the bit pattern, no decimal arithmetic in
+    # the 10^12-pair hot path (exact same integers: Python // on ints
+    # ≡ decimal DIV ≡ HUGEINT //).
+    urow = (
+        pairs.where(F.col("id_a") != F.col("id_b"))
+        .agg(
+            *[
+                F.least(
+                    F.lit(999000).cast("long"),
+                    F.greatest(
+                        F.lit(1000).cast("long"),
+                        F.expr(f"(sum(g_{f}) * 1000000) DIV count(*)"),
+                    ),
+                ).alias(f"u_{f}")
+                for f in ("name", "pre", "bal", "seg")
+            ]
         )
-    scored = scored.withColumn(
+        .collect()[0]
+    )
+
+    def _ratio(m_ppm: int, u_ppm: int, agree: bool) -> int:
+        if agree:
+            return (m_ppm * 1_000_000) // u_ppm
+        return ((1_000_000 - m_ppm) * 1_000_000) // (1_000_000 - u_ppm)
+
+    fields = ("name", "pre", "bal", "seg")
+    pattern_scores = {}
+    for p in range(16):
+        bits = [(p >> (3 - i)) & 1 for i in range(4)]
+        prod = 1
+        for f, bit in zip(fields, bits):
+            prod *= _ratio(_RL_M_PPM[f], int(urow[f"u_{f}"]), bool(bit))
+        pattern_scores[p] = prod // 10**18
+    case = " ".join(
+        f"WHEN {p} THEN CAST({s} AS BIGINT)"
+        for p, s in pattern_scores.items()
+    )
+    scored = pairs.withColumn(
         "score_micro",
         F.expr(
-            "CAST((CAST(r_name AS DECIMAL(38,0)) * r_pre * r_bal * r_seg)"
-            " DIV 1000000000000000000 AS BIGINT)"
+            f"CASE g_name * 8 + g_pre * 4 + g_bal * 2 + g_seg "
+            f"{case} END"
         ),
     )
     return (
@@ -13565,7 +13599,7 @@ u AS (
       AS u_bal,
     least(999000, greatest(1000, (sum(g_seg) * 1000000) // count(*)))
       AS u_seg
-  FROM pairs
+  FROM pairs WHERE id_a <> id_b
 ),
 scored AS (
   SELECT p.*,

@@ -4054,3 +4054,199 @@ def test_auc_exact_pure_python_replica(spark):
     assert int(got.u2) == u2
     assert int(got.auc_ppm) == (u2 * 1_000_000) // (2 * n_pos * n_neg)
     assert int(got.auc_ppm) > 550_000  # planted shift is detectable
+
+
+# ---- resumed-r5 ops: independent replicas / invariants on top of the
+# parametrized oracle equality above
+
+
+def test_cusum_pure_python_recursion_replica(spark):
+    """The op computes CUSUM via the prefix-minus-running-min identity;
+    this replica runs the TEXTBOOK per-row recursion
+    S_i = max(0, S_{i-1} + x_i - mu - k) — a different algorithm —
+    and must agree bit-exactly, flags included."""
+    import pandas as pd
+
+    from datamunging_spark.ml_ops import cusum_changepoint
+
+    got = cusum_changepoint(spark, SF_DIR).toPandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev = ev[ev.ts.notna() & ev.event_type.notna()]
+    daily = (
+        ev.assign(day=ev.ts.dt.strftime("%Y-%m-%d"))
+        .groupby(["event_type", "day"]).size().rename("cnt").reset_index()
+    )
+    for et, grp in daily.groupby("event_type"):
+        grp = grp.sort_values("day")
+        total, n_days = int(grp.cnt.sum()), len(grp)
+        mu = total // n_days
+        slack = max(1, mu // 10)
+        s = 0
+        for _, row in grp.iterrows():
+            s = max(0, s + int(row.cnt) - mu - slack)
+            out = got[(got.event_type == et) & (got.day == row.day)]
+            assert len(out) == 1
+            assert int(out.cusum.iloc[0]) == s, (et, row.day)
+            assert int(out.flag.iloc[0]) == int(s > 5 * slack)
+
+
+def test_dbscan_grid_union_find_replica(spark):
+    """Pure-Python union-find replica (third implementation beside the
+    engine's min-label propagation and the oracle's recursive-CTE
+    closure): same cells, same clusters, same core/border/noise split."""
+    import hashlib
+
+    import pandas as pd
+
+    from datamunging_spark.ml_ops import _DB_CELL, _DB_MINPTS, dbscan_grid
+
+    got = dbscan_grid(spark, SF_DIR).toPandas().sort_values("cluster")
+
+    def h60(tag, v):
+        return int(
+            hashlib.md5(f"{tag}{v}".encode()).hexdigest()[:15], 16
+        )
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    pts = [
+        (
+            int(d),
+            (h60("lat:", int(d)) % 1_000_000) // _DB_CELL,
+            (h60("lon:", int(d)) % 1_000_000) // _DB_CELL,
+        )
+        for d in docs.doc_id
+    ]
+    from collections import Counter
+
+    counts = Counter((cx, cy) for _, cx, cy in pts)
+    core = {c for c, n in counts.items() if n >= _DB_MINPTS}
+    parent = {c: c for c in core}
+
+    def find(c):
+        while parent[c] != c:
+            parent[c] = parent[parent[c]]
+            c = parent[c]
+        return c
+
+    for (cx, cy) in core:
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                n = (cx + dx, cy + dy)
+                if n in core:
+                    ra, rb = find((cx, cy)), find(n)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    # cluster id = min cell key in component (the engine's label)
+    comp_key = {}
+    for c in core:
+        r = find(c)
+        k = c[0] * 1000 + c[1]
+        comp_key[r] = min(comp_key.get(r, k), k)
+    clusters = {c: comp_key[find(c)] for c in core}
+    n_cells = Counter(clusters.values())
+    n_core = Counter()
+    n_border = Counter()
+    noise = 0
+    for _, cx, cy in pts:
+        if (cx, cy) in core:
+            n_core[clusters[(cx, cy)]] += 1
+        else:
+            nbrs = [
+                clusters[(cx + dx, cy + dy)]
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+                if (cx + dx, cy + dy) in core
+            ]
+            if nbrs:
+                n_border[min(nbrs)] += 1
+            else:
+                noise += 1
+    want = sorted(
+        [(k, n_cells[k], n_core.get(k, 0), n_border.get(k, 0))
+         for k in n_cells]
+        + [(-1, 0, 0, noise)]
+    )
+    have = [
+        (int(r.cluster), int(r.n_cells), int(r.n_core), int(r.n_border))
+        for r in got.itertuples()
+    ]
+    assert have == want
+
+
+def test_record_linkage_true_pairs_matched(spark):
+    """Semantic invariants of the Fellegi-Sunter decision rule on the
+    perturbed twin: identity pairs with an exact name always match;
+    pairs whose ONLY corruption is the name are rescued by the
+    prefix/balance/segment fields; pairs corrupted in BOTH name and
+    segment may legitimately fall below the LR >= 10 threshold (FS
+    trades recall on doubly-damaged records for precision — asserting
+    they match would assert a miscalibrated scorer)."""
+    import hashlib
+
+    from datamunging_spark.ml_ops import record_linkage_fs
+
+    got = record_linkage_fs(spark, SF_DIR).toPandas()
+    true_pairs = got[got.id_a == got.id_b]
+    assert len(true_pairs) > 0
+    clean_name = true_pairs[true_pairs.g_name == 1]
+    assert len(clean_name) > 0
+    assert (clean_name.is_match == 1).all()
+
+    def h60(v):
+        return int(
+            hashlib.md5(f"rl:{v}".encode()).hexdigest()[:15], 16
+        )
+
+    corrupted = true_pairs[[h60(i) % 3 == 0 for i in true_pairs.id_a]]
+    assert len(corrupted) > 0, "window held no corrupted-name true pair"
+    assert (corrupted.g_name == 0).all()  # the corruption really landed
+    name_only = corrupted[corrupted.g_seg == 1]
+    assert len(name_only) > 0
+    assert (name_only.is_match == 1).all()  # other fields rescue
+    # every pair the rule DOES match must agree on at least 2 fields
+    matched = got[got.is_match == 1]
+    agree = matched.g_name + matched.g_pre + matched.g_bal + matched.g_seg
+    assert (agree >= 2).all()
+
+
+def test_bootstrap_ci_brackets_exact_mean(spark):
+    """The percentile CI must bracket the exact mean for every group,
+    and the point estimate must equal the direct pandas computation."""
+    import pandas as pd
+
+    from datamunging_spark.ml_ops import bootstrap_ci
+
+    got = bootstrap_ci(spark, SF_DIR).toPandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev = ev[ev.value.notna() & ev.event_type.notna()]
+    import math
+
+    for r in got.itertuples():
+        grp = ev[ev.event_type == r.event_type]
+        cents = [math.floor(v * 100) for v in grp.value]
+        assert int(r.n) == len(cents)
+        assert int(r.mean_fp) == (sum(cents) * 100) // len(cents)
+        assert int(r.lo_fp) <= int(r.mean_fp) <= int(r.hi_fp)
+        assert int(r.lo_fp) < int(r.hi_fp)
+
+
+def test_text_tiling_boundaries_are_local_minima(spark):
+    """Every flagged boundary must be under the threshold and strictly
+    below both neighbors (sentinel at the edges)."""
+    from datamunging_spark.ml_ops import _TT_THRESH_PPM, text_tiling
+
+    got = text_tiling(spark, SF_DIR).toPandas()
+    assert (got.is_boundary.isin((0, 1))).all()
+    assert int(got.is_boundary.sum()) > 0  # non-vacuous on the corpus
+    for doc_id, grp in got.groupby("doc_id"):
+        grp = grp.sort_values("pos").reset_index(drop=True)
+        sims = list(grp.sim_ppm)
+        for i, r in grp.iterrows():
+            prev = sims[i - 1] if i > 0 else 10_000_000
+            nxt = sims[i + 1] if i + 1 < len(sims) else 10_000_000
+            want = int(
+                r.sim_ppm < _TT_THRESH_PPM
+                and r.sim_ppm < prev
+                and r.sim_ppm < nxt
+            )
+            assert int(r.is_boundary) == want, (doc_id, int(r.pos))
