@@ -13646,13 +13646,20 @@ ML_QUERIES["record_linkage_fs"] = (record_linkage_fs, _RL_SQL)
 # becomes a stateless per-row projection — exactly one extra column
 # per replicate, embarrassingly parallel at 10^12 rows.
 #
-# Determinism: the Poisson(1) draw is the inverse-CDF applied to an
-# md5-uniform in ppm (CDF thresholds 367879/735759/919699/981012/
-# 996340/999406, capped at 6 — P(>6) < 6e-5), identical literals in
-# both engines; means are integer fixed-point (centicents:
-# sum_wx*100 DIV sum_w), so replicate means and the rank-based
-# percentile CI (ranks 2 and 63 of B=64, the ~95% percentile
-# bootstrap) are bit-identical under any partitioning.
+# Determinism: the Poisson(1) draw is the inverse-CDF applied to a
+# deterministic uniform in ppm (CDF thresholds 367879/735759/919699/
+# 981012/996340/999406, capped at 6 — P(>6) < 6e-5), identical
+# literals in both engines; means are integer fixed-point
+# (centicents: sum_wx*100 DIV sum_w), so replicate means and the
+# rank-based percentile CI (ranks 2 and 63 of B=64, the ~95%
+# percentile bootstrap) are bit-identical under any partitioning.
+# The per-replicate uniform is ONE md5 per ROW mixed per replicate b
+# by multiply-mod-prime (u_b = (h0*A_b + C_b) mod 2^31-1 with
+# A_b = 48271^(b+1), C_b = b*0x9E3779B9 mod P as frozen literals —
+# the minhash multiply-shift idiom, kept under 2^62 so int64 never
+# overflows in either engine; the % 10^6 ppm reduction carries a
+# ~0.05% modulo bias, irrelevant to bootstrap validity) — 64x fewer
+# md5 evaluations than hashing every (row, replicate) pair.
 #
 # Scale shape: explode(0..63) multiplies rows INSIDE the scan stage;
 # the partial agg collapses them map-side, so the shuffle carries
@@ -13663,6 +13670,11 @@ ML_QUERIES["record_linkage_fs"] = (record_linkage_fs, _RL_SQL)
 BOOT_B = 64
 # Poisson(1) CDF in ppm: P(X<=k) for k = 0..5; weight 6 beyond.
 _POIS_CDF_PPM = (367879, 735759, 919699, 981012, 996340, 999406)
+# Multiply-mod-prime mixing constants (P = 2^31 - 1, MINSTD a=48271):
+# A_b = 48271^(b+1) mod P, C_b = b * 0x9E3779B9 mod P.
+_BOOT_P = 2147483647
+_BOOT_A = (48271, 182605794, 1291394886, 1914720637, 2078669041, 407355683, 1105902161, 854716505, 564586691, 1596680831, 192302371, 1203428207, 1250328747, 1738531149, 1271135913, 1098894339, 1882556969, 2136927794, 1559527823, 2075782095, 638022372, 914937185, 1931656580, 1402304087, 1936030137, 2064876628, 353718330, 1842513780, 1947433875, 631416347, 2010567813, 890442452, 662405787, 1105724094, 849178936, 1696049367, 1479919876, 1168816941, 1272185027, 201068705, 1308858262, 928270262, 1287522347, 1814467857, 1057382352, 1659675143, 153892771, 412013968, 480194461, 1675824860, 180318217, 389431516, 1324346645, 1243696899, 1587659744, 674592135, 942409124, 884730203, 1951824771, 2130959757, 1239222494, 352020689, 1500063655, 719080959)
+_BOOT_C = (0, 506952122, 1013904244, 1520856366, 2027808488, 387276963, 894229085, 1401181207, 1908133329, 267601804, 774553926, 1281506048, 1788458170, 147926645, 654878767, 1161830889, 1668783011, 28251486, 535203608, 1042155730, 1549107852, 2056059974, 415528449, 922480571, 1429432693, 1936384815, 295853290, 802805412, 1309757534, 1816709656, 176178131, 683130253, 1190082375, 1697034497, 56502972, 563455094, 1070407216, 1577359338, 2084311460, 443779935, 950732057, 1457684179, 1964636301, 324104776, 831056898, 1338009020, 1844961142, 204429617, 711381739, 1218333861, 1725285983, 84754458, 591706580, 1098658702, 1605610824, 2112562946, 472031421, 978983543, 1485935665, 1992887787, 352356262, 859308384, 1366260506, 1873212628)
 
 
 def _poisson_weight_sql(u: str) -> str:
@@ -13689,17 +13701,22 @@ def bootstrap_ci(spark, sf_dir, n_boot: int = BOOT_B):
         F.count("*").cast("long").alias("n"),
         F.expr("(sum(x) * 100) DIV count(*)").alias("mean_fp"),
     )
-    reps = ev.select(
-        "event_type", "event_id", "x",
+    a_arr = ", ".join(str(v) for v in _BOOT_A[:n_boot])
+    c_arr = ", ".join(str(v) for v in _BOOT_C[:n_boot])
+    reps = ev.withColumn(
+        "h0",
+        md5_long(F.concat(F.lit("bs:"), F.col("event_id").cast("string")))
+        % _BOOT_P,
+    ).select(
+        "event_type", "x", "h0",
         F.explode(F.array([F.lit(i) for i in range(n_boot)])).alias("b"),
     ).withColumn(
         "u",
-        md5_long(
-            F.concat(
-                F.lit("bs"), F.col("b").cast("string"), F.lit(":"),
-                F.col("event_id").cast("string"),
-            )
-        ) % 1000000,
+        F.expr(
+            f"((h0 * element_at(array({a_arr}), b + 1)"
+            f" + element_at(array({c_arr}), b + 1)) % {_BOOT_P})"
+            f" % 1000000"
+        ),
     ).withColumn("w", F.expr(_poisson_weight_sql("u")))
     means = reps.groupBy("event_type", "b").agg(
         F.expr("(sum(w * x) * 100) DIV nullif(sum(w), 0)").alias("m_fp")
@@ -13720,6 +13737,9 @@ def bootstrap_ci(spark, sf_dir, n_boot: int = BOOT_B):
     )
 
 
+_A_LIST = ", ".join(str(v) for v in _BOOT_A)
+_C_LIST = ", ".join(str(v) for v in _BOOT_C)
+
 _BOOT_SQL = f"""
 WITH ev AS (
   SELECT event_type, event_id,
@@ -13732,12 +13752,18 @@ point AS (
          CAST((sum(x) * 100) // count(*) AS BIGINT) AS mean_fp
   FROM ev GROUP BY event_type
 ),
+hashed AS (
+  SELECT event_type, x,
+         CAST(concat('0x', substr(md5(concat('bs:',
+              CAST(event_id AS VARCHAR))), 1, 15)) AS BIGINT)
+           % {_BOOT_P} AS h0
+  FROM ev
+),
 reps AS (
   SELECT event_type, x, b,
-         CAST(concat('0x', substr(md5(concat('bs', CAST(b AS VARCHAR),
-              ':', CAST(event_id AS VARCHAR))), 1, 15)) AS BIGINT)
-           % 1000000 AS u
-  FROM ev CROSS JOIN (SELECT unnest(range({BOOT_B})) AS b)
+         ((h0 * ([{_A_LIST}])[b + 1]
+           + ([{_C_LIST}])[b + 1]) % {_BOOT_P}) % 1000000 AS u
+  FROM hashed CROSS JOIN (SELECT unnest(range({BOOT_B})) AS b)
 ),
 weighted AS (
   SELECT event_type, b, x, {_poisson_weight_sql('u')} AS w FROM reps
