@@ -1091,3 +1091,64 @@ def test_pq_adc_plan_shape(spark, sf_dir):
     assert "BatchEvalPython" not in p, p
     assert "CartesianProduct" not in p, p
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_cusum_windows_are_partitioned_no_python(spark, sf_dir):
+    """CUSUM must run as partitioned windows over pre-aggregated daily
+    rows: no global single-partition sort, no Python stage, and the
+    events scan prunes to the two columns it needs."""
+    from datamunging_spark.ml_ops import cusum_changepoint
+
+    plan = plan_of(cusum_changepoint(spark, sf_dir))
+    assert "EvalPython" not in plan and "ArrowEval" not in plan
+    # the sequential windows partition by event_type, never globally
+    assert "windowspecdefinition(event_type#" in plan
+    assert "ReadSchema: struct<ts:timestamp_ntz,event_type:string>" in plan
+
+
+def test_chi2_terms_is_take_ordered_with_broadcast_totals(spark, sf_dir):
+    """Top-k cut must be TakeOrdered (not a global sort) and the label
+    totals must re-attach as a broadcast, not a shuffle join."""
+    from datamunging_spark.ml_ops import chi2_terms
+
+    plan = plan_of(chi2_terms(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_record_linkage_scorer_is_codegen_case(spark, sf_dir):
+    """After the pattern-literal fold the scorer must be pure codegen:
+    no decimal arithmetic, no Python, and no per-row join against the
+    u vector (it was collected as a model scalar)."""
+    from datamunging_spark.ml_ops import record_linkage_fs
+
+    plan = plan_of(record_linkage_fs(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "CASE WHEN" in plan
+    # the only join in the final plan is the blocking equi-join over
+    # the checkpointed pairs; the u crossJoin is gone
+    assert "decimal(38,0)" not in plan
+
+
+def test_bootstrap_ci_partial_aggregates_replicates(spark, sf_dir):
+    """The 64x replicate explode must collapse map-side (partial_sum
+    before the exchange) so the shuffle carries group x replicate
+    partials, not 64x the data; one md5 per row, not per replicate."""
+    from datamunging_spark.ml_ops import bootstrap_ci
+
+    plan = plan_of(bootstrap_ci(spark, sf_dir))
+    assert "partial_sum" in plan
+    assert plan.count("md5(") <= 2  # once per scan branch, not per b
+    assert "EvalPython" not in plan
+
+
+def test_text_tiling_intersection_is_equijoin(spark, sf_dir):
+    """The adjacent-block intersection must be a hash equi-join keyed
+    on (doc_id, word) — never a nested-loop block cross join."""
+    from datamunging_spark.ml_ops import text_tiling
+
+    plan = plan_of(text_tiling(spark, sf_dir))
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
