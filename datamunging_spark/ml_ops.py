@@ -13053,15 +13053,12 @@ ML_QUERIES["auc_exact"] = (auc_exact, _AUC_SQL)
 # --------------------------------------------------------------------------
 
 
-def cusum_changepoint(spark, sf_dir):
-    """Per (event_type, day): daily count, one-sided upper CUSUM
-    statistic, and a flag once the statistic crosses 5x the slack."""
-    ev = t(spark, sf_dir, "events").where(
-        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
-    )
-    daily = ev.groupBy(
-        "event_type", F.to_date("ts").alias("day")
-    ).agg(F.count("*").cast("long").alias("cnt"))
+def cusum_from_daily(daily: DataFrame) -> DataFrame:
+    """Shared CUSUM scorer over a (event_type, day: yyyy-MM-dd string,
+    cnt: long) daily-count frame — the batch op aggregates events to
+    this shape; the streaming twin maintains it incrementally in a
+    state table and calls the SAME function (lexicographic order on
+    the yyyy-MM-dd string IS chronological order)."""
     # per-type target mean + slack: tiny dim (one row per event_type)
     dim = daily.groupBy("event_type").agg(
         F.expr("sum(cnt) DIV count(*)").alias("mu"),
@@ -13085,11 +13082,23 @@ def cusum_changepoint(spark, sf_dir):
     )
     return s.select(
         "event_type",
-        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "day",
         "cnt",
         F.col("cusum").cast("long").alias("cusum"),
         (F.col("cusum") > 5 * F.col("slack")).cast("int").alias("flag"),
     )
+
+
+def cusum_changepoint(spark, sf_dir):
+    """Per (event_type, day): daily count, one-sided upper CUSUM
+    statistic, and a flag once the statistic crosses 5x the slack."""
+    ev = t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    return cusum_from_daily(daily)
 
 
 _CUSUM_SQL = """

@@ -714,3 +714,57 @@ def test_streaming_semantic_decon_matches_batch(spark, sf_dir, tmp_path_factory)
     got = got.sort_values("vec_id").reset_index(drop=True)[want.columns]
     assert got.equals(want.reset_index(drop=True))
     assert want.contaminated.sum() > 0  # positives flowed through
+
+
+def test_streaming_cusum_matches_batch(spark, sf_dir, tmp_path_factory):
+    """The incremental drift monitor equals the batch cusum_changepoint
+    on the same events — including across a mid-stream restart and a
+    simulated replayed batch (crash between append and checkpoint
+    commit)."""
+    from datamunging_spark.ml_ops import cusum_changepoint
+    from datamunging_spark.streaming.jobs import (
+        read_cusum,
+        run_streaming_cusum,
+    )
+
+    base = tmp_path_factory.mktemp("scusum")
+    events_dir = str(base / "events")
+    out = str(base / "out")
+    ckpt = str(base / "ckpt")
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # phase 1: first half of the timeline lands
+    cut = ev.selectExpr("percentile(event_id, 0.5) AS m").collect()[0].m
+    ev.where(F.col("event_id") <= cut).coalesce(2).write.parquet(
+        events_dir
+    )
+    run_streaming_cusum(spark, events_dir, out, ckpt)
+    assert read_cusum(spark, out).count() > 0
+
+    # phase 2: the rest lands; SAME checkpoint resumes incrementally
+    ev.where(F.col("event_id") > cut).coalesce(2).write.mode(
+        "append"
+    ).parquet(events_dir)
+    run_streaming_cusum(spark, events_dir, out, ckpt)
+
+    # simulated replay: re-append one epoch's partials verbatim, then
+    # re-publish the scored table the way the next batch would
+    from datamunging_spark.ml_ops import cusum_from_daily
+    from datamunging_spark.streaming.jobs import _daily_from_partials
+
+    partials = f"{out}/daily_partials"
+    replay = spark.read.parquet(partials).where(F.col("epoch") == 0)
+    replay.write.mode("append").parquet(partials)
+    cusum_from_daily(_daily_from_partials(spark, partials)).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/cusum")
+
+    got = {
+        (r.event_type, r.day): (r.cnt, r.cusum, r.flag)
+        for r in read_cusum(spark, out).collect()
+    }
+    want = {
+        (r.event_type, r.day): (r.cnt, r.cusum, r.flag)
+        for r in cusum_changepoint(spark, sf_dir).collect()
+    }
+    assert got == want

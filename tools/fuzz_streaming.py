@@ -633,6 +633,76 @@ def fuzz_semantic_decon(spark, tmp: Path, rng: random.Random) -> list[str]:
     return []
 
 
+def fuzz_cusum(spark, tmp: Path, rng: random.Random) -> list[str]:
+    """Incremental drift monitor vs the batch scorer on hostile events
+    (NULL ts / NULL type rows, ragged day coverage), across a restart
+    and a replayed epoch."""
+    from datetime import datetime, timedelta
+
+    from datamunging_spark.ml_ops import cusum_from_daily
+    from datamunging_spark.streaming.jobs import (
+        EVENTS_SCHEMA,
+        _daily_from_partials,
+        read_cusum,
+        run_streaming_cusum,
+    )
+
+    ev_dir, out, ckpt = str(tmp / "ev"), str(tmp / "out"), str(tmp / "ck")
+    t0 = datetime(2024, 3, 1)
+    types = ["a", "b", None]
+    n = rng.randint(40, 120)
+    rows = [
+        (
+            i,
+            None if rng.random() < 0.05
+            else t0 + timedelta(hours=rng.randrange(0, 24 * 9)),
+            rng.randrange(5),
+            rng.choice(types),
+            rng.random() * 100,
+            "{}",
+        )
+        for i in range(n)
+    ]
+    cut = rng.randint(10, n - 10)
+    base = _time.time() - 1000
+    _write_wave(spark, rows[:cut], EVENTS_SCHEMA, ev_dir, base,
+                ["event_id"])
+    run_streaming_cusum(spark, ev_dir, out, ckpt)
+    _write_wave(spark, rows[cut:], EVENTS_SCHEMA, ev_dir, base + 10,
+                ["event_id"])
+    run_streaming_cusum(spark, ev_dir, out, ckpt)  # restart + resume
+
+    # simulated replay of epoch 0's partials + re-publish
+    partials = f"{out}/daily_partials"
+    replay = spark.read.parquet(partials).where(F.col("epoch") == 0)
+    if replay.count():
+        replay.write.mode("append").parquet(partials)
+        cusum_from_daily(
+            _daily_from_partials(spark, partials)
+        ).write.mode("overwrite").parquet(f"{out}/cusum")
+
+    got = {
+        (r.event_type, r.day): (r.cnt, r.cusum, r.flag)
+        for r in read_cusum(spark, out).collect()
+    }
+    full = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    daily = (
+        full.where(F.col("ts").isNotNull()
+                   & F.col("event_type").isNotNull())
+        .groupBy("event_type",
+                 F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    want = {
+        (r.event_type, r.day): (r.cnt, r.cusum, r.flag)
+        for r in cusum_from_daily(daily).collect()
+    }
+    if got != want:
+        return [f"cusum: {len(got)} scored rows != batch {len(want)}"
+                f" (or values diverged)"]
+    return []
+
+
 def main() -> int:
     spark = get_spark(app_name="fuzz-streaming")
     failures: list[str] = []
@@ -649,6 +719,7 @@ def main() -> int:
                 ("embdedup", fuzz_embedding_dedup),
                 ("funnel", fuzz_funnel),
                 ("sdecon", fuzz_semantic_decon),
+                ("cusum", fuzz_cusum),
             ):
                 fs = fn(spark, tmp / name, rng)
                 n_checked += 1
