@@ -166,6 +166,8 @@ HEADLINE = [
     "seasonal_profile",
     # resumed-r5 batch 3: content-aware segmentation
     "text_tiling",
+    # resumed-r5 batch 4: experimentation readout
+    "ab_test_uplift",
 ]
 
 ALL = {**RELATIONAL_QUERIES, **ML_QUERIES}

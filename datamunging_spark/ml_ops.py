@@ -14307,3 +14307,214 @@ ORDER BY doc_id, pos
 """
 
 ML_QUERIES["text_tiling"] = (text_tiling, _TT_SQL)
+
+
+# --------------------------------------------------------------------------
+# A/B uplift with bootstrap CI (r5 resumed batch) — the EXPERIMENTATION
+# readout: bootstrap_ci bounds one mean; an experiment needs the
+# DIFFERENCE of two arms with an interval that accounts for both arms'
+# variance jointly (per replicate b the SAME resample draws both arm
+# means, so the uplift distribution is the paired one). Variant = the
+# classic deterministic user-id split (user_id % 2); swap in the real
+# assignment column in production, the plan is unchanged.
+#
+# Determinism: the replicate machinery is shared VERBATIM with
+# bootstrap_ci (_BOOT_A/_BOOT_C multiply-mod-prime mixing over one md5
+# per row, frozen Poisson(1) ppm thresholds); uplift_fp is integer
+# fixed-point (centicents), the ~95% CI is rank-based (2/63 of B=64),
+# and `significant` = CI excludes zero — all bit-identical under any
+# partitioning.
+#
+# Scale shape: identical to bootstrap_ci — the explode collapses
+# map-side to (type x variant x replicate) partials; arm means meet in
+# a |types|x64-row frame (conditional aggregation, no join); the CI
+# window ranks 64 rows per type.
+# --------------------------------------------------------------------------
+
+
+def ab_test_uplift(spark, sf_dir, n_boot: int = BOOT_B):
+    """Per event_type: arm sizes, uplift of mean value (B - A,
+    centicents), its Poisson-bootstrap ~95% CI, and a significance
+    flag (CI excludes 0)."""
+    ev = (
+        t(spark, sf_dir, "events")
+        .where(
+            F.col("value").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        .select(
+            "event_type", "event_id",
+            (F.col("user_id") % 2).cast("long").alias("arm"),
+            F.floor(F.col("value") * 100).cast("long").alias("x"),
+        )
+    )
+    # both-arms guard: a type seen by only one arm has no uplift (and
+    # an unguarded DIV would be ANSI DIVIDE_BY_ZERO — the exact failure
+    # class the r4 fuzzer caught on zero vectors)
+    point = (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+            .cast("long").alias("n_a"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+            .cast("long").alias("n_b"),
+            F.expr("sum(CASE WHEN arm = 1 THEN x ELSE 0 END)")
+            .alias("sx_b"),
+            F.expr("sum(CASE WHEN arm = 0 THEN x ELSE 0 END)")
+            .alias("sx_a"),
+        )
+        .where((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .select(
+            "event_type", "n_a", "n_b",
+            (
+                F.expr("(sx_b * 100) DIV n_b")
+                - F.expr("(sx_a * 100) DIV n_a")
+            ).alias("uplift_fp"),
+        )
+    )
+    a_arr = ", ".join(str(v) for v in _BOOT_A[:n_boot])
+    c_arr = ", ".join(str(v) for v in _BOOT_C[:n_boot])
+    reps = ev.withColumn(
+        "h0",
+        md5_long(F.concat(F.lit("ab:"), F.col("event_id").cast("string")))
+        % _BOOT_P,
+    ).select(
+        "event_type", "arm", "x", "h0",
+        F.explode(F.array([F.lit(i) for i in range(n_boot)])).alias("b"),
+    ).withColumn(
+        "u",
+        F.expr(
+            f"((h0 * element_at(array({a_arr}), b + 1)"
+            f" + element_at(array({c_arr}), b + 1)) % {_BOOT_P})"
+            f" % 1000000"
+        ),
+    ).withColumn("w", F.expr(_poisson_weight_sql("u")))
+    # replicates where the Poisson weights zero out an entire arm are
+    # dropped IN BOTH ENGINES (no uplift is defined there; keeping
+    # them would also hit NULL-ordering divergence: Spark ASC is
+    # NULLS FIRST, DuckDB ASC is NULLS LAST). CI ranks are relative to
+    # the surviving replicate count.
+    uplifts = (
+        reps.groupBy("event_type", "b")
+        .agg(
+            F.expr("sum(CASE WHEN arm = 1 THEN w * x ELSE 0 END)")
+            .alias("swx_b"),
+            F.expr("sum(CASE WHEN arm = 1 THEN w ELSE 0 END)")
+            .alias("sw_b"),
+            F.expr("sum(CASE WHEN arm = 0 THEN w * x ELSE 0 END)")
+            .alias("swx_a"),
+            F.expr("sum(CASE WHEN arm = 0 THEN w ELSE 0 END)")
+            .alias("sw_a"),
+        )
+        .where((F.col("sw_a") > 0) & (F.col("sw_b") > 0))
+        .select(
+            "event_type", "b",
+            (
+                F.expr("(swx_b * 100) DIV sw_b")
+                - F.expr("(swx_a * 100) DIV sw_a")
+            ).alias("u_fp"),
+        )
+    )
+    wr = W.partitionBy("event_type").orderBy(F.asc("u_fp"), F.asc("b"))
+    wcnt = W.partitionBy("event_type")
+    ci = (
+        uplifts.withColumn("r", F.row_number().over(wr))
+        .withColumn("nrep", F.count("*").over(wcnt))
+        .groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("r") == 2, F.col("u_fp"))).alias("lo_fp"),
+            F.max(
+                F.when(F.col("r") == F.col("nrep") - 1, F.col("u_fp"))
+            ).alias("hi_fp"),
+        )
+        .where(F.col("lo_fp").isNotNull() & F.col("hi_fp").isNotNull())
+    )
+    return point.join(ci, "event_type").select(
+        "event_type", "n_a", "n_b", "uplift_fp", "lo_fp", "hi_fp",
+        ((F.col("lo_fp") > 0) | (F.col("hi_fp") < 0)).cast("int")
+        .alias("significant"),
+    )
+
+
+_AB_SQL = f"""
+WITH ev AS (
+  SELECT event_type, event_id,
+         CAST(user_id % 2 AS BIGINT) AS arm,
+         CAST(floor(value * 100) AS BIGINT) AS x
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+    AND user_id IS NOT NULL
+),
+point AS (
+  SELECT event_type, n_a, n_b,
+         CAST((sx_b * 100) // n_b - (sx_a * 100) // n_a AS BIGINT)
+           AS uplift_fp
+  FROM (
+    SELECT event_type,
+           CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_a,
+           CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_b,
+           CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT)
+             AS sx_b,
+           CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT)
+             AS sx_a
+    FROM ev GROUP BY event_type)
+  WHERE n_a > 0 AND n_b > 0
+),
+hashed AS (
+  SELECT event_type, arm, x,
+         CAST(concat('0x', substr(md5(concat('ab:',
+              CAST(event_id AS VARCHAR))), 1, 15)) AS BIGINT)
+           % {_BOOT_P} AS h0
+  FROM ev
+),
+reps AS (
+  SELECT event_type, arm, x, b,
+         ((h0 * ([{_A_LIST}])[b + 1]
+           + ([{_C_LIST}])[b + 1]) % {_BOOT_P}) % 1000000 AS u
+  FROM hashed CROSS JOIN (SELECT unnest(range({BOOT_B})) AS b)
+),
+weighted AS (
+  SELECT event_type, arm, x, b, {_poisson_weight_sql('u')} AS w
+  FROM reps
+),
+uplifts AS (
+  SELECT event_type, b,
+         CAST((swx_b * 100) // sw_b - (swx_a * 100) // sw_a AS BIGINT)
+           AS u_fp
+  FROM (
+    SELECT event_type, b,
+           CAST(sum(CASE WHEN arm = 1 THEN w * x ELSE 0 END) AS BIGINT)
+             AS swx_b,
+           CAST(sum(CASE WHEN arm = 1 THEN w ELSE 0 END) AS BIGINT)
+             AS sw_b,
+           CAST(sum(CASE WHEN arm = 0 THEN w * x ELSE 0 END) AS BIGINT)
+             AS swx_a,
+           CAST(sum(CASE WHEN arm = 0 THEN w ELSE 0 END) AS BIGINT)
+             AS sw_a
+    FROM weighted GROUP BY event_type, b)
+  WHERE sw_a > 0 AND sw_b > 0
+),
+ranked AS (
+  SELECT event_type, u_fp,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY u_fp ASC, b ASC) AS r,
+         count(*) OVER (PARTITION BY event_type) AS nrep
+  FROM uplifts
+),
+ci AS (
+  SELECT event_type,
+         max(CASE WHEN r = 2 THEN u_fp END) AS lo_fp,
+         max(CASE WHEN r = nrep - 1 THEN u_fp END) AS hi_fp
+  FROM ranked GROUP BY event_type
+  HAVING max(CASE WHEN r = 2 THEN u_fp END) IS NOT NULL
+     AND max(CASE WHEN r = nrep - 1 THEN u_fp END) IS NOT NULL
+)
+SELECT p.event_type, p.n_a, p.n_b, p.uplift_fp, c.lo_fp, c.hi_fp,
+       CAST(c.lo_fp > 0 OR c.hi_fp < 0 AS INT) AS significant
+FROM point p JOIN ci c USING (event_type)
+"""
+
+ML_QUERIES["ab_test_uplift"] = (ab_test_uplift, _AB_SQL)
