@@ -168,6 +168,9 @@ HEADLINE = [
     "text_tiling",
     # resumed-r5 batch 4: experimentation readout
     "ab_test_uplift",
+    # resumed-r5 batch 5: time-to-event + robust rolling statistic
+    "survival_na",
+    "rolling_median_events",
 ]
 
 ALL = {**RELATIONAL_QUERIES, **ML_QUERIES}

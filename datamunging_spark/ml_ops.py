@@ -14518,3 +14518,204 @@ FROM point p JOIN ci c USING (event_type)
 """
 
 ML_QUERIES["ab_test_uplift"] = (ab_test_uplift, _AB_SQL)
+
+
+# --------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard (r5 resumed batch) — TIME-TO-EVENT
+# analysis, the capability the behavior family lacked: retention
+# cohorts count who comes back; survival analysis quantifies WHEN
+# users churn, with censoring for users still active at the
+# observation cutoff (dropping them biases hazard down; counting them
+# as churned biases it up — the textbook mistake either way).
+# Kaplan-Meier survival is a cumulative PRODUCT (irrational in
+# integer space); the Nelson-Aalen estimator H(t) = sum d_i / n_i is
+# a cumulative SUM of rationals — ppm-exact with integer floor-divs,
+# which is why it is the one chosen here.
+#
+# Duration = HOURS between a user's first and last event (hour
+# granularity keeps the distinct-duration domain meaningful on dense
+# activity logs where day-rounding collapses everyone to the same
+# span); a user still active within the censor horizon of the corpus
+# end is CENSORED (still at risk), the standard right-censoring
+# construction for activity logs. The horizon is 12 idle hours here —
+# calibrated to this high-frequency synthetic corpus so the churn
+# branch is non-vacuous; production logs would use days/weeks (the
+# constant, not the plan, changes). At each distinct duration t:
+# n_risk = users with duration >= t, d = churn events at t;
+# hazard_ppm = d*10^6 DIV n_risk; H_ppm = running sum over the
+# DISTINCT DURATION DOMAIN.
+#
+# Scale shape: one groupBy(user) collapses 10^12 events to users; one
+# groupBy(duration) collapses users to the duration domain (hundreds
+# of rows); n_risk is a REVERSE cumulative count over that domain
+# (window over distinct durations — the quantile_buckets/auc_exact
+# convention, never a per-user rank), and H is a forward running sum
+# over the same rows.
+# --------------------------------------------------------------------------
+
+_SURV_CENSOR_HOURS = 12
+
+
+def survival_na(spark, sf_dir):
+    """Per distinct duration (days): (t, n_risk, d, hazard_ppm,
+    cumhaz_ppm) — the Nelson-Aalen table over user activity spans."""
+    ev = t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    spans = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    # corpus end: a 1-row model dim, broadcast crossJoin convention
+    end = ev.agg(F.max("ts").alias("end_ts"))
+    users = spans.crossJoin(F.broadcast(end)).select(
+        "user_id",
+        F.expr(
+            "(unix_timestamp(last_ts) - unix_timestamp(first_ts))"
+            " DIV 3600"
+        ).cast("long").alias("t"),
+        (
+            F.expr(
+                "(unix_timestamp(end_ts) - unix_timestamp(last_ts))"
+                " DIV 3600"
+            )
+            >= _SURV_CENSOR_HOURS
+        ).cast("long").alias("churned"),
+    )
+    by_t = users.groupBy("t").agg(
+        F.count("*").cast("long").alias("n_t"),
+        F.sum("churned").cast("long").alias("d"),
+    )
+    # n_risk(t) = users with duration >= t: reverse running sum over
+    # the distinct-duration domain (hundreds of rows, commented like
+    # auc_exact's global window)
+    wrev = W.orderBy(F.desc("t")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wfwd = W.orderBy(F.asc("t")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    risked = by_t.withColumn("n_risk", F.sum("n_t").over(wrev))
+    hazarded = risked.withColumn(
+        "hazard_ppm", F.expr("(d * 1000000) DIV n_risk")
+    )
+    return (
+        hazarded.withColumn(
+            "cumhaz_ppm",
+            F.sum("hazard_ppm").over(wfwd).cast("long"),
+        )
+        .select("t", "n_risk", "d", "hazard_ppm", "cumhaz_ppm")
+        .orderBy("t")
+    )
+
+
+_SURV_SQL = f"""
+WITH ev AS (
+  SELECT user_id, ts FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+spans AS (
+  SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
+  FROM ev GROUP BY user_id
+),
+fin AS (SELECT max(ts) AS end_ts FROM ev),
+users AS (
+  -- floor(epoch()) per timestamp mirrors Spark's unix_timestamp
+  -- (whole seconds) BEFORE differencing: keeping the microsecond
+  -- fraction shifts hour-boundary durations by one
+  SELECT user_id,
+         CAST((CAST(floor(epoch(last_ts)) AS BIGINT)
+               - CAST(floor(epoch(first_ts)) AS BIGINT)) // 3600
+              AS BIGINT) AS t,
+         CAST((CAST(floor(epoch(end_ts)) AS BIGINT)
+               - CAST(floor(epoch(last_ts)) AS BIGINT)) // 3600
+              >= {_SURV_CENSOR_HOURS} AS BIGINT) AS churned
+  FROM spans CROSS JOIN fin
+),
+by_t AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS n_t,
+         CAST(sum(churned) AS BIGINT) AS d
+  FROM users GROUP BY t
+),
+risked AS (
+  SELECT t, n_t, d,
+         CAST(sum(n_t) OVER (ORDER BY t DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS n_risk
+  FROM by_t
+),
+hazarded AS (
+  SELECT t, n_risk, d,
+         CAST((d * 1000000) // n_risk AS BIGINT) AS hazard_ppm
+  FROM risked
+)
+SELECT t, n_risk, d, hazard_ppm,
+       CAST(sum(hazard_ppm) OVER (ORDER BY t ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS cumhaz_ppm
+FROM hazarded
+ORDER BY t
+"""
+
+ML_QUERIES["survival_na"] = (survival_na, _SURV_SQL)
+
+
+# --------------------------------------------------------------------------
+# 7-day rolling median (r5 resumed batch) — the ROBUST rolling
+# statistic: ewma_events smooths with decaying means (outlier-
+# sensitive); a rolling MEDIAN absorbs single-day spikes entirely,
+# the denoiser monitoring dashboards actually want. Exact and
+# integer: the window is 7 daily rows, so the median is element 4 of
+# the sorted 7-array (or the middle of fewer rows while the window
+# warms up) — array_sort over a collect_list bounded at 7 elements,
+# never a percentile over raw events.
+#
+# Scale shape: ONE map-side-combinable groupBy collapses 10^12 events
+# to (type x day); the rolling window runs per type over daily rows
+# with a FIXED 7-row frame — bounded memory by construction.
+# --------------------------------------------------------------------------
+
+
+def rolling_median_events(spark, sf_dir):
+    """Per (event_type, day): daily count and the exact median of the
+    trailing 7-day window (elements available so far during warmup)."""
+    ev = t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    w7 = W.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    return (
+        daily.withColumn("win", F.array_sort(F.collect_list("cnt").over(w7)))
+        .select(
+            "event_type", "day", "cnt",
+            F.element_at(
+                "win", (F.floor((F.size("win") + 1) / 2)).cast("int")
+            ).cast("long").alias("med7"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+_ROLLMED_SQL = """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+),
+winned AS (
+  SELECT event_type, day, cnt,
+         list_sort(list(cnt) OVER (PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS win
+  FROM daily
+)
+SELECT event_type, day, cnt,
+       CAST(win[CAST(floor((len(win) + 1) / 2) AS INT)] AS BIGINT)
+         AS med7
+FROM winned
+ORDER BY event_type, day
+"""
+
+ML_QUERIES["rolling_median_events"] = (rolling_median_events, _ROLLMED_SQL)
